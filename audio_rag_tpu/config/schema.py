@@ -1,0 +1,171 @@
+"""Validated configuration tree.
+
+Parity: reference ``config/schema.py:7-133`` — same section names and keys
+(`asr`, `diarization`, `alignment`, `chunking`, `contextual`, `embedding`,
+`retrieval`, `reranking`, `expansion`, `generation`, `tts`, `resources`,
+plus `log_level`/`data_dir`/`cache_dir`) so reference YAML configs load
+unchanged where meaningful.
+
+TPU-first deltas:
+* ``device`` accepts ``tpu`` and ``compute_type`` defaults to ``bfloat16``.
+* new ``mesh`` section: device-mesh axes for dp/tp sharding (`pjit`).
+* retrieval backend default is the in-process HBM-resident ``tpu`` store
+  (the Qdrant-compatible knobs are retained and ignored by it).
+"""
+
+from __future__ import annotations
+
+from typing import Literal
+
+from pydantic import BaseModel, Field
+
+
+class MeshConfig(BaseModel):
+    """Device mesh for sharded inference (TPU-native addition)."""
+
+    #: number of devices along the data axis (-1 = all remaining)
+    data_axis: int = -1
+    #: number of devices along the model (tensor-parallel) axis
+    model_axis: int = 1
+    #: axis names used in PartitionSpecs throughout the framework
+    data_axis_name: str = "data"
+    model_axis_name: str = "model"
+    #: run on CPU with this many virtual devices when >0 (testing)
+    force_host_device_count: int = 0
+
+
+class ASRConfig(BaseModel):
+    backend: Literal["whisper-jax", "streaming-whisper", "fake"] = "whisper-jax"
+    model_size: Literal[
+        "tiny", "base", "small", "medium", "large-v2", "large-v3"
+    ] = "large-v3"
+    device: Literal["tpu", "cpu", "auto"] = "auto"
+    compute_type: Literal["bfloat16", "float32"] = "bfloat16"
+    vad_filter: bool = True
+    vad_threshold: float = Field(default=0.5, ge=0.0, le=1.0)
+    language: str | None = None
+    #: decode strategy for the autoregressive loop
+    decode: Literal["greedy", "beam"] = "greedy"
+    beam_size: int = Field(default=5, ge=1, le=16)
+    #: batch 30s windows together instead of sequential decode
+    window_batch_size: int = Field(default=8, ge=1)
+    checkpoint_path: str | None = None
+
+
+class DiarizationConfig(BaseModel):
+    backend: Literal["clustering", "fake"] = "clustering"
+    model: str = "titanet-jax"
+    device: Literal["tpu", "cpu", "auto"] = "auto"
+    min_speakers: int | None = None
+    max_speakers: int | None = Field(default=8, ge=1)
+    min_speech_duration_ms: int = Field(default=250, ge=0)
+    #: speaker-embedding window/shift (seconds), reference nemo.py:54-66
+    window_s: float = 1.5
+    shift_s: float = 0.75
+    checkpoint_path: str | None = None
+
+
+class AlignmentConfig(BaseModel):
+    method: Literal["word_level", "segment_level"] = "word_level"
+    #: tolerance for nearest-segment fallback (reference aligner.py:74)
+    tolerance_s: float = 0.5
+
+
+class ChunkingConfig(BaseModel):
+    strategy: Literal["speaker_turn", "fixed"] = "speaker_turn"
+    max_tokens: int = Field(default=256, ge=50, le=2000)
+    overlap_tokens: int = Field(default=50, ge=0)
+    min_chunk_tokens: int = Field(default=30, ge=1)
+
+
+class ContextualConfig(BaseModel):
+    enabled: bool = False
+    window_size: int = Field(default=1, ge=0, le=3)
+
+
+class EmbeddingConfig(BaseModel):
+    backend: Literal["bge-m3", "fake"] = "bge-m3"
+    model: str = "BAAI/bge-m3"
+    device: Literal["tpu", "cpu", "auto"] = "auto"
+    batch_size: int = Field(default=32, ge=1)
+    normalize: bool = True
+    use_sparse: bool = True
+    max_length: int = Field(default=512, ge=16, le=8192)
+    checkpoint_path: str | None = None
+
+
+class RetrievalConfig(BaseModel):
+    backend: Literal["tpu", "fake"] = "tpu"
+    collection_name: str = "audio_rag"
+    search_type: Literal["dense", "sparse", "hybrid"] = "hybrid"
+    top_k: int = Field(default=5, ge=1, le=100)
+    score_threshold: float = Field(default=0.0, ge=0.0, le=1.0)
+    dense_weight: float = Field(default=0.7, ge=0.0, le=1.0)
+    sparse_weight: float = Field(default=0.3, ge=0.0, le=1.0)
+    #: RRF constant for hybrid fusion (Qdrant uses 60 internally)
+    rrf_k: int = Field(default=60, ge=1)
+    #: persistence root for collections (npz shards + manifest)
+    persist_dir: str | None = None
+    #: pad collections to multiples of this many rows for static shapes
+    capacity_step: int = Field(default=4096, ge=128)
+
+
+class RerankingConfig(BaseModel):
+    backend: Literal["bge-reranker", "fake", "none"] = "bge-reranker"
+    model: str = "BAAI/bge-reranker-base"
+    device: Literal["tpu", "cpu", "auto"] = "auto"
+    top_k: int = Field(default=5, ge=1, le=50)
+    initial_k: int = Field(default=20, ge=1, le=100)
+    batch_size: int = Field(default=16, ge=1)
+    max_length: int = Field(default=512, ge=16, le=4096)
+    checkpoint_path: str | None = None
+
+
+class ExpansionConfig(BaseModel):
+    backend: Literal["hyde", "none"] = "none"
+    num_hypotheses: int = Field(default=1, ge=1, le=3)
+
+
+class GenerationConfig(BaseModel):
+    backend: Literal["llm-jax", "fake", "none"] = "llm-jax"
+    model: str = "llama-3.2-3b"
+    temperature: float = Field(default=0.7, ge=0.0, le=2.0)
+    max_tokens: int = Field(default=1024, ge=1, le=8192)
+    timeout: float = Field(default=60.0, ge=1.0)
+    checkpoint_path: str | None = None
+
+
+class TTSConfig(BaseModel):
+    backend: Literal["null", "piper", "edge-tts"] = "null"
+    model: str = "en_US-lessac-medium"
+    fallback_backend: Literal["null", "none"] = "null"
+    output_format: Literal["wav"] = "wav"
+    sample_rate: int = Field(default=22050, ge=8000, le=48000)
+
+
+class ResourceConfig(BaseModel):
+    """HBM budget for the shared mesh (replaces the reference's VRAM LRU)."""
+
+    max_hbm_gb: float = Field(default=14.0, ge=1.0)
+    max_ram_gb: float = Field(default=16.0, ge=1.0)
+    unload_after_idle_seconds: int = Field(default=300, ge=0)
+    max_audio_duration_minutes: int = Field(default=180, ge=1)
+
+
+class AudioRAGConfig(BaseModel):
+    mesh: MeshConfig = Field(default_factory=MeshConfig)
+    asr: ASRConfig = Field(default_factory=ASRConfig)
+    diarization: DiarizationConfig = Field(default_factory=DiarizationConfig)
+    alignment: AlignmentConfig = Field(default_factory=AlignmentConfig)
+    chunking: ChunkingConfig = Field(default_factory=ChunkingConfig)
+    contextual: ContextualConfig = Field(default_factory=ContextualConfig)
+    embedding: EmbeddingConfig = Field(default_factory=EmbeddingConfig)
+    retrieval: RetrievalConfig = Field(default_factory=RetrievalConfig)
+    reranking: RerankingConfig = Field(default_factory=RerankingConfig)
+    expansion: ExpansionConfig = Field(default_factory=ExpansionConfig)
+    generation: GenerationConfig = Field(default_factory=GenerationConfig)
+    tts: TTSConfig = Field(default_factory=TTSConfig)
+    resources: ResourceConfig = Field(default_factory=ResourceConfig)
+    log_level: Literal["DEBUG", "INFO", "WARNING", "ERROR"] = "INFO"
+    data_dir: str = "./data"
+    cache_dir: str = "./cache"

@@ -1,0 +1,31 @@
+"""Test harness config.
+
+Forces JAX onto a virtual 8-device CPU mesh (SURVEY.md §2.4 → TPU mapping is
+validated via sharding on host devices; real-chip runs happen in bench.py).
+Must run before the first `import jax` anywhere in the test session.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture
+def sample_audio():
+    """1 second of a 440 Hz tone at 16 kHz, float32 in [-1, 1]."""
+    sr = 16000
+    t = np.arange(sr, dtype=np.float32) / sr
+    return 0.5 * np.sin(2 * np.pi * 440.0 * t), sr
