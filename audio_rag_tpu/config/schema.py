@@ -102,8 +102,12 @@ class RetrievalConfig(BaseModel):
     score_threshold: float = Field(default=0.0, ge=0.0, le=1.0)
     dense_weight: float = Field(default=0.7, ge=0.0, le=1.0)
     sparse_weight: float = Field(default=0.3, ge=0.0, le=1.0)
-    #: RRF constant for hybrid fusion (Qdrant uses 60 internally)
-    rrf_k: int = Field(default=60, ge=1)
+    #: RRF constant for hybrid fusion (2.0 matches Qdrant's fusion constant,
+    #: which the reference relies on via FusionQuery(RRF))
+    rrf_k: float = Field(default=2.0, ge=0.0)
+    #: fixed sparse widths (docs truncated to strongest max_doc_nnz terms)
+    max_doc_nnz: int = Field(default=128, ge=8)
+    max_query_nnz: int = Field(default=64, ge=8)
     #: persistence root for collections (npz shards + manifest)
     persist_dir: str | None = None
     #: pad collections to multiples of this many rows for static shapes

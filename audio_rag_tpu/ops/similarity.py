@@ -1,0 +1,146 @@
+"""Device-side retrieval scoring: dense MIPS, sparse lexical match, RRF fusion.
+
+Replaces the Qdrant server's HNSW + inverted-index + FusionQuery(RRF) engine
+(reference ``retrieval/qdrant.py:227-332``) with exact, batched, MXU-mapped
+scoring:
+
+* **Dense**: ``queries @ corpus.T`` — one big matmul; exact search. At the
+  corpus sizes this system serves (hours of audio → 1e4–1e6 chunks) exact
+  MIPS on TPU is faster than an ANN graph walk on CPU, and exact-by-design.
+* **Sparse**: documents' lexical weights stored as fixed-width (token, weight)
+  rows (doc-major CSR, padded to ``max_nnz``). A query's score against all
+  docs is a masked sum over token matches — static shapes, VPU-friendly,
+  fully batched.
+* **Hybrid**: Reciprocal Rank Fusion over the dense and sparse rankings,
+  computed on device from the two score vectors. ``rrf_k`` defaults to 2.0,
+  matching Qdrant's fusion constant so hybrid orderings track the reference.
+
+All functions are pure and jittable with static shapes; the vector store pads
+its corpus to capacity buckets so each bucket size compiles once.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "dense_scores",
+    "sparse_scores",
+    "rrf_fuse",
+    "topk_with_mask",
+    "hybrid_search",
+]
+
+NEG_INF = jnp.float32(-1e30)
+
+
+def dense_scores(queries: jax.Array, corpus: jax.Array) -> jax.Array:
+    """Cosine/IP scores, shape (B, N). Inputs are pre-normalized if cosine."""
+    return jnp.dot(
+        queries, corpus.T, preferred_element_type=jnp.float32
+    )
+
+
+def sparse_scores(
+    q_tokens: jax.Array,  # (B, Qnnz) int32, padded with -1
+    q_weights: jax.Array,  # (B, Qnnz) f32, 0 at padding
+    doc_tokens: jax.Array,  # (N, Dnnz) int32, padded with -1
+    doc_weights: jax.Array,  # (N, Dnnz) f32, 0 at padding
+) -> jax.Array:
+    """Lexical match scores Σ_t q_w[t]·d_w[t], shape (B, N).
+
+    Computed as a scan over query-token slots: each step matches one query
+    token against every doc's padded token row — (N, Dnnz) elementwise work
+    per step, streamed so no (B, N, Dnnz, Qnnz) intermediate exists.
+    """
+
+    def one_query(q_tok: jax.Array, q_w: jax.Array) -> jax.Array:
+        def step(acc, tok_w):
+            tok, w = tok_w
+            match = (doc_tokens == tok) & (tok >= 0)
+            acc = acc + w * jnp.sum(
+                jnp.where(match, doc_weights, 0.0), axis=-1
+            )
+            return acc, None
+
+        init = jnp.zeros((doc_tokens.shape[0],), jnp.float32)
+        acc, _ = jax.lax.scan(step, init, (q_tok, q_w))
+        return acc
+
+    return jax.vmap(one_query)(q_tokens, q_weights)
+
+
+def topk_with_mask(
+    scores: jax.Array, valid_mask: jax.Array, k: int
+) -> tuple[jax.Array, jax.Array]:
+    """Top-k over the last axis with invalid entries pushed to -inf.
+
+    Returns (values, indices), each (..., k).
+    """
+    masked = jnp.where(valid_mask, scores, NEG_INF)
+    return jax.lax.top_k(masked, k)
+
+
+def rrf_fuse(
+    score_lists: list[jax.Array],  # each (B, N)
+    valid_mask: jax.Array,  # (N,)
+    rrf_k: float = 2.0,
+    prefetch: int = 0,
+) -> jax.Array:
+    """Reciprocal Rank Fusion: Σ_lists 1/(rrf_k + rank_list(doc)).
+
+    ``rank`` is 0-based dense rank by descending score (ties broken by index,
+    matching a stable sort). When ``prefetch`` > 0 only the top-``prefetch``
+    docs of each list contribute, mirroring Qdrant's Prefetch(limit=2k)
+    semantics in the reference hybrid query (``retrieval/qdrant.py:281-298``).
+    """
+    fused = jnp.zeros_like(score_lists[0])
+    n = score_lists[0].shape[-1]
+    for scores in score_lists:
+        masked = jnp.where(valid_mask, scores, NEG_INF)
+        order = jnp.argsort(-masked, axis=-1, stable=True)
+        ranks = jnp.argsort(order, axis=-1, stable=True).astype(jnp.float32)
+        contrib = 1.0 / (rrf_k + ranks)
+        if prefetch > 0:
+            contrib = jnp.where(ranks < prefetch, contrib, 0.0)
+        # docs with -inf score (invalid/no-match) contribute nothing
+        contrib = jnp.where(masked > NEG_INF / 2, contrib, 0.0)
+        fused = fused + contrib
+    return fused
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("top_k", "search_type", "rrf_k", "prefetch"),
+)
+def hybrid_search(
+    q_dense: jax.Array,  # (B, dim)
+    q_tokens: jax.Array,  # (B, Qnnz) int32
+    q_weights: jax.Array,  # (B, Qnnz) f32
+    corpus_dense: jax.Array,  # (N, dim)
+    doc_tokens: jax.Array,  # (N, Dnnz) int32
+    doc_weights: jax.Array,  # (N, Dnnz) f32
+    valid_mask: jax.Array,  # (N,) bool — row in use AND passes metadata filter
+    top_k: int = 5,
+    search_type: str = "hybrid",
+    rrf_k: float = 2.0,
+    prefetch: int = 0,
+) -> tuple[jax.Array, jax.Array]:
+    """One fused device program: score → (fuse) → top-k.
+
+    Returns (scores (B, k), indices (B, k)); invalid slots have score -inf.
+    """
+    if search_type == "dense":
+        scores = dense_scores(q_dense, corpus_dense)
+    elif search_type == "sparse":
+        scores = sparse_scores(q_tokens, q_weights, doc_tokens, doc_weights)
+    elif search_type == "hybrid":
+        d = dense_scores(q_dense, corpus_dense)
+        s = sparse_scores(q_tokens, q_weights, doc_tokens, doc_weights)
+        scores = rrf_fuse([d, s], valid_mask, rrf_k=rrf_k, prefetch=prefetch)
+    else:
+        raise ValueError(f"unknown search_type {search_type!r}")
+    return topk_with_mask(scores, valid_mask, top_k)
