@@ -1,0 +1,278 @@
+"""Decoder-only LLM (llama-3.2-class) for answer synthesis, HyDE and
+contextual chunk headers — replaces the external Ollama server the reference
+calls over HTTP (``generation/ollama.py:79``, ``expansion/hyde.py:91``,
+``contextual/processor.py:114``).
+
+Architecture: RMSNorm pre-norm, RoPE, grouped-query attention, SwiGLU FFN,
+tied or untied LM head. Functional params + scan-over-layers; decode is a
+static-KV-cache ``lax.while_loop`` with greedy or temperature sampling.
+
+Tensor-parallel sharding rules for the mesh's ``model`` axis live in
+:func:`llm_param_spec` — attention heads and FFN hidden dim are split,
+embeddings replicated (small models) or vocab-sharded (large).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from audio_rag_tpu.models.layers import (
+    Params,
+    apply_rope,
+    embedding_init,
+    linear,
+    linear_init,
+    make_causal_mask,
+    mha_init,
+    rms_norm,
+    rms_norm_init,
+    rope_frequencies,
+    swiglu,
+    swiglu_init,
+)
+
+__all__ = [
+    "LLMDims",
+    "LLM_PRESETS",
+    "init_llm",
+    "llm_forward",
+    "llm_generate",
+    "llm_param_spec",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class LLMDims:
+    vocab: int
+    d_model: int
+    n_heads: int
+    n_kv_heads: int
+    n_layers: int
+    d_ff: int
+    max_len: int
+    rope_theta: float = 500000.0
+
+
+LLM_PRESETS: dict[str, LLMDims] = {
+    "llama-3.2-1b": LLMDims(128256, 2048, 32, 8, 16, 8192, 8192),
+    "llama-3.2-3b": LLMDims(128256, 3072, 24, 8, 28, 8192, 8192),
+    "test": LLMDims(512, 64, 4, 2, 2, 128, 128, rope_theta=10000.0),
+}
+
+
+def init_llm(key: jax.Array, dims: LLMDims) -> Params:
+    k_emb, k_blocks, k_out = jax.random.split(key, 3)
+    blocks = []
+    for k in jax.random.split(k_blocks, dims.n_layers):
+        ka, km = jax.random.split(k)
+        blocks.append(
+            {
+                "ln_attn": rms_norm_init(dims.d_model),
+                "attn": mha_init(
+                    ka, dims.d_model, dims.n_heads,
+                    n_kv_heads=dims.n_kv_heads, bias=False,
+                ),
+                "ln_mlp": rms_norm_init(dims.d_model),
+                "mlp": swiglu_init(km, dims.d_model, dims.d_ff),
+            }
+        )
+    return {
+        "tok_emb": embedding_init(k_emb, dims.vocab, dims.d_model),
+        "blocks": jax.tree.map(lambda *xs: jnp.stack(xs), *blocks),
+        "ln_f": rms_norm_init(dims.d_model),
+        "lm_head": linear_init(k_out, dims.d_model, dims.vocab, bias=False),
+    }
+
+
+def llm_param_spec(dims: LLMDims) -> Params:
+    """PartitionSpec tree for tensor parallelism over the ``model`` axis.
+
+    Column-split QKV/gate/up (output features), row-split O/down (input
+    features) — the Megatron layout, so each block needs one psum, emitted
+    by XLA from these annotations.
+    """
+    col = P(None, None, "model")  # stacked (L, d_in, d_out): split d_out
+    row = P(None, "model", None)  # split d_in
+    return {
+        "tok_emb": {"table": P(None, None)},
+        "blocks": {
+            "ln_attn": {"g": P(None, None)},
+            "attn": {
+                "q": {"w": col},
+                "k": {"w": col},
+                "v": {"w": col},
+                "o": {"w": row},
+            },
+            "ln_mlp": {"g": P(None, None)},
+            "mlp": {
+                "gate": {"w": col},
+                "up": {"w": col},
+                "down": {"w": row},
+            },
+        },
+        "ln_f": {"g": P(None)},
+        "lm_head": {"w": P(None, "model")},
+    }
+
+
+def _attn_block(
+    p: Params,
+    x: jax.Array,
+    dims: LLMDims,
+    cos: jax.Array,
+    sin: jax.Array,
+    mask: jax.Array,
+    cache: tuple[jax.Array, jax.Array] | None,
+    cache_index,
+    dtype: jnp.dtype,
+) -> tuple[jax.Array, tuple[jax.Array, jax.Array] | None]:
+    B, T, d = x.shape
+    H, HKV = dims.n_heads, dims.n_kv_heads
+    hd = d // H
+    xn = rms_norm(p["ln_attn"], x)
+    q = linear(p["attn"]["q"], xn, dtype).reshape(B, T, H, hd).transpose(0, 2, 1, 3)
+    k = linear(p["attn"]["k"], xn, dtype).reshape(B, T, HKV, hd).transpose(0, 2, 1, 3)
+    v = linear(p["attn"]["v"], xn, dtype).reshape(B, T, HKV, hd).transpose(0, 2, 1, 3)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    new_cache = None
+    if cache is not None:
+        ck, cv = cache
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, cache_index, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, cache_index, 0))
+        k, v = ck, cv
+        new_cache = (ck, cv)
+
+    k = jnp.repeat(k, H // HKV, axis=1)
+    v = jnp.repeat(v, H // HKV, axis=1)
+    scale = hd ** -0.5
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
+                        preferred_element_type=jnp.float32)
+    logits = jnp.where(mask, logits, jnp.float32(-1e30))
+    probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    o = jnp.einsum("bhqk,bhkd->bhqd", probs, v,
+                   preferred_element_type=jnp.float32).astype(dtype)
+    o = o.transpose(0, 2, 1, 3).reshape(B, T, d)
+    return x + linear(p["attn"]["o"], o, dtype), new_cache
+
+
+def llm_forward(
+    params: Params,
+    dims: LLMDims,
+    tokens: jax.Array,  # (B, T)
+    pos_offset=0,
+    cache: tuple[jax.Array, jax.Array] | None = None,  # (L, B, HKV, C, hd) ×2
+    dtype: jnp.dtype = jnp.bfloat16,
+) -> tuple[jax.Array, tuple[jax.Array, jax.Array] | None]:
+    """Returns (logits (B, T, vocab) fp32, updated cache)."""
+    B, T = tokens.shape
+    hd = dims.d_model // dims.n_heads
+    cos_t, sin_t = _rope_tables(dims, hd)
+    cos = jax.lax.dynamic_slice_in_dim(cos_t, pos_offset, T, axis=0)
+    sin = jax.lax.dynamic_slice_in_dim(sin_t, pos_offset, T, axis=0)
+
+    x = params["tok_emb"]["table"].astype(dtype)[tokens]
+
+    if cache is not None:
+        C = cache[0].shape[3]
+        mask = make_causal_mask(T, C, offset=pos_offset)
+        mask = mask & (jnp.arange(C)[None, :] < pos_offset + T)
+    else:
+        mask = make_causal_mask(T, T)
+
+    def block(carry, layer):
+        x = carry
+        p, lk, lv = layer
+        c = (lk, lv) if cache is not None else None
+        x, new_c = _attn_block(
+            p, x, dims, cos, sin, mask, c,
+            pos_offset if cache is not None else None, dtype,
+        )
+        x = x + swiglu(p["mlp"], rms_norm(p["ln_mlp"], x), dtype)
+        out_c = new_c if new_c is not None else (lk, lv)
+        return x, out_c
+
+    if cache is not None:
+        lk, lv = cache
+    else:
+        lk = jnp.zeros((dims.n_layers, B, dims.n_kv_heads, 1, hd), dtype)
+        lv = lk
+    x, (nk, nv) = jax.lax.scan(block, x, (params["blocks"], lk, lv))
+    x = rms_norm(params["ln_f"], x)
+    logits = linear(params["lm_head"], x, dtype).astype(jnp.float32)
+    return logits, ((nk, nv) if cache is not None else None)
+
+
+_ROPE_CACHE: dict[tuple, tuple[jax.Array, jax.Array]] = {}
+
+
+def _rope_tables(dims: LLMDims, head_dim: int):
+    key = (dims.max_len, head_dim, dims.rope_theta)
+    if key not in _ROPE_CACHE:
+        cos, sin = rope_frequencies(head_dim, dims.max_len, dims.rope_theta)
+        _ROPE_CACHE[key] = (jnp.asarray(cos), jnp.asarray(sin))
+    return _ROPE_CACHE[key]
+
+
+def llm_generate(
+    params: Params,
+    dims: LLMDims,
+    prompt: jax.Array,  # (B, P) int32
+    max_new_tokens: int,
+    eos_id: int,
+    temperature: float = 0.0,
+    rng: jax.Array | None = None,
+    dtype: jnp.dtype = jnp.bfloat16,
+) -> jax.Array:
+    """Batched sampling with static KV cache; returns (B, P+max_new)."""
+    B, Pl = prompt.shape
+    hd = dims.d_model // dims.n_heads
+    total = Pl + max_new_tokens
+    cache_len = min(dims.max_len, total)
+    lk = jnp.zeros((dims.n_layers, B, dims.n_kv_heads, cache_len, hd), dtype)
+    lv = jnp.zeros_like(lk)
+
+    logits, (lk, lv) = llm_forward(
+        params, dims, prompt, 0, (lk, lv), dtype
+    )
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    def pick(logits_last, key):
+        if temperature <= 0.0:
+            return jnp.argmax(logits_last, axis=-1).astype(jnp.int32)
+        return jax.random.categorical(
+            key, logits_last / temperature, axis=-1
+        ).astype(jnp.int32)
+
+    k0, rng = jax.random.split(rng)
+    first = pick(logits[:, -1, :], k0)
+    tokens = jnp.full((B, total), eos_id, jnp.int32)
+    tokens = tokens.at[:, :Pl].set(prompt)
+    tokens = tokens.at[:, Pl].set(first)
+    finished = first == eos_id
+
+    def cond(state):
+        i, _, _, _, finished, _ = state
+        return (i < total - 1) & ~jnp.all(finished)
+
+    def body(state):
+        i, tokens, lk, lv, finished, rng = state
+        cur = jax.lax.dynamic_slice(tokens, (0, i), (B, 1))
+        logits, (lk, lv) = llm_forward(params, dims, cur, i, (lk, lv), dtype)
+        key, rng = jax.random.split(rng)
+        nxt = pick(logits[:, -1, :], key)
+        nxt = jnp.where(finished, eos_id, nxt)
+        tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, i + 1))
+        return i + 1, tokens, lk, lv, finished | (nxt == eos_id), rng
+
+    _, tokens, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(Pl), tokens, lk, lv, finished, rng)
+    )
+    return tokens

@@ -1,0 +1,382 @@
+"""Whisper encoder/decoder in functional JAX — the TPU replacement for the
+CTranslate2 engine behind faster-whisper (reference ``asr/whisper.py:55-62``).
+
+Architecture (OpenAI Whisper, public):
+* encoder: two 1-D convs (stride 1, 2) + GELU → sinusoidal positions →
+  pre-LN transformer blocks → final LN. Input mel (B, n_mels, 3000).
+* decoder: token + learned positional embeddings → pre-LN blocks with causal
+  self-attention (KV-cached) and cross-attention over encoder output →
+  logits tied to the token embedding.
+
+TPU-first choices:
+* **scan over layers**: per-layer params are stacked so the 32-layer
+  large-v3 stack compiles as one ``lax.scan`` body (compile time ~constant
+  in depth).
+* **static-shape KV cache** (B, H, n_text_ctx, D) per layer, stacked across
+  layers, updated with ``dynamic_update_slice`` inside a ``lax.while_loop``
+  greedy decode — no Python control flow on device values.
+* **window batching**: the 30 s windows of a long file decode as one batch
+  (reference decodes windows sequentially inside CTranslate2).
+* cross-attention K/V are precomputed once per window before the decode loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio_rag_tpu.models.layers import (
+    Params,
+    embedding_init,
+    layer_norm,
+    layer_norm_init,
+    linear,
+    linear_init,
+    make_causal_mask,
+    mha,
+    mha_init,
+    mlp,
+    mlp_init,
+    sinusoid_positions,
+)
+
+__all__ = ["WhisperDims", "WHISPER_PRESETS", "SpecialTokens", "WhisperModel"]
+
+
+@dataclasses.dataclass(frozen=True)
+class WhisperDims:
+    n_mels: int
+    n_audio_ctx: int
+    n_audio_state: int
+    n_audio_head: int
+    n_audio_layer: int
+    n_vocab: int
+    n_text_ctx: int
+    n_text_state: int
+    n_text_head: int
+    n_text_layer: int
+
+
+WHISPER_PRESETS: dict[str, WhisperDims] = {
+    "tiny": WhisperDims(80, 1500, 384, 6, 4, 51865, 448, 384, 6, 4),
+    "base": WhisperDims(80, 1500, 512, 8, 6, 51865, 448, 512, 8, 6),
+    "small": WhisperDims(80, 1500, 768, 12, 12, 51865, 448, 768, 12, 12),
+    "medium": WhisperDims(80, 1500, 1024, 16, 24, 51865, 448, 1024, 16, 24),
+    "large-v2": WhisperDims(80, 1500, 1280, 20, 32, 51865, 448, 1280, 20, 32),
+    "large-v3": WhisperDims(128, 1500, 1280, 20, 32, 51866, 448, 1280, 20, 32),
+    # tiny shapes for tests/CI
+    "test": WhisperDims(80, 60, 64, 2, 2, 1024, 32, 64, 2, 2),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class SpecialTokens:
+    """Multilingual Whisper special-token ids (v2 vocab; large-v3 +1 past sot)."""
+
+    eot: int = 50257
+    sot: int = 50258
+    lang_base: int = 50259  # <|en|> = lang_base
+    translate: int = 50358
+    transcribe: int = 50359
+    no_speech: int = 50362
+    no_timestamps: int = 50363
+    timestamp_base: int = 50364
+
+    @classmethod
+    def for_dims(cls, dims: WhisperDims) -> "SpecialTokens":
+        if dims.n_vocab == 51866:  # large-v3 adds <|yue|>, shifting post-lang ids
+            return cls(
+                eot=50257, sot=50258, lang_base=50259, translate=50359,
+                transcribe=50360, no_speech=50363, no_timestamps=50364,
+                timestamp_base=50365,
+            )
+        if dims.n_vocab < 51865:  # test vocab
+            return cls(
+                eot=0, sot=1, lang_base=2, translate=3, transcribe=4,
+                no_speech=5, no_timestamps=6, timestamp_base=7,
+            )
+        return cls()
+
+
+def _stack_layers(layer_params: list[Params]) -> Params:
+    """Stack a list of per-layer param trees into arrays with leading L dim."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *layer_params)
+
+
+# -- init ------------------------------------------------------------------
+
+def _block_init(key: jax.Array, d: int, cross: bool) -> Params:
+    ks = jax.random.split(key, 3 if cross else 2)
+    p: Params = {
+        "ln1": layer_norm_init(d),
+        "attn": mha_init(ks[0], d, 1, bias=True, kv_bias=False),  # heads at apply
+        "ln2": layer_norm_init(d),
+        "mlp": mlp_init(ks[1], d, d * 4),
+        "ln_mlp": layer_norm_init(d),
+    }
+    if cross:
+        p["cross"] = mha_init(ks[2], d, 1, bias=True, kv_bias=False)
+        p["ln_cross"] = layer_norm_init(d)
+    return p
+
+
+def init_whisper(key: jax.Array, dims: WhisperDims) -> Params:
+    """Random-init parameter tree (checkpoint loading overwrites in place)."""
+    k_enc, k_dec, k_c1, k_c2, k_emb = jax.random.split(key, 5)
+    d_a, d_t = dims.n_audio_state, dims.n_text_state
+
+    enc_blocks = [
+        _block_init(k, d_a, cross=False)
+        for k in jax.random.split(k_enc, dims.n_audio_layer)
+    ]
+    dec_blocks = [
+        _block_init(k, d_t, cross=True)
+        for k in jax.random.split(k_dec, dims.n_text_layer)
+    ]
+    scale = d_a ** -0.5
+    return {
+        "encoder": {
+            "conv1": {
+                "w": jax.random.normal(k_c1, (3, dims.n_mels, d_a)) * scale,
+                "b": jnp.zeros((d_a,)),
+            },
+            "conv2": {
+                "w": jax.random.normal(k_c2, (3, d_a, d_a)) * scale,
+                "b": jnp.zeros((d_a,)),
+            },
+            "pos": jnp.asarray(sinusoid_positions(dims.n_audio_ctx, d_a)),
+            "blocks": _stack_layers(enc_blocks),
+            "ln_post": layer_norm_init(d_a),
+        },
+        "decoder": {
+            "tok_emb": embedding_init(k_emb, dims.n_vocab, d_t),
+            "pos_emb": jax.random.normal(
+                jax.random.fold_in(k_emb, 1), (dims.n_text_ctx, d_t)
+            ) * 0.01,
+            "blocks": _stack_layers(dec_blocks),
+            "ln": layer_norm_init(d_t),
+        },
+    }
+
+
+# -- encoder ---------------------------------------------------------------
+
+def _conv1d(p: Params, x: jax.Array, stride: int,
+            dtype: jnp.dtype) -> jax.Array:
+    """x: (B, T, C_in) → (B, T/stride, C_out), SAME padding, kernel 3."""
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype),
+        p["w"].astype(dtype),
+        window_strides=(stride,),
+        padding="SAME",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32,
+    )
+    return (y + p["b"]).astype(dtype)
+
+
+def encode(
+    params: Params, dims: WhisperDims, mel: jax.Array,
+    dtype: jnp.dtype = jnp.bfloat16,
+) -> jax.Array:
+    """mel (B, n_mels, 2*n_audio_ctx) → encoder states (B, n_audio_ctx, d)."""
+    enc = params["encoder"]
+    x = mel.transpose(0, 2, 1)  # (B, T, n_mels)
+    x = jax.nn.gelu(_conv1d(enc["conv1"], x, 1, dtype))
+    x = jax.nn.gelu(_conv1d(enc["conv2"], x, 2, dtype))
+    x = x + enc["pos"].astype(dtype)
+
+    n_heads = dims.n_audio_head
+
+    def block(x, p):
+        h, _ = mha(p["attn"], layer_norm(p["ln1"], x), n_heads, dtype=dtype)
+        x = x + h
+        x = x + mlp(p["mlp"], layer_norm(p["ln_mlp"], x), dtype)
+        return x, None
+
+    x, _ = jax.lax.scan(block, x, enc["blocks"])
+    return layer_norm(enc["ln_post"], x)
+
+
+# -- decoder ---------------------------------------------------------------
+
+def precompute_cross_kv(
+    params: Params, dims: WhisperDims, enc: jax.Array,
+    dtype: jnp.dtype = jnp.bfloat16,
+) -> tuple[jax.Array, jax.Array]:
+    """Per-layer cross K/V from encoder states: (L, B, H, Ta, D) each."""
+    head_dim = dims.n_text_state // dims.n_text_head
+    B, Ta, _ = enc.shape
+
+    def per_layer(p):
+        k = linear(p["cross"]["k"], enc, dtype)
+        v = linear(p["cross"]["v"], enc, dtype)
+        k = k.reshape(B, Ta, dims.n_text_head, head_dim).transpose(0, 2, 1, 3)
+        v = v.reshape(B, Ta, dims.n_text_head, head_dim).transpose(0, 2, 1, 3)
+        return k, v
+
+    return jax.vmap(per_layer)(params["decoder"]["blocks"])
+
+
+def decoder_forward(
+    params: Params,
+    dims: WhisperDims,
+    tokens: jax.Array,  # (B, T) int32
+    cross_kv: tuple[jax.Array, jax.Array],
+    pos_offset: jax.Array | int = 0,
+    self_cache: tuple[jax.Array, jax.Array] | None = None,  # (L,B,H,Tc,D)
+    dtype: jnp.dtype = jnp.bfloat16,
+    collect_cross_weights: bool = False,
+) -> tuple[jax.Array, tuple[jax.Array, jax.Array] | None, jax.Array | None]:
+    """Decoder pass (teacher-forced when T>1, incremental when cached).
+
+    Returns (logits (B,T,vocab), updated self_cache, cross_weights or None
+    with shape (L, B, H, T, Ta)).
+    """
+    dec = params["decoder"]
+    B, T = tokens.shape
+    n_heads = dims.n_text_head
+
+    x = dec["tok_emb"]["table"].astype(dtype)[tokens]
+    pos = jax.lax.dynamic_slice_in_dim(dec["pos_emb"], pos_offset, T, axis=0)
+    x = x + pos.astype(dtype)
+
+    if self_cache is not None:
+        Tc = self_cache[0].shape[3]
+        self_mask = make_causal_mask(T, Tc, offset=pos_offset)
+        # also mask not-yet-written cache slots ≥ pos_offset+T
+        written = jnp.arange(Tc)[None, :] < pos_offset + T
+        self_mask = self_mask & written
+    else:
+        self_mask = make_causal_mask(T, T)
+
+    ck, cv = cross_kv
+
+    def block(carry, layer):
+        x = carry
+        p, layer_ck, layer_cv, layer_sk, layer_sv = layer
+        cache = (layer_sk, layer_sv) if self_cache is not None else None
+        h, new_cache = mha(
+            p["attn"], layer_norm(p["ln1"], x), n_heads,
+            mask=self_mask, cache=cache,
+            cache_index=pos_offset if cache is not None else None,
+            dtype=dtype,
+        )
+        x = x + h
+        if collect_cross_weights:
+            h, w = _cross_with_kv(p, x, layer_ck, layer_cv, n_heads, dtype, True)
+        else:
+            h = _cross_with_kv(p, x, layer_ck, layer_cv, n_heads, dtype, False)
+            w = jnp.zeros((1,), jnp.float32)  # scan needs a consistent pytree
+        x = x + h
+        x = x + mlp(p["mlp"], layer_norm(p["ln_mlp"], x), dtype)
+        out_cache = new_cache if new_cache is not None else (layer_sk, layer_sv)
+        return x, (out_cache[0], out_cache[1], w)
+
+    if self_cache is not None:
+        sk, sv = self_cache
+    else:
+        L = ck.shape[0]
+        head_dim = dims.n_text_state // n_heads
+        sk = jnp.zeros((L, B, n_heads, 1, head_dim), dtype)
+        sv = sk
+    x, (new_sk, new_sv, cross_w) = jax.lax.scan(
+        block, x, (dec["blocks"], ck, cv, sk, sv)
+    )
+    x = layer_norm(dec["ln"], x)
+    logits = jnp.dot(
+        x, dec["tok_emb"]["table"].astype(dtype).T,
+        preferred_element_type=jnp.float32,
+    )
+    new_cache = (new_sk, new_sv) if self_cache is not None else None
+    return logits, new_cache, (cross_w if collect_cross_weights else None)
+
+
+def _cross_with_kv(
+    p: Params, x: jax.Array, k: jax.Array, v: jax.Array, n_heads: int,
+    dtype: jnp.dtype, return_weights: bool,
+):
+    """Cross-attention against precomputed K/V (B, H, Ta, D)."""
+    B, T, d_model = x.shape
+    head_dim = d_model // n_heads
+    xn = layer_norm(p["ln_cross"], x)
+    q = linear(p["cross"]["q"], xn, dtype).reshape(B, T, n_heads, head_dim)
+    q = q.transpose(0, 2, 1, 3)
+    scale = head_dim ** -0.5
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k.astype(dtype),
+                        preferred_element_type=jnp.float32)
+    probs32 = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs32.astype(dtype), v.astype(dtype),
+                     preferred_element_type=jnp.float32).astype(dtype)
+    out = out.transpose(0, 2, 1, 3).reshape(B, T, d_model)
+    out = linear(p["cross"]["o"], out, dtype)
+    if return_weights:
+        return out, probs32
+    return out
+
+
+# -- greedy decode ---------------------------------------------------------
+
+def greedy_decode(
+    params: Params,
+    dims: WhisperDims,
+    enc: jax.Array,  # (B, Ta, d)
+    prompt: jax.Array,  # (B, P) int32 SOT sequence
+    max_new_tokens: int,
+    eot: int,
+    suppress_blank: bool = False,
+    dtype: jnp.dtype = jnp.bfloat16,
+) -> jax.Array:
+    """Batched greedy decode with static KV cache; returns (B, P+max_new).
+
+    Positions past EOT are filled with ``eot``.
+    """
+    B, P = prompt.shape
+    L = dims.n_text_layer
+    H = dims.n_text_head
+    head_dim = dims.n_text_state // H
+    total = P + max_new_tokens
+    cache_len = min(dims.n_text_ctx, total)
+
+    cross_kv = precompute_cross_kv(params, dims, enc, dtype)
+
+    sk = jnp.zeros((L, B, H, cache_len, head_dim), dtype)
+    sv = jnp.zeros((L, B, H, cache_len, head_dim), dtype)
+
+    # prime the cache with the prompt (teacher-forced)
+    logits, (sk, sv), _ = decoder_forward(
+        params, dims, prompt, cross_kv, pos_offset=0,
+        self_cache=(sk, sv), dtype=dtype,
+    )
+    first = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+
+    tokens = jnp.full((B, total), eot, jnp.int32)
+    tokens = tokens.at[:, :P].set(prompt)
+    tokens = tokens.at[:, P].set(first)
+    finished = first == eot
+
+    def cond(state):
+        i, _, _, _, finished = state
+        return (i < total - 1) & ~jnp.all(finished)
+
+    def body(state):
+        i, tokens, sk, sv, finished = state
+        cur = jax.lax.dynamic_slice(tokens, (0, i), (B, 1))
+        logits, (sk, sv), _ = decoder_forward(
+            params, dims, cur, cross_kv, pos_offset=i,
+            self_cache=(sk, sv), dtype=dtype,
+        )
+        nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        nxt = jnp.where(finished, eot, nxt)
+        tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, i + 1))
+        finished = finished | (nxt == eot)
+        return i + 1, tokens, sk, sv, finished
+
+    _, tokens, _, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(P), tokens, sk, sv, finished)
+    )
+    return tokens

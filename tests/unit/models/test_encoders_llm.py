@@ -1,0 +1,176 @@
+"""Tests for BERT backbone, BGE-M3 heads, cross-encoder, LLM, speaker nets
+(tiny presets, fp32 on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audio_rag_tpu.models.bert import BERT_PRESETS, bert_encode, init_bert
+from audio_rag_tpu.models.bgem3 import bgem3_forward, init_bgem3
+from audio_rag_tpu.models.cross_encoder import (
+    cross_encoder_forward,
+    init_cross_encoder,
+)
+from audio_rag_tpu.models.llm import (
+    LLM_PRESETS,
+    init_llm,
+    llm_forward,
+    llm_generate,
+)
+from audio_rag_tpu.models.speaker import (
+    SPEAKER_PRESETS,
+    init_speaker_encoder,
+    init_vad,
+    speaker_embed,
+    vad_scores,
+)
+
+BD = BERT_PRESETS["test"]
+LD = LLM_PRESETS["test"]
+SD = SPEAKER_PRESETS["test"]
+
+
+class TestBert:
+    def test_shapes_and_mask(self):
+        p = init_bert(jax.random.PRNGKey(0), BD)
+        tok = jnp.array([[5, 6, 7, BD.pad_id], [8, 9, BD.pad_id, BD.pad_id]])
+        h = bert_encode(p, BD, tok, dtype=jnp.float32)
+        assert h.shape == (2, 4, BD.d_model)
+
+    def test_padding_invariance(self):
+        """Extra padding must not change real-token states."""
+        p = init_bert(jax.random.PRNGKey(0), BD)
+        short = jnp.array([[5, 6, 7]])
+        long = jnp.array([[5, 6, 7, BD.pad_id, BD.pad_id]])
+        h1 = bert_encode(p, BD, short, dtype=jnp.float32)
+        h2 = bert_encode(p, BD, long, dtype=jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(h1[0, :3]), np.asarray(h2[0, :3]), atol=1e-5
+        )
+
+
+class TestBGEM3:
+    def test_outputs(self):
+        p = init_bgem3(jax.random.PRNGKey(1), BD)
+        tok = jnp.array([[1, 5, 6, 2, 0, 0]])
+        mask = jnp.array([[1, 1, 1, 1, 0, 0]])
+        dense, w = bgem3_forward(p, BD, tok, mask, dtype=jnp.float32)
+        assert dense.shape == (1, BD.d_model)
+        np.testing.assert_allclose(
+            float(jnp.linalg.norm(dense[0])), 1.0, atol=1e-5
+        )
+        assert w.shape == (1, 6)
+        assert (np.asarray(w) >= 0).all()
+        assert np.asarray(w)[0, 4:].sum() == 0  # padding weights are zero
+
+
+class TestCrossEncoder:
+    def test_scores(self):
+        p = init_cross_encoder(jax.random.PRNGKey(2), BD)
+        tok = jnp.array([[1, 5, 6, 2], [1, 7, 8, 2]])
+        mask = jnp.ones_like(tok)
+        s = cross_encoder_forward(p, BD, tok, mask, dtype=jnp.float32)
+        assert s.shape == (2,)
+        assert np.isfinite(np.asarray(s)).all()
+
+
+class TestLLM:
+    @pytest.fixture(scope="class")
+    def params(self):
+        return init_llm(jax.random.PRNGKey(3), LD)
+
+    def test_forward_shapes(self, params):
+        tok = jnp.array([[1, 2, 3, 4]])
+        logits, cache = llm_forward(params, LD, tok, dtype=jnp.float32)
+        assert logits.shape == (1, 4, LD.vocab)
+        assert cache is None
+
+    def test_incremental_matches_full(self, params):
+        tok = jnp.array([[7, 11, 13, 17]])
+        full, _ = llm_forward(params, LD, tok, dtype=jnp.float32)
+        hd = LD.d_model // LD.n_heads
+        lk = jnp.zeros((LD.n_layers, 1, LD.n_kv_heads, 4, hd), jnp.float32)
+        cache = (lk, jnp.zeros_like(lk))
+        outs = []
+        for i in range(4):
+            lg, cache = llm_forward(
+                params, LD, tok[:, i : i + 1], i, cache, jnp.float32
+            )
+            outs.append(np.asarray(lg[0, 0]))
+        np.testing.assert_allclose(
+            np.stack(outs), np.asarray(full[0]), atol=2e-4, rtol=1e-4
+        )
+
+    def test_greedy_generate_deterministic(self, params):
+        prompt = jnp.array([[1, 2, 3]], jnp.int32)
+        o1 = llm_generate(params, LD, prompt, 5, eos_id=2, dtype=jnp.float32)
+        o2 = llm_generate(params, LD, prompt, 5, eos_id=2, dtype=jnp.float32)
+        assert o1.shape == (1, 8)
+        np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+    def test_sampling_respects_temperature(self, params):
+        prompt = jnp.array([[1, 2, 3]], jnp.int32)
+        a = llm_generate(params, LD, prompt, 8, eos_id=2, temperature=1.0,
+                         rng=jax.random.PRNGKey(0), dtype=jnp.float32)
+        b = llm_generate(params, LD, prompt, 8, eos_id=2, temperature=1.0,
+                         rng=jax.random.PRNGKey(1), dtype=jnp.float32)
+        # different RNG keys should (overwhelmingly) differ
+        assert not np.array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestSpeaker:
+    def test_embed_normalized(self):
+        p = init_speaker_encoder(jax.random.PRNGKey(4), SD)
+        mel = jnp.asarray(
+            np.random.default_rng(0).standard_normal((3, SD.n_mels, 50)),
+            jnp.float32,
+        )
+        e = speaker_embed(p, SD, mel, dtype=jnp.float32)
+        assert e.shape == (3, SD.emb_dim)
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(e), axis=1), 1.0, atol=1e-5
+        )
+
+    def test_vad_probability_range(self):
+        p = init_vad(jax.random.PRNGKey(5), n_mels=SD.n_mels, channels=16)
+        mel = jnp.asarray(
+            np.random.default_rng(1).standard_normal((2, SD.n_mels, 40)),
+            jnp.float32,
+        )
+        s = vad_scores(p, mel, dtype=jnp.float32)
+        assert s.shape == (2, 40)
+        assert (np.asarray(s) >= 0).all() and (np.asarray(s) <= 1).all()
+
+
+class TestTokenizer:
+    def test_hash_tokenizer_deterministic(self):
+        from audio_rag_tpu.text.tokenizer import HashWordTokenizer
+
+        t1 = HashWordTokenizer()
+        t2 = HashWordTokenizer()
+        ids1 = t1.encode("Gradient descent converges")
+        ids2 = t2.encode("gradient DESCENT converges!")
+        assert ids1 == ids2  # case/punct-insensitive, cross-instance stable
+        assert ids1[0] == t1.cls_id and ids1[-1] == t1.sep_id
+
+    def test_decode_roundtrip(self):
+        from audio_rag_tpu.text.tokenizer import HashWordTokenizer
+
+        t = HashWordTokenizer()
+        ids = t.encode("hello world")
+        assert t.decode(ids) == "hello world"
+
+    def test_encode_pair_truncates(self):
+        from audio_rag_tpu.text.tokenizer import HashWordTokenizer
+
+        t = HashWordTokenizer()
+        ids = t.encode_pair("q", "long " * 100, max_len=16)
+        assert len(ids) <= 16
+
+    def test_pad_batch(self):
+        from audio_rag_tpu.text.tokenizer import pad_batch
+
+        out, mask = pad_batch([[1, 2], [3]], 4, 0)
+        assert out.tolist() == [[1, 2, 0, 0], [3, 0, 0, 0]]
+        assert mask.tolist() == [[1, 1, 0, 0], [1, 0, 0, 0]]
