@@ -1,0 +1,47 @@
+"""Model checkpoint save/restore (orbax-backed, local filesystem only).
+
+The reference downloads weights from HuggingFace at load time
+(``asr/whisper.py:55-62`` etc.); this build is zero-egress, so backends call
+:func:`restore_params` with a local directory and fall back to random init
+when absent. Converters from HF torch checkpoints live beside each model's
+loader and run offline.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any
+
+from audio_rag_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+__all__ = ["save_params", "restore_params"]
+
+
+def _ckpt_dir(path: str | Path, name: str) -> Path:
+    return Path(path).expanduser().resolve() / name
+
+
+def save_params(path: str | Path, name: str, params: Any) -> None:
+    """Persist a param pytree under ``{path}/{name}``."""
+    import orbax.checkpoint as ocp
+
+    d = _ckpt_dir(path, name)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(d, params, force=True)
+
+
+def restore_params(path: str | Path, name: str) -> Any | None:
+    """Restore a param pytree from ``{path}/{name}``; None when missing."""
+    import orbax.checkpoint as ocp
+
+    d = _ckpt_dir(path, name)
+    if not d.exists():
+        return None
+    try:
+        with ocp.StandardCheckpointer() as ckptr:
+            return ckptr.restore(d)
+    except Exception as exc:
+        log.warning("checkpoint restore failed at %s: %s", d, exc)
+        return None

@@ -1,0 +1,101 @@
+"""Contextual retrieval: LLM-generated chunk headers.
+
+Parity surface: reference ``contextual/processor.py:30-207`` (Anthropic-style
+contextual retrieval): for each chunk, prompt the LLM with the chunk plus
+±window_size neighbour texts (truncated to 200 chars each) and prepend the
+returned 1-2 sentence situating context as ``[Context: ...]\\n``; the
+original text is preserved in metadata.
+
+Perf note: this is the reference's slowest ingest stage (~10 min/audio-hour,
+SURVEY.md hot loop #4) because it makes one serial Ollama HTTP call per
+chunk. Here chunks are processed through the on-mesh generator; the API is
+batch-shaped so the continuous-batching scheduler can overlap decodes.
+"""
+
+from __future__ import annotations
+
+from audio_rag_tpu.config.schema import ContextualConfig
+from audio_rag_tpu.core.base import BaseGenerator
+from audio_rag_tpu.core.types import AudioChunk
+from audio_rag_tpu.utils.decorators import timed
+from audio_rag_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+__all__ = ["ContextualProcessor", "CONTEXT_PROMPT"]
+
+CONTEXT_PROMPT = (
+    "You are indexing a transcript for search. Given a chunk and its "
+    "surrounding context, write 1-2 sentences situating the chunk in the "
+    "overall recording (topic, what is being discussed). Reply with the "
+    "situating sentences only.\n\n"
+    "Surrounding context:\n{context}\n\n"
+    "Chunk ({speaker} at {start:.0f}s-{end:.0f}s):\n{chunk}\n\n"
+    "Situating context:"
+)
+
+NEIGHBOR_TRUNCATE = 200  # chars per neighbour, reference processor.py:96
+
+
+class ContextualProcessor:
+    def __init__(
+        self,
+        config: ContextualConfig | None = None,
+        generator: BaseGenerator | None = None,
+    ):
+        self.config = config or ContextualConfig()
+        self.generator = generator
+
+    def generate_context(
+        self, chunk: AudioChunk, neighbors: list[AudioChunk]
+    ) -> str | None:
+        if self.generator is None:
+            return None
+        ctx = "\n".join(
+            f"- {n.text[:NEIGHBOR_TRUNCATE]}" for n in neighbors
+        ) or "(none)"
+        prompt = CONTEXT_PROMPT.format(
+            context=ctx,
+            speaker=chunk.speaker or "unknown",
+            start=chunk.start,
+            end=chunk.end,
+            chunk=chunk.text,
+        )
+        try:
+            out = self.generator.generate(prompt, max_tokens=96,
+                                          temperature=0.3)
+            return out.strip() or None
+        except Exception as exc:
+            log.warning("contextual header failed for %s: %s",
+                        chunk.chunk_id, exc)
+            return None
+
+    @timed
+    def process_chunks(self, chunks: list[AudioChunk]) -> list[AudioChunk]:
+        """Prepend ``[Context: ...]`` headers; original text kept in
+        metadata['original_text'] (reference processor.py:133-201)."""
+        if not self.config.enabled or self.generator is None:
+            return chunks
+        w = self.config.window_size
+        out: list[AudioChunk] = []
+        for i, chunk in enumerate(chunks):
+            neighbors = [
+                chunks[j]
+                for j in range(max(0, i - w), min(len(chunks), i + w + 1))
+                if j != i
+            ]
+            header = self.generate_context(chunk, neighbors)
+            if header:
+                new = AudioChunk(
+                    text=f"[Context: {header}]\n{chunk.text}",
+                    start=chunk.start,
+                    end=chunk.end,
+                    speaker=chunk.speaker,
+                    chunk_id=chunk.chunk_id,
+                    metadata={**chunk.metadata, "original_text": chunk.text,
+                              "contextualized": True},
+                )
+                out.append(new)
+            else:
+                out.append(chunk)
+        return out

@@ -1,0 +1,17 @@
+"""Generator registry + factory (``None`` for backend "none", as the
+reference's ``generation/base.py:37-61`` contract)."""
+
+from audio_rag_tpu.config.schema import GenerationConfig
+from audio_rag_tpu.core.base import BaseGenerator
+from audio_rag_tpu.core.registry import Registry
+
+GeneratorRegistry: Registry[BaseGenerator] = Registry("generation")
+
+
+def create_generator(config: GenerationConfig) -> BaseGenerator | None:
+    if config.backend == "none":
+        return None
+    return GeneratorRegistry.create(config.backend, config)
+
+
+__all__ = ["GeneratorRegistry", "create_generator"]

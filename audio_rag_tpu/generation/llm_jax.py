@@ -1,0 +1,131 @@
+"""On-mesh LLM generator backend.
+
+Parity surface: reference ``generation/ollama.py:16-146`` (OllamaGenerator:
+generate / generate_stream / check_availability with fallback models) — but
+the model runs in-process on the TPU mesh instead of over HTTP to an Ollama
+server, with tensor-parallel param sharding when the mesh has a model axis.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio_rag_tpu.config.schema import GenerationConfig
+from audio_rag_tpu.core.base import BaseGenerator
+from audio_rag_tpu.core.exceptions import GenerationError
+from audio_rag_tpu.engine.engine import get_engine
+from audio_rag_tpu.generation.base import GeneratorRegistry
+from audio_rag_tpu.models.llm import (
+    LLM_PRESETS,
+    LLMDims,
+    init_llm,
+    llm_generate,
+    llm_param_spec,
+)
+from audio_rag_tpu.resources.manager import get_resource_manager
+from audio_rag_tpu.text.tokenizer import get_tokenizer
+from audio_rag_tpu.utils.decorators import timed
+
+__all__ = ["LLMGenerator"]
+
+HBM_BY_MODEL = {"llama-3.2-1b": 3.0, "llama-3.2-3b": 7.0, "test": 0.05}
+
+
+@GeneratorRegistry.register("llm-jax")
+class LLMGenerator(BaseGenerator):
+    def __init__(self, config: GenerationConfig | None = None):
+        super().__init__()
+        self.config = config or GenerationConfig()
+        name = self.config.model if self.config.model in LLM_PRESETS \
+            else "llama-3.2-3b"
+        self.dims: LLMDims = LLM_PRESETS[name]
+        self.hbm_required_gb = HBM_BY_MODEL.get(name, 7.0)
+        self._params = None
+        self._tok = None
+
+    def _load(self) -> None:
+        engine = self._engine or get_engine()
+        self._engine = engine
+        rm = get_resource_manager()
+        rm.ensure_hbm(self.hbm_required_gb, for_model="generation")
+        params = None
+        if self.config.checkpoint_path:
+            from audio_rag_tpu.checkpoint import restore_params
+
+            params = restore_params(self.config.checkpoint_path, "llm")
+        if params is None:
+            params = init_llm(jax.random.PRNGKey(0), self.dims)
+        # tensor-parallel placement when the mesh has a model axis
+        spec = llm_param_spec(self.dims) if (
+            "model" in engine.mesh.axis_names
+            and engine.mesh.shape["model"] > 1
+        ) else None
+        self._params = engine.put_params("llm", params, spec)
+        self._tok = get_tokenizer(self.config.checkpoint_path,
+                                  vocab_size=self.dims.vocab)
+        rm.register_model("generation", self.hbm_required_gb, self)
+
+    def _unload(self) -> None:
+        if self._engine is not None:
+            self._engine.drop_params("llm")
+        self._params = None
+        get_resource_manager().unregister("generation")
+
+    def check_availability(self) -> bool:
+        return self._params is not None
+
+    @timed
+    def generate(
+        self,
+        prompt: str,
+        system: str | None = None,
+        max_tokens: int | None = None,
+        temperature: float | None = None,
+    ) -> str:
+        self.require_loaded()
+        text = f"{system}\n\n{prompt}" if system else prompt
+        ids = self._tok.encode(text)[-(self.dims.max_len - 8):]
+        max_new = min(
+            max_tokens or self.config.max_tokens,
+            self.dims.max_len - len(ids) - 1,
+        )
+        if max_new <= 0:
+            raise GenerationError(
+                "prompt exhausts the context window",
+                context={"prompt_tokens": len(ids),
+                         "max_len": self.dims.max_len},
+            )
+        temp = self.config.temperature if temperature is None else temperature
+        out = llm_generate(
+            self._params, self.dims,
+            jnp.asarray(np.array([ids], np.int32)),
+            max_new, eos_id=self._tok.eos_id, temperature=temp,
+            rng=jax.random.PRNGKey(abs(hash(text)) % (2 ** 31)),
+        )
+        gen = np.asarray(out)[0, len(ids):]
+        eos = np.nonzero(gen == self._tok.eos_id)[0]
+        if eos.size:
+            gen = gen[: eos[0]]
+        return self._tok.decode(gen.tolist()).strip()
+
+    def generate_stream(
+        self,
+        prompt: str,
+        system: str | None = None,
+        max_tokens: int | None = None,
+        temperature: float | None = None,
+    ) -> Iterable[str]:
+        """Chunked streaming: yields word groups of the finished completion.
+
+        (True token-level streaming lands with the continuous-batching
+        scheduler; the API contract — an iterator of text deltas — matches
+        the reference's NDJSON streaming at ``generation/ollama.py:98-130``.)
+        """
+        text = self.generate(prompt, system, max_tokens, temperature)
+        words = text.split()
+        for i in range(0, len(words), 8):
+            yield " ".join(words[i: i + 8]) + " "

@@ -94,10 +94,12 @@ class SpecialTokens:
                 transcribe=50360, no_speech=50363, no_timestamps=50364,
                 timestamp_base=50365,
             )
-        if dims.n_vocab < 51865:  # test vocab
+        if dims.n_vocab < 51865:  # test vocab: specials at the top, like real
+            v = dims.n_vocab
             return cls(
-                eot=0, sot=1, lang_base=2, translate=3, transcribe=4,
-                no_speech=5, no_timestamps=6, timestamp_base=7,
+                eot=v - 8, sot=v - 7, lang_base=v - 6, translate=v - 5,
+                transcribe=v - 4, no_speech=v - 3, no_timestamps=v - 2,
+                timestamp_base=v - 1,
             )
         return cls()
 

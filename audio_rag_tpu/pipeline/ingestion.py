@@ -1,0 +1,267 @@
+"""Ingestion pipeline: audio → transcript → chunks → embeddings → store.
+
+Parity surface: reference ``pipeline/ingestion.py:21-213`` — the 6-step
+ingest (transcribe → diarize → align → chunk → contextualize → embed+store)
+with lazy component properties, per-step resource budgeting, and source
+metadata stamping on every chunk.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Callable
+
+import numpy as np
+
+from audio_rag_tpu.alignment.aligner import (
+    align_words_to_speakers,
+    build_speaker_transcript,
+)
+from audio_rag_tpu.asr.base import ASRRegistry
+from audio_rag_tpu.chunking.base import ChunkingRegistry
+from audio_rag_tpu.config.schema import AudioRAGConfig
+from audio_rag_tpu.contextual.processor import ContextualProcessor
+from audio_rag_tpu.core.types import AudioChunk, TranscriptSegment
+from audio_rag_tpu.diarization.base import DiarizationRegistry
+from audio_rag_tpu.embeddings.base import EmbeddingsRegistry
+from audio_rag_tpu.generation.base import create_generator
+from audio_rag_tpu.retrieval.base import RetrievalRegistry
+from audio_rag_tpu.utils.decorators import timed
+from audio_rag_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+__all__ = ["IngestionPipeline", "IngestionResult"]
+
+
+@dataclass
+class IngestionResult:
+    source: str
+    collection: str
+    num_segments: int
+    num_chunks: int
+    num_speakers: int
+    duration_s: float
+    elapsed_s: float
+    stage_timings: dict[str, float] = field(default_factory=dict)
+
+    def to_dict(self) -> dict[str, Any]:
+        return {
+            "source": self.source,
+            "collection": self.collection,
+            "num_segments": self.num_segments,
+            "num_chunks": self.num_chunks,
+            "num_speakers": self.num_speakers,
+            "duration_s": self.duration_s,
+            "elapsed_s": self.elapsed_s,
+            "stage_timings": self.stage_timings,
+        }
+
+
+class IngestionPipeline:
+    """Lazily builds components from registries (reference ingestion.py:45-90)."""
+
+    def __init__(
+        self,
+        config: AudioRAGConfig,
+        embedder=None,
+        retriever=None,
+        generator=None,
+        progress_callback: Callable[[str, float], None] | None = None,
+    ):
+        self.config = config
+        self._asr = None
+        self._diarizer = None
+        self._chunker = None
+        self._embedder = embedder
+        self._retriever = retriever
+        self._generator = generator
+        self._contextual = None
+        self.progress_callback = progress_callback
+
+    # -- lazy components ---------------------------------------------------
+    @property
+    def asr(self):
+        if self._asr is None:
+            self._asr = ASRRegistry.create(self.config.asr.backend,
+                                           self.config.asr)
+        if not self._asr.is_loaded:
+            self._asr.load()
+        return self._asr
+
+    @property
+    def diarizer(self):
+        if self._diarizer is None:
+            self._diarizer = DiarizationRegistry.create(
+                self.config.diarization.backend, self.config.diarization
+            )
+        if not self._diarizer.is_loaded:
+            self._diarizer.load()
+        return self._diarizer
+
+    @property
+    def chunker(self):
+        if self._chunker is None:
+            self._chunker = ChunkingRegistry.create(
+                self.config.chunking.strategy, self.config.chunking
+            )
+        return self._chunker
+
+    @property
+    def embedder(self):
+        if self._embedder is None:
+            self._embedder = EmbeddingsRegistry.create(
+                self.config.embedding.backend, self.config.embedding
+            )
+        if not self._embedder.is_loaded:
+            self._embedder.load()
+        return self._embedder
+
+    @property
+    def retriever(self):
+        if self._retriever is None:
+            self._retriever = RetrievalRegistry.create(
+                self.config.retrieval.backend, self.config.retrieval
+            )
+        return self._retriever
+
+    @property
+    def contextual(self):
+        if self._contextual is None:
+            generator = self._generator
+            if generator is None and self.config.contextual.enabled:
+                generator = create_generator(self.config.generation)
+                if generator is not None and not generator.is_loaded:
+                    generator.load()
+                self._generator = generator
+            self._contextual = ContextualProcessor(
+                self.config.contextual, generator
+            )
+        return self._contextual
+
+    def _progress(self, stage: str, frac: float) -> None:
+        if self.progress_callback:
+            try:
+                self.progress_callback(stage, frac)
+            except Exception:
+                pass
+
+    # -- main entry --------------------------------------------------------
+    @timed
+    def ingest(
+        self,
+        audio: str | Path | np.ndarray,
+        sample_rate: int | None = None,
+        collection: str | None = None,
+        diarize: bool = True,
+        metadata: dict[str, Any] | None = None,
+    ) -> IngestionResult:
+        t_start = time.perf_counter()
+        timings: dict[str, float] = {}
+        source = str(audio) if not isinstance(audio, np.ndarray) else "<array>"
+        collection = collection or self.config.retrieval.collection_name
+
+        def clock(name: str, t0: float) -> float:
+            timings[name] = round(time.perf_counter() - t0, 3)
+            return time.perf_counter()
+
+        # 1. transcribe (words needed for alignment)
+        self._progress("transcribing", 0.0)
+        t0 = time.perf_counter()
+        segments = self.asr.transcribe_with_words(audio, sample_rate)
+        t0 = clock("transcribe", t0)
+        if not segments:
+            return IngestionResult(
+                source=source, collection=collection, num_segments=0,
+                num_chunks=0, num_speakers=0, duration_s=0.0,
+                elapsed_s=round(time.perf_counter() - t_start, 3),
+                stage_timings=timings,
+            )
+        duration = max(s.end for s in segments)
+
+        # 2-3. diarize + align
+        if diarize:
+            self._progress("diarizing", 0.2)
+            diar = self.diarizer.diarize(audio, sample_rate)
+            t0 = clock("diarize", t0)
+            self._progress("aligning", 0.4)
+            words = [w for s in segments for w in s.words]
+            aligned = align_words_to_speakers(
+                words, diar, self.config.alignment.tolerance_s
+            )
+            segments = build_speaker_transcript(aligned)
+            t0 = clock("align", t0)
+
+        # 4. chunk
+        self._progress("chunking", 0.5)
+        chunks = self.chunker.chunk(segments)
+        t0 = clock("chunk", t0)
+
+        # 5. contextual headers (optional)
+        if self.config.contextual.enabled:
+            self._progress("contextualizing", 0.6)
+            chunks = self.contextual.process_chunks(chunks)
+            t0 = clock("contextualize", t0)
+
+        # stamp source metadata (reference ingestion.py:150-159)
+        meta = {"source": source, **(metadata or {})}
+        for c in chunks:
+            c.metadata.update(meta)
+
+        # 6. embed + store
+        self._progress("embedding", 0.7)
+        embeddings = self.embedder.embed([c.text for c in chunks])
+        t0 = clock("embed", t0)
+        self._progress("indexing", 0.9)
+        self.retriever.add(chunks, embeddings, collection)
+        clock("index", t0)
+        self._progress("done", 1.0)
+
+        speakers = {s.speaker for s in segments if s.speaker}
+        return IngestionResult(
+            source=source,
+            collection=collection,
+            num_segments=len(segments),
+            num_chunks=len(chunks),
+            num_speakers=len(speakers),
+            duration_s=round(duration, 3),
+            elapsed_s=round(time.perf_counter() - t_start, 3),
+            stage_timings=timings,
+        )
+
+    def ingest_batch(
+        self,
+        audios: list[str | Path],
+        collection: str | None = None,
+        **kw: Any,
+    ) -> list[IngestionResult]:
+        return [self.ingest(a, collection=collection, **kw) for a in audios]
+
+    # transcript-only ingest for pre-transcribed corpora (eval harness)
+    def ingest_segments(
+        self,
+        segments: list[TranscriptSegment],
+        collection: str | None = None,
+        metadata: dict[str, Any] | None = None,
+        source: str = "<segments>",
+    ) -> IngestionResult:
+        t_start = time.perf_counter()
+        collection = collection or self.config.retrieval.collection_name
+        chunks = self.chunker.chunk(segments)
+        if self.config.contextual.enabled:
+            chunks = self.contextual.process_chunks(chunks)
+        meta = {"source": source, **(metadata or {})}
+        for c in chunks:
+            c.metadata.update(meta)
+        embeddings = self.embedder.embed([c.text for c in chunks])
+        self.retriever.add(chunks, embeddings, collection)
+        speakers = {s.speaker for s in segments if s.speaker}
+        return IngestionResult(
+            source=source, collection=collection,
+            num_segments=len(segments), num_chunks=len(chunks),
+            num_speakers=len(speakers),
+            duration_s=round(max((s.end for s in segments), default=0.0), 3),
+            elapsed_s=round(time.perf_counter() - t_start, 3),
+        )

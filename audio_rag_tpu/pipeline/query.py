@@ -1,0 +1,266 @@
+"""Query pipeline: embed → retrieve → rerank → (generate) → (speak).
+
+Parity surface: reference ``pipeline/query.py:20-264`` — optional HyDE, embed
+query, retrieve ``initial_k``(=20) when reranking else ``top_k``, rerank with
+the ORIGINAL query (not the HyDE passage), speaker/time-formatted raw
+response, optional LLM answer, optional TTS; ``get_context_for_llm`` emits
+the XML-ish context block.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from audio_rag_tpu.config.schema import AudioRAGConfig
+from audio_rag_tpu.core.types import RetrievalResult
+from audio_rag_tpu.embeddings.base import EmbeddingsRegistry
+from audio_rag_tpu.expansion.hyde import HyDEExpander
+from audio_rag_tpu.generation.base import create_generator
+from audio_rag_tpu.generation.prompts import (
+    SYSTEM_PROMPT,
+    build_rag_prompt,
+    format_timestamp,
+)
+from audio_rag_tpu.reranking.base import create_reranker
+from audio_rag_tpu.retrieval.base import RetrievalRegistry
+from audio_rag_tpu.tts.base import create_tts
+from audio_rag_tpu.utils.decorators import timed
+from audio_rag_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+__all__ = ["QueryPipeline", "QueryResult"]
+
+
+@dataclass
+class QueryResult:
+    query: str
+    results: list[RetrievalResult]
+    response: str
+    answer: str | None = None
+    audio: bytes | None = None
+    expanded_query: str | None = None
+    elapsed_s: float = 0.0
+    stage_timings: dict[str, float] = field(default_factory=dict)
+
+    def to_dict(self) -> dict[str, Any]:
+        return {
+            "query": self.query,
+            "results": [r.to_dict() for r in self.results],
+            "response": self.response,
+            "answer": self.answer,
+            "expanded_query": self.expanded_query,
+            "elapsed_s": self.elapsed_s,
+            "stage_timings": self.stage_timings,
+            "has_audio": self.audio is not None,
+        }
+
+
+class QueryPipeline:
+    def __init__(
+        self,
+        config: AudioRAGConfig,
+        embedder=None,
+        retriever=None,
+        generator=None,
+    ):
+        self.config = config
+        self._embedder = embedder
+        self._retriever = retriever
+        self._reranker = None
+        self._reranker_built = False
+        self._generator = generator
+        self._generator_built = generator is not None
+        self._expander = None
+        self._tts = None
+        self._tts_built = False
+
+    # -- lazy components ---------------------------------------------------
+    @property
+    def embedder(self):
+        if self._embedder is None:
+            self._embedder = EmbeddingsRegistry.create(
+                self.config.embedding.backend, self.config.embedding
+            )
+        if not self._embedder.is_loaded:
+            self._embedder.load()
+        return self._embedder
+
+    @property
+    def retriever(self):
+        if self._retriever is None:
+            self._retriever = RetrievalRegistry.create(
+                self.config.retrieval.backend, self.config.retrieval
+            )
+        return self._retriever
+
+    @property
+    def reranker(self):
+        if not self._reranker_built:
+            self._reranker = create_reranker(self.config.reranking)
+            if self._reranker is not None and not self._reranker.is_loaded:
+                self._reranker.load()
+            self._reranker_built = True
+        return self._reranker
+
+    @property
+    def generator(self):
+        if not self._generator_built:
+            self._generator = create_generator(self.config.generation)
+            if self._generator is not None and not self._generator.is_loaded:
+                self._generator.load()
+            self._generator_built = True
+        return self._generator
+
+    @property
+    def expander(self):
+        if self._expander is None:
+            self._expander = HyDEExpander(self.config.expansion, self.generator)
+        return self._expander
+
+    @property
+    def tts(self):
+        if not self._tts_built:
+            self._tts = create_tts(self.config.tts)
+            if self._tts is not None and not self._tts.is_loaded:
+                try:
+                    self._tts.load()
+                except Exception as exc:
+                    log.warning("TTS backend failed to load: %s", exc)
+                    self._tts = None
+            self._tts_built = True
+        return self._tts
+
+    # -- main entry --------------------------------------------------------
+    @timed
+    def query(
+        self,
+        query: str,
+        top_k: int | None = None,
+        search_type: str | None = None,
+        collection: str | None = None,
+        use_hyde: bool | None = None,
+        rerank: bool | None = None,
+        generate_answer: bool = False,
+        speak_answer: bool = False,
+        metadata_filter: dict[str, Any] | None = None,
+    ) -> QueryResult:
+        t_start = time.perf_counter()
+        timings: dict[str, float] = {}
+        top_k = top_k or self.config.retrieval.top_k
+        search_type = search_type or self.config.retrieval.search_type
+        use_hyde = (
+            self.config.expansion.backend == "hyde"
+            if use_hyde is None else use_hyde
+        )
+        do_rerank = (
+            self.config.reranking.backend != "none"
+            if rerank is None else rerank
+        )
+
+        def clock(name: str, t0: float) -> float:
+            timings[name] = round(time.perf_counter() - t0, 4)
+            return time.perf_counter()
+
+        # 1. optional HyDE: embed the hypothesis instead of the query
+        t0 = time.perf_counter()
+        expanded = None
+        embed_text = query
+        if use_hyde:
+            expanded = self.expander.expand_single(query)
+            if expanded != query:
+                embed_text = expanded
+            t0 = clock("hyde", t0)
+
+        # 2. embed
+        emb = self.embedder.embed_query(embed_text)
+        t0 = clock("embed", t0)
+
+        # 3. retrieve (over-fetch when reranking, reference query.py:146-152)
+        fetch_k = self.config.reranking.initial_k if do_rerank else top_k
+        results = self.retriever.search(
+            emb, top_k=fetch_k, search_type=search_type,
+            collection=collection, metadata_filter=metadata_filter,
+        )
+        t0 = clock("search", t0)
+
+        # 4. rerank with the ORIGINAL query
+        if do_rerank and self.reranker is not None and results:
+            results = self.reranker.rerank(query, results, top_k)
+            t0 = clock("rerank", t0)
+        else:
+            results = results[:top_k]
+
+        response = self._build_response(query, results)
+
+        # 5. optional answer synthesis
+        answer = None
+        if generate_answer and results and self.generator is not None:
+            try:
+                answer = self.generator.generate(
+                    build_rag_prompt(query, results), system=SYSTEM_PROMPT
+                )
+            except Exception as exc:
+                log.warning("answer generation failed: %s", exc)
+            t0 = clock("generate", t0)
+
+        # 6. optional TTS
+        audio = None
+        if speak_answer and answer and self.tts is not None:
+            try:
+                audio = self.tts.synthesize(answer)
+            except Exception as exc:
+                log.warning("TTS failed: %s", exc)
+            clock("tts", t0)
+
+        return QueryResult(
+            query=query,
+            results=results,
+            response=response,
+            answer=answer,
+            audio=audio,
+            expanded_query=expanded,
+            elapsed_s=round(time.perf_counter() - t_start, 4),
+            stage_timings=timings,
+        )
+
+    # -- formatting --------------------------------------------------------
+    @staticmethod
+    def _build_response(query: str, results: list[RetrievalResult]) -> str:
+        """Raw retrieval response: ``[speaker at MM:SS] text`` lines
+        (reference query.py:217-226)."""
+        if not results:
+            return "No relevant content found."
+        lines = []
+        for r in results:
+            who = r.speaker or "Speaker"
+            lines.append(
+                f"[{who} at {format_timestamp(r.start)}] {r.text}"
+            )
+        return "\n\n".join(lines)
+
+    def get_context_for_llm(
+        self,
+        query: str,
+        top_k: int | None = None,
+        search_type: str | None = None,
+        collection: str | None = None,
+    ) -> str:
+        """XML-ish context block for external LLM consumers
+        (reference query.py:228-264)."""
+        res = self.query(
+            query, top_k=top_k, search_type=search_type,
+            collection=collection, generate_answer=False,
+        )
+        parts = ["<context>"]
+        for i, r in enumerate(res.results, 1):
+            parts.append(
+                f'  <excerpt id="{i}" speaker="{r.speaker or "unknown"}" '
+                f'start="{r.start:.1f}" end="{r.end:.1f}">'
+            )
+            parts.append(f"    {r.text}")
+            parts.append("  </excerpt>")
+        parts.append("</context>")
+        return "\n".join(parts)

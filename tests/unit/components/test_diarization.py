@@ -1,0 +1,75 @@
+import numpy as np
+
+from audio_rag_tpu.asr.vad import VADOptions, energy_vad, speech_segments
+from audio_rag_tpu.diarization.spectral import (
+    estimate_num_speakers,
+    spectral_cluster,
+)
+
+
+def clustered_embeddings(n_per=20, k=3, dim=16, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((k, dim)) * 4
+    X, y = [], []
+    for i in range(k):
+        pts = centers[i] + 0.2 * rng.standard_normal((n_per, dim))
+        X.append(pts)
+        y += [i] * n_per
+    X = np.concatenate(X)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    return X, np.array(y)
+
+
+class TestSpectralCluster:
+    def test_recovers_clear_clusters(self):
+        X, y = clustered_embeddings(k=3)
+        labels = spectral_cluster(X, max_speakers=8)
+        assert len(set(labels.tolist())) == 3
+        # cluster assignments must be consistent within ground-truth groups
+        for g in range(3):
+            vals = labels[y == g]
+            assert len(set(vals.tolist())) == 1
+
+    def test_fixed_num_speakers(self):
+        X, _ = clustered_embeddings(k=3)
+        labels = spectral_cluster(X, num_speakers=2)
+        assert len(set(labels.tolist())) == 2
+
+    def test_single_window(self):
+        X = np.ones((1, 8)) / np.sqrt(8)
+        assert spectral_cluster(X).tolist() == [0]
+
+    def test_empty(self):
+        assert spectral_cluster(np.zeros((0, 8))).size == 0
+
+    def test_eigengap(self):
+        # eigenvalues with an obvious gap after index 2 → 2 clusters
+        vals = np.array([0.0, 0.01, 0.9, 0.95, 1.0])
+        assert estimate_num_speakers(vals, 8) == 2
+
+
+class TestVAD:
+    def test_detects_speech_vs_silence(self):
+        sr = 16000
+        rng = np.random.default_rng(0)
+        silence = np.zeros(sr)
+        speech = 0.3 * rng.standard_normal(sr).astype(np.float32)
+        audio = np.concatenate([silence, speech, silence]).astype(np.float32)
+        spans = speech_segments(audio, sr)
+        assert len(spans) == 1
+        s, e = spans[0]
+        assert 0.8 < s < 1.2 and 1.8 < e < 2.6
+
+    def test_all_silence(self):
+        assert speech_segments(np.zeros(16000, np.float32), 16000) == []
+
+    def test_flags_length(self):
+        flags = energy_vad(np.zeros(16000, np.float32), 16000,
+                           VADOptions(frame_ms=30))
+        assert flags.size == 16000 // 480
+
+    def test_short_blips_dropped(self):
+        sr = 16000
+        audio = np.zeros(sr, np.float32)
+        audio[:800] = 0.5  # 50ms blip < min_speech_ms
+        assert speech_segments(audio, sr) == []
