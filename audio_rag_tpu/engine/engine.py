@@ -18,6 +18,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from audio_rag_tpu.config.schema import MeshConfig
 from audio_rag_tpu.parallel.mesh import create_mesh
+from audio_rag_tpu.utils.jax_cache import enable_compilation_cache
 from audio_rag_tpu.utils.logging import get_logger
 
 log = get_logger(__name__)
@@ -52,6 +53,7 @@ class InferenceEngine:
     @classmethod
     def from_config(cls, cfg: MeshConfig | None = None) -> "InferenceEngine":
         cfg = cfg or MeshConfig()
+        enable_compilation_cache()
         devices = None
         if cfg.force_host_device_count:
             devices = jax.devices("cpu")[: cfg.force_host_device_count]

@@ -1,0 +1,281 @@
+"""Ingestion worker: claims jobs from the store and runs them on the TPU.
+
+Parity surface: reference ``queue/worker.py:55-496`` (GPUWorker): graceful
+SIGTERM/SIGINT shutdown, model preload, worker registration + periodic
+heartbeats carrying device memory info, priority-ordered queue consumption,
+and ``process_ingest_job`` writing status/result records.
+
+Additions over the reference:
+* real per-stage checkpointing + resume (the reference defines
+  ``JobCheckpoint`` but restarts from scratch, ``queue/worker.py:432``);
+* cancellation observed at stage boundaries;
+* in-process mode (``run_once``) so the API can drain jobs without a
+  separate process when configured single-node.
+"""
+
+from __future__ import annotations
+
+import signal
+import socket
+import threading
+import time
+import traceback
+import uuid
+from typing import Any, Callable
+
+from audio_rag_tpu.jobqueue.config import QueueConfig
+from audio_rag_tpu.jobqueue.job import (
+    IngestJob,
+    JobCheckpoint,
+    JobResult,
+    JobStage,
+    JobStatus,
+)
+from audio_rag_tpu.jobqueue.store import JobStore
+from audio_rag_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+__all__ = ["TPUWorker", "process_ingest_job", "get_device_memory_info"]
+
+_STAGE_BY_CKPT = {
+    "aligned": JobStage.CHUNKING,
+    "chunked": JobStage.EMBEDDING,
+    "contextualized": JobStage.EMBEDDING,
+}
+
+
+def get_device_memory_info() -> dict[str, Any]:
+    """Device HBM stats for heartbeats (reference get_gpu_memory_info)."""
+    try:
+        import jax
+
+        dev = jax.devices()[0]
+        stats = dev.memory_stats() or {}
+        return {
+            "platform": dev.platform,
+            "bytes_in_use": stats.get("bytes_in_use"),
+            "bytes_limit": stats.get("bytes_limit"),
+        }
+    except Exception:
+        return {}
+
+
+def process_ingest_job(
+    job: IngestJob,
+    store: JobStore,
+    rag,
+    config: QueueConfig,
+) -> JobResult:
+    """Run one job with status/stage updates, checkpoints and resume."""
+    t0 = time.time()
+    row = store.get_job_row(job.job_id)
+    if row and row["status"] == JobStatus.CANCELLED.value:
+        result = JobResult(job_id=job.job_id, status=JobStatus.CANCELLED)
+        store.put_result(result, config.storage.result_ttl_s)
+        return result
+    store.set_status(job.job_id, JobStatus.RUNNING,
+                     stage=JobStage.VALIDATING)
+
+    ckpt = store.get_checkpoint(job.job_id)
+    resume = None
+    if ckpt is not None:
+        resume = {"stage": None, **ckpt.data}
+        resume["stage"] = ckpt.data.get("ckpt_stage")
+        log.info("job %s resuming from checkpoint %s",
+                 job.job_id, resume["stage"])
+
+    stage_map = {
+        "transcribing": JobStage.TRANSCRIBING,
+        "diarizing": JobStage.DIARIZING,
+        "aligning": JobStage.ALIGNING,
+        "chunking": JobStage.CHUNKING,
+        "contextualizing": JobStage.CONTEXTUALIZING,
+        "embedding": JobStage.EMBEDDING,
+        "indexing": JobStage.INDEXING,
+        "done": JobStage.FINALIZING,
+    }
+
+    def on_progress(stage: str, frac: float) -> None:
+        js = stage_map.get(stage)
+        if js is not None:
+            store.set_stage(job.job_id, js)
+        row = store.get_job_row(job.job_id)
+        if row and row["status"] == JobStatus.CANCELLED.value:
+            raise _CancelledSignal()
+
+    def on_checkpoint(stage: str, data: dict[str, Any]) -> None:
+        store.put_checkpoint(
+            JobCheckpoint(job_id=job.job_id, stage=_STAGE_BY_CKPT.get(
+                stage, JobStage.EMBEDDING
+            ), data={"ckpt_stage": stage, **data}),
+            config.storage.checkpoint_ttl_s,
+        )
+
+    rag.ingestion.progress_callback = on_progress
+    try:
+        res = rag.ingestion.ingest(
+            job.audio_path,
+            collection=job.collection,
+            metadata={"tenant_id": job.tenant_id, **job.metadata},
+            checkpoint_cb=on_checkpoint,
+            resume=resume,
+        )
+        result = JobResult(
+            job_id=job.job_id,
+            status=JobStatus.COMPLETED,
+            collection=res.collection,
+            num_chunks=res.num_chunks,
+            num_segments=res.num_segments,
+            num_speakers=res.num_speakers,
+            duration_s=res.duration_s,
+            elapsed_s=round(time.time() - t0, 3),
+            metrics=res.stage_timings,
+        )
+        store.set_status(job.job_id, JobStatus.COMPLETED,
+                         stage=JobStage.FINALIZING)
+        store.delete_checkpoint(job.job_id)
+    except _CancelledSignal:
+        result = JobResult(
+            job_id=job.job_id, status=JobStatus.CANCELLED,
+            elapsed_s=round(time.time() - t0, 3),
+        )
+        log.info("job %s cancelled", job.job_id)
+    except Exception as exc:
+        log.error("job %s failed: %s\n%s", job.job_id, exc,
+                  traceback.format_exc())
+        result = JobResult(
+            job_id=job.job_id, status=JobStatus.FAILED,
+            error=f"{type(exc).__name__}: {exc}",
+            elapsed_s=round(time.time() - t0, 3),
+        )
+        store.set_status(job.job_id, JobStatus.FAILED, error=result.error)
+    finally:
+        rag.ingestion.progress_callback = None
+
+    store.put_result(result, config.storage.result_ttl_s)
+    return result
+
+
+class _CancelledSignal(Exception):
+    pass
+
+
+class TPUWorker:
+    """Long-running worker process consuming high → normal → low queues."""
+
+    def __init__(
+        self,
+        config: QueueConfig | None = None,
+        store: JobStore | None = None,
+        rag_factory: Callable[[], Any] | None = None,
+        worker_id: str | None = None,
+    ):
+        self.config = config or QueueConfig()
+        self.store = store or JobStore(self.config.storage.db_path)
+        self._rag_factory = rag_factory or self._default_rag
+        self.worker_id = worker_id or (
+            f"worker-{socket.gethostname()}-{uuid.uuid4().hex[:8]}"
+        )
+        self._rag = None
+        self._stop = threading.Event()
+        self._heartbeat_thread: threading.Thread | None = None
+        self.jobs_processed = 0
+
+    @staticmethod
+    def _default_rag():
+        from audio_rag_tpu.config.loader import load_config
+        from audio_rag_tpu.pipeline.orchestrator import AudioRAG
+
+        return AudioRAG(load_config())
+
+    # -- lifecycle ---------------------------------------------------------
+    def install_signal_handlers(self) -> None:
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            signal.signal(sig, lambda *_: self.stop())
+
+    def start(self, max_jobs: int | None = None) -> None:
+        log.info("worker %s starting", self.worker_id)
+        self._rag = self._rag_factory()
+        if self.config.worker.preload_models:
+            try:  # warm ASR + embedder so the first job skips compiles
+                _ = self._rag.ingestion.asr
+                _ = self._rag.ingestion.embedder
+            except Exception as exc:
+                log.warning("model preload failed: %s", exc)
+        self._start_heartbeat()
+        try:
+            while not self._stop.is_set():
+                worked = self.run_once()
+                if max_jobs is not None and self.jobs_processed >= max_jobs:
+                    break
+                if not worked:
+                    self._stop.wait(self.config.worker.poll_interval_s)
+        finally:
+            self._shutdown()
+
+    def run_once(self) -> bool:
+        """Claim and process a single job; returns whether one was found."""
+        if self._rag is None:
+            self._rag = self._rag_factory()
+        queue_names = [q.name for q in self.config.queues]
+        job = self.store.claim_next(self.worker_id, queue_names)
+        if job is None:
+            return False
+        log.info("worker %s claimed job %s", self.worker_id, job.job_id)
+        process_ingest_job(job, self.store, self._rag, self.config)
+        self.jobs_processed += 1
+        return True
+
+    def stop(self) -> None:
+        log.info("worker %s stopping (graceful)", self.worker_id)
+        self._stop.set()
+
+    def _shutdown(self) -> None:
+        if self._heartbeat_thread is not None:
+            self._heartbeat_thread.join(timeout=2.0)
+        self.store.remove_worker(self.worker_id)
+        log.info("worker %s stopped after %d job(s)",
+                 self.worker_id, self.jobs_processed)
+
+    # -- heartbeats --------------------------------------------------------
+    def _start_heartbeat(self) -> None:
+        def beat() -> None:
+            while not self._stop.is_set():
+                self.store.heartbeat(
+                    self.worker_id,
+                    {
+                        "jobs_processed": self.jobs_processed,
+                        **get_device_memory_info(),
+                    },
+                )
+                self._stop.wait(self.config.worker.heartbeat_interval_s)
+
+        self.store.heartbeat(self.worker_id, get_device_memory_info())
+        self._heartbeat_thread = threading.Thread(
+            target=beat, name="worker-heartbeat", daemon=True
+        )
+        self._heartbeat_thread.start()
+
+
+def main() -> None:  # pragma: no cover - CLI entry
+    import argparse
+
+    from audio_rag_tpu.utils.logging import setup_logging
+
+    parser = argparse.ArgumentParser(description="audio_rag_tpu worker")
+    parser.add_argument("--db", default=None, help="queue db path")
+    parser.add_argument("--max-jobs", type=int, default=None)
+    args = parser.parse_args()
+
+    setup_logging("INFO")
+    cfg = QueueConfig()
+    if args.db:
+        cfg.storage.db_path = args.db
+    worker = TPUWorker(cfg)
+    worker.install_signal_handlers()
+    worker.start(max_jobs=args.max_jobs)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -133,7 +133,9 @@ def _attend(
         "bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32
     )
     if mask is not None:
-        logits = jnp.where(mask, logits, jnp.float32(-1e30))
+        # python literal, not jnp scalar: a captured device constant degrades
+        # all subsequent dispatches on the TPU runtime
+        logits = jnp.where(mask, logits, -1e30)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v,
                       preferred_element_type=jnp.float32).astype(q.dtype)
@@ -203,7 +205,7 @@ def mha(
         logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, kk,
                             preferred_element_type=jnp.float32)
         if mask is not None:
-            logits = jnp.where(mask, logits, jnp.float32(-1e30))
+            logits = jnp.where(mask, logits, -1e30)
         probs32 = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         out = jnp.einsum("bhqk,bhkd->bhqd", probs32.astype(q.dtype), vv,
                          preferred_element_type=jnp.float32).astype(q.dtype)

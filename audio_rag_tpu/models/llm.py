@@ -154,7 +154,7 @@ def _attn_block(
     scale = hd ** -0.5
     logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
                         preferred_element_type=jnp.float32)
-    logits = jnp.where(mask, logits, jnp.float32(-1e30))
+    logits = jnp.where(mask, logits, -1e30)
     probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
     o = jnp.einsum("bhqk,bhkd->bhqd", probs, v,
                    preferred_element_type=jnp.float32).astype(dtype)
@@ -209,15 +209,20 @@ def llm_forward(
     return logits, ((nk, nv) if cache is not None else None)
 
 
-_ROPE_CACHE: dict[tuple, tuple[jax.Array, jax.Array]] = {}
+# cache NUMPY tables, converting at trace time: a cached jax.Array captured
+# as a jit closure constant degrades all subsequent dispatches (see
+# ops/similarity.py NEG_INF note)
+_ROPE_CACHE: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
 
 
 def _rope_tables(dims: LLMDims, head_dim: int):
     key = (dims.max_len, head_dim, dims.rope_theta)
     if key not in _ROPE_CACHE:
-        cos, sin = rope_frequencies(head_dim, dims.max_len, dims.rope_theta)
-        _ROPE_CACHE[key] = (jnp.asarray(cos), jnp.asarray(sin))
-    return _ROPE_CACHE[key]
+        _ROPE_CACHE[key] = rope_frequencies(
+            head_dim, dims.max_len, dims.rope_theta
+        )
+    cos, sin = _ROPE_CACHE[key]
+    return jnp.asarray(cos), jnp.asarray(sin)
 
 
 def llm_generate(

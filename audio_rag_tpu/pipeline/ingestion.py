@@ -157,7 +157,17 @@ class IngestionPipeline:
         collection: str | None = None,
         diarize: bool = True,
         metadata: dict[str, Any] | None = None,
+        checkpoint_cb: Callable[[str, dict[str, Any]], None] | None = None,
+        resume: dict[str, Any] | None = None,
     ) -> IngestionResult:
+        """Run the 6-stage ingest.
+
+        ``checkpoint_cb(stage, data)`` fires after each completed stage with
+        JSON-serializable artifacts; ``resume`` (a previous checkpoint's
+        ``{"stage": ..., "segments"/"chunks": ...}``) skips already-completed
+        stages — the stage checkpointing the reference designed but never
+        wired (``queue/worker.py:432``).
+        """
         t_start = time.perf_counter()
         timings: dict[str, float] = {}
         source = str(audio) if not isinstance(audio, np.ndarray) else "<array>"
@@ -167,43 +177,65 @@ class IngestionPipeline:
             timings[name] = round(time.perf_counter() - t0, 3)
             return time.perf_counter()
 
-        # 1. transcribe (words needed for alignment)
-        self._progress("transcribing", 0.0)
+        def ckpt(stage: str, data: dict[str, Any]) -> None:
+            if checkpoint_cb:
+                try:
+                    checkpoint_cb(stage, data)
+                except Exception as exc:
+                    log.warning("checkpoint %s failed: %s", stage, exc)
+
+        resume_stage = (resume or {}).get("stage")
+        segments: list[TranscriptSegment] = []
+        chunks: list[AudioChunk] = []
+        if resume_stage in ("transcribed", "aligned"):
+            segments = [
+                TranscriptSegment.from_dict(d) for d in resume["segments"]
+            ]
+        if resume_stage in ("chunked", "contextualized"):
+            chunks = [AudioChunk.from_dict(d) for d in resume["chunks"]]
+
         t0 = time.perf_counter()
-        segments = self.asr.transcribe_with_words(audio, sample_rate)
-        t0 = clock("transcribe", t0)
-        if not segments:
-            return IngestionResult(
-                source=source, collection=collection, num_segments=0,
-                num_chunks=0, num_speakers=0, duration_s=0.0,
-                elapsed_s=round(time.perf_counter() - t_start, 3),
-                stage_timings=timings,
-            )
-        duration = max(s.end for s in segments)
+        if not segments and not chunks:
+            # 1. transcribe (words needed for alignment)
+            self._progress("transcribing", 0.0)
+            segments = self.asr.transcribe_with_words(audio, sample_rate)
+            t0 = clock("transcribe", t0)
+            if not segments:
+                return IngestionResult(
+                    source=source, collection=collection, num_segments=0,
+                    num_chunks=0, num_speakers=0, duration_s=0.0,
+                    elapsed_s=round(time.perf_counter() - t_start, 3),
+                    stage_timings=timings,
+                )
 
-        # 2-3. diarize + align
-        if diarize:
-            self._progress("diarizing", 0.2)
-            diar = self.diarizer.diarize(audio, sample_rate)
-            t0 = clock("diarize", t0)
-            self._progress("aligning", 0.4)
-            words = [w for s in segments for w in s.words]
-            aligned = align_words_to_speakers(
-                words, diar, self.config.alignment.tolerance_s
-            )
-            segments = build_speaker_transcript(aligned)
-            t0 = clock("align", t0)
+            # 2-3. diarize + align
+            if diarize:
+                self._progress("diarizing", 0.2)
+                diar = self.diarizer.diarize(audio, sample_rate)
+                t0 = clock("diarize", t0)
+                self._progress("aligning", 0.4)
+                words = [w for s in segments for w in s.words]
+                aligned = align_words_to_speakers(
+                    words, diar, self.config.alignment.tolerance_s
+                )
+                segments = build_speaker_transcript(aligned)
+                t0 = clock("align", t0)
+            ckpt("aligned", {"segments": [s.to_dict() for s in segments]})
 
-        # 4. chunk
-        self._progress("chunking", 0.5)
-        chunks = self.chunker.chunk(segments)
-        t0 = clock("chunk", t0)
+        if not chunks:
+            # 4. chunk
+            self._progress("chunking", 0.5)
+            chunks = self.chunker.chunk(segments)
+            t0 = clock("chunk", t0)
 
-        # 5. contextual headers (optional)
-        if self.config.contextual.enabled:
-            self._progress("contextualizing", 0.6)
-            chunks = self.contextual.process_chunks(chunks)
-            t0 = clock("contextualize", t0)
+            # 5. contextual headers (optional)
+            if self.config.contextual.enabled:
+                self._progress("contextualizing", 0.6)
+                chunks = self.contextual.process_chunks(chunks)
+                t0 = clock("contextualize", t0)
+            ckpt("contextualized" if self.config.contextual.enabled
+                 else "chunked",
+                 {"chunks": [c.to_dict() for c in chunks]})
 
         # stamp source metadata (reference ingestion.py:150-159)
         meta = {"source": source, **(metadata or {})}
@@ -219,7 +251,13 @@ class IngestionPipeline:
         clock("index", t0)
         self._progress("done", 1.0)
 
-        speakers = {s.speaker for s in segments if s.speaker}
+        speakers = {s.speaker for s in segments if s.speaker} or {
+            c.speaker for c in chunks if c.speaker
+        }
+        duration = max(
+            (s.end for s in segments),
+            default=max((c.end for c in chunks), default=0.0),
+        )
         return IngestionResult(
             source=source,
             collection=collection,

@@ -1,0 +1,36 @@
+"""Persistent XLA compilation cache setup.
+
+The TPU runtime in this environment compiles remotely through a relay
+(variable, sometimes minutes per program); the persistent cache makes every
+program compile once per (code, shape) across processes. Call
+:func:`enable_compilation_cache` before building programs — the engine and
+bench do this automatically.
+"""
+
+from __future__ import annotations
+
+import os
+
+_DEFAULT_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
+
+_enabled = False
+
+
+def enable_compilation_cache(cache_dir: str | None = None) -> None:
+    global _enabled
+    if _enabled:
+        return
+    import jax
+
+    d = cache_dir or os.environ.get("AUDIO_RAG_JAX_CACHE", _DEFAULT_DIR)
+    try:
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update(
+            "jax_persistent_cache_min_entry_size_bytes", 0
+        )
+        _enabled = True
+    except Exception:  # cache is an optimization; never fail on it
+        pass

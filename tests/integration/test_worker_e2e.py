@@ -1,0 +1,122 @@
+"""Worker end-to-end: enqueue → claim → process with fake backends →
+result + checkpoints; cancellation and resume paths."""
+
+import numpy as np
+import pytest
+
+from audio_rag_tpu.audio.io import write_wav
+from audio_rag_tpu.config.schema import AudioRAGConfig
+from audio_rag_tpu.jobqueue.config import QueueConfig, StorageConfig
+from audio_rag_tpu.jobqueue.job import IngestJob, JobStage, JobStatus
+from audio_rag_tpu.jobqueue.queue import AudioRAGQueue
+from audio_rag_tpu.jobqueue.store import JobStore
+from audio_rag_tpu.jobqueue.worker import TPUWorker, process_ingest_job
+from audio_rag_tpu.pipeline.orchestrator import AudioRAG
+
+
+def fake_rag():
+    return AudioRAG(AudioRAGConfig(**{
+        "asr": {"backend": "fake"},
+        "diarization": {"backend": "fake"},
+        "embedding": {"backend": "fake"},
+        "retrieval": {"backend": "tpu", "capacity_step": 128},
+        "reranking": {"backend": "none"},
+        "generation": {"backend": "none"},
+    }))
+
+
+@pytest.fixture
+def wav(tmp_path):
+    sr = 16000
+    audio = 0.1 * np.random.default_rng(0).standard_normal(sr * 10)
+    p = tmp_path / "a.wav"
+    write_wav(p, audio.astype(np.float32), sr)
+    return str(p)
+
+
+@pytest.fixture
+def env(wav):
+    store = JobStore(":memory:")
+    cfg = QueueConfig(storage=StorageConfig(db_path=":memory:"))
+    cfg.worker.preload_models = False
+    queue = AudioRAGQueue(cfg, store=store)
+    return store, cfg, queue
+
+
+class TestWorkerE2E:
+    def test_full_job_lifecycle(self, env, wav):
+        store, cfg, queue = env
+        jid = queue.enqueue(IngestJob("tenant1", wav))
+
+        worker = TPUWorker(cfg, store=store, rag_factory=fake_rag)
+        assert worker.run_once() is True
+        assert worker.run_once() is False  # queue drained
+
+        st = queue.get_status(jid)
+        assert st["status"] == "completed"
+        assert st["progress"] == 1.0
+        res = queue.get_result(jid)
+        assert res.status is JobStatus.COMPLETED
+        assert res.num_chunks > 0
+        # checkpoint cleared after success
+        assert store.get_checkpoint(jid) is None
+
+    def test_failed_job_records_error(self, env):
+        store, cfg, queue = env
+        jid = queue.enqueue(
+            IngestJob("tenant1", "/missing.wav"), validate=False
+        )
+        worker = TPUWorker(cfg, store=store, rag_factory=fake_rag)
+        worker.run_once()
+        st = queue.get_status(jid)
+        assert st["status"] == "failed"
+        assert "AudioProcessingError" in st["error"]
+        res = queue.get_result(jid)
+        assert res.status is JobStatus.FAILED
+
+    def test_cancellation_respected_mid_job(self, env, wav):
+        store, cfg, queue = env
+        jid = queue.enqueue(IngestJob("tenant1", wav))
+        rag = fake_rag()
+        job = store.claim_next("w1")
+        # cancel once running: the progress hook observes it at the next stage
+        store.set_status(jid, JobStatus.CANCELLED)
+        result = process_ingest_job(job, store, rag, cfg)
+        assert result.status is JobStatus.CANCELLED
+
+    def test_resume_from_checkpoint(self, env, wav):
+        """A job with a persisted 'chunked' checkpoint skips ASR entirely."""
+        store, cfg, queue = env
+        jid = queue.enqueue(IngestJob("tenant1", wav))
+        job = store.claim_next("w1")
+
+        from audio_rag_tpu.jobqueue.job import JobCheckpoint
+
+        chunks = [
+            {"text": "resumed chunk", "start": 0.0, "end": 5.0,
+             "speaker": "S0", "chunk_id": "ck1", "metadata": {}},
+        ]
+        store.put_checkpoint(
+            JobCheckpoint(job_id=jid, stage=JobStage.EMBEDDING,
+                          data={"ckpt_stage": "chunked", "chunks": chunks}),
+            ttl_s=60,
+        )
+
+        class ExplodingASR:
+            def transcribe_with_words(self, *a, **k):
+                raise AssertionError("ASR must not run on resume")
+
+        rag = fake_rag()
+        rag.ingestion._asr = ExplodingASR()
+        result = process_ingest_job(job, store, rag, cfg)
+        assert result.status is JobStatus.COMPLETED
+        assert result.num_chunks == 1
+        # the resumed chunk landed in the store
+        out = rag.query("resumed chunk", search_type="dense", rerank=False)
+        assert out.results and out.results[0].chunk_id == "ck1"
+
+    def test_heartbeat_registered(self, env, wav):
+        store, cfg, queue = env
+        worker = TPUWorker(cfg, store=store, rag_factory=fake_rag)
+        store.heartbeat(worker.worker_id, {"jobs_processed": 0})
+        assert worker.worker_id in store.live_workers()
