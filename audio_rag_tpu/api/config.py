@@ -1,0 +1,77 @@
+"""API configuration.
+
+Parity surface: reference ``api/config.py:10-110``: tier-based rate limits
+(free/basic/premium × query/ingest/status), request timeouts, upload limits
+(500 MB, 8 extensions), and a dev API-key table mapping keys to
+{tenant_id, tier}. Production deployments override keys via
+``AUDIO_RAG_API_KEYS`` (JSON) or the config file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pydantic import BaseModel, Field
+
+__all__ = ["RateLimitTier", "APIConfig", "DEV_API_KEYS"]
+
+
+class RateLimitTier(BaseModel):
+    query_per_minute: int = 30
+    ingest_per_hour: int = 10
+    status_per_minute: int = 120
+
+
+DEFAULT_TIERS: dict[str, RateLimitTier] = {
+    "free": RateLimitTier(query_per_minute=30, ingest_per_hour=10,
+                          status_per_minute=120),
+    "basic": RateLimitTier(query_per_minute=120, ingest_per_hour=50,
+                           status_per_minute=600),
+    "premium": RateLimitTier(query_per_minute=600, ingest_per_hour=500,
+                             status_per_minute=3000),
+}
+
+#: development keys (reference api/config.py:95-110); replace in production
+DEV_API_KEYS: dict[str, dict[str, str]] = {
+    "dev-key-free": {"tenant_id": "dev_tenant_free", "tier": "free"},
+    "dev-key-basic": {"tenant_id": "dev_tenant_basic", "tier": "basic"},
+    "dev-key-premium": {"tenant_id": "dev_tenant_premium", "tier": "premium"},
+}
+
+
+class APIConfig(BaseModel):
+    host: str = "0.0.0.0"
+    port: int = 8000
+    cors_origins: list[str] = Field(default_factory=lambda: ["*"])
+    max_upload_bytes: int = 500 * 1024 * 1024
+    allowed_upload_extensions: list[str] = Field(
+        default_factory=lambda: [
+            ".wav", ".mp3", ".m4a", ".flac", ".ogg", ".opus", ".webm", ".mp4",
+        ]
+    )
+    max_audio_duration_minutes: int = 180
+    request_timeout_s: float = 120.0
+    tiers: dict[str, RateLimitTier] = Field(
+        default_factory=lambda: dict(DEFAULT_TIERS)
+    )
+    api_keys: dict[str, dict[str, str]] = Field(
+        default_factory=lambda: dict(DEV_API_KEYS)
+    )
+    upload_dir: str = "./data/uploads"
+    queue_db_path: str = "./data/queue.db"
+    #: run an in-process worker thread instead of a separate worker process
+    inline_worker: bool = False
+
+    @classmethod
+    def from_env(cls) -> "APIConfig":
+        cfg = cls()
+        raw = os.environ.get("AUDIO_RAG_API_KEYS")
+        if raw:
+            try:
+                cfg.api_keys = json.loads(raw)
+            except json.JSONDecodeError:
+                pass
+        if os.environ.get("AUDIO_RAG_API_PORT"):
+            cfg.port = int(os.environ["AUDIO_RAG_API_PORT"])
+        return cfg

@@ -1,0 +1,82 @@
+"""Query endpoints.
+
+Parity surface: reference ``api/v1/query.py:21-242``: ``POST /api/v1/query``
+with the full RAG parameter set (search_type / use_hyde / rerank /
+generate_answer / include_context), backed by a process-wide pipeline
+singleton shared with ingestion.
+"""
+
+from __future__ import annotations
+
+import asyncio
+
+from audio_rag_tpu.api.config import APIConfig
+from audio_rag_tpu.api.deps import authenticate, check_rate_limit
+from audio_rag_tpu.api.http import App, HTTPError, Request, Response
+from audio_rag_tpu.api.schemas import (
+    QueryRequest,
+    QueryResponse,
+    RetrievalResultModel,
+)
+
+__all__ = ["register_query_routes"]
+
+
+def register_query_routes(app: App) -> None:
+    config: APIConfig = app.state["config"]
+
+    @app.post("/api/v1/query")
+    async def query(request: Request) -> Response:
+        authenticate(request, config)
+        check_rate_limit(request, config, "query", app.state["store"])
+        body = QueryRequest(**(request.json() or {}))
+
+        rag = app.state.get("rag")
+        if rag is None:
+            raise HTTPError(503, "query pipeline not initialized")
+
+        # device work runs off the event loop (single worker: FIFO fairness)
+        loop = asyncio.get_running_loop()
+
+        def run():
+            return rag.query(
+                body.query,
+                top_k=body.top_k,
+                search_type=body.search_type,
+                collection=body.collection,
+                use_hyde=body.use_hyde,
+                rerank=body.rerank,
+                generate_answer=body.generate_answer,
+                speak_answer=body.speak_answer,
+                metadata_filter=body.metadata_filter,
+            )
+
+        result = await loop.run_in_executor(app.state["executor"], run)
+        context = None
+        if body.include_context:
+            context = rag.querying.get_context_for_llm(
+                body.query, top_k=body.top_k,
+                search_type=body.search_type, collection=body.collection,
+            )
+        payload = QueryResponse(
+            query=result.query,
+            results=[
+                RetrievalResultModel(**r.to_dict()) for r in result.results
+            ],
+            response=result.response,
+            answer=result.answer,
+            expanded_query=result.expanded_query,
+            context=context,
+            elapsed_s=result.elapsed_s,
+            stage_timings=result.stage_timings,
+            request_id=request.context.get("request_id"),
+        )
+        return Response.json(payload.model_dump())
+
+    @app.get("/api/v1/status")
+    async def status(request: Request) -> Response:
+        authenticate(request, config)
+        rag = app.state.get("rag")
+        if rag is None:
+            raise HTTPError(503, "pipeline not initialized")
+        return Response.json(rag.status())

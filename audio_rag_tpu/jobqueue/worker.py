@@ -261,8 +261,10 @@ class TPUWorker:
 def main() -> None:  # pragma: no cover - CLI entry
     import argparse
 
+    from audio_rag_tpu.utils.jax_cache import apply_platform_env
     from audio_rag_tpu.utils.logging import setup_logging
 
+    apply_platform_env()
     parser = argparse.ArgumentParser(description="audio_rag_tpu worker")
     parser.add_argument("--db", default=None, help="queue db path")
     parser.add_argument("--max-jobs", type=int, default=None)

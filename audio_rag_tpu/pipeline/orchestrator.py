@@ -30,6 +30,9 @@ class AudioRAG:
     def __init__(self, config: AudioRAGConfig | None = None):
         self.config = config or AudioRAGConfig()
         setup_logging(self.config.log_level)
+        from audio_rag_tpu.utils.jax_cache import enable_compilation_cache
+
+        enable_compilation_cache()
         get_resource_manager(self.config.resources.max_hbm_gb)
 
         # singletons shared by both pipelines (reference orchestrator.py:40-75)

@@ -17,6 +17,22 @@ _DEFAULT_DIR = os.path.join(os.path.dirname(os.path.dirname(
 _enabled = False
 
 
+def apply_platform_env() -> None:
+    """Honor ``JAX_PLATFORMS`` even though the environment's sitecustomize
+    imports jax at interpreter start (env vars are read then, so later
+    processes must re-apply via jax.config). Call from CLI entry points
+    before any backend use."""
+    plat = os.environ.get("JAX_PLATFORMS")
+    if not plat:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+    except Exception:
+        pass
+
+
 def enable_compilation_cache(cache_dir: str | None = None) -> None:
     global _enabled
     if _enabled:

@@ -1,0 +1,283 @@
+"""API integration tests: real server on a loopback port, real HTTP + WS
+clients, fake model backends (reference tests use FastAPI TestClient with
+dependency overrides; here we drive actual sockets)."""
+
+import asyncio
+import json
+import threading
+import time
+
+import httpx
+import numpy as np
+import pytest
+
+from audio_rag_tpu.api.app import create_app
+from audio_rag_tpu.api.config import APIConfig
+from audio_rag_tpu.config.schema import AudioRAGConfig
+from audio_rag_tpu.jobqueue.config import QueueConfig, StorageConfig
+from audio_rag_tpu.jobqueue.queue import AudioRAGQueue
+from audio_rag_tpu.jobqueue.store import JobStore
+from audio_rag_tpu.pipeline.orchestrator import AudioRAG
+
+PORT = 8765
+BASE = f"http://127.0.0.1:{PORT}"
+KEY = {"X-API-Key": "dev-key-basic"}
+
+
+def make_rag():
+    return AudioRAG(AudioRAGConfig(**{
+        "asr": {"backend": "fake"},
+        "diarization": {"backend": "fake"},
+        "embedding": {"backend": "fake"},
+        "retrieval": {"backend": "tpu", "capacity_step": 128},
+        "reranking": {"backend": "fake"},
+        "generation": {"backend": "fake"},
+        "tts": {"backend": "null"},
+    }))
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("api")
+    rag = make_rag()
+    qcfg = QueueConfig(storage=StorageConfig(db_path=":memory:"))
+    qcfg.worker.preload_models = False
+    queue = AudioRAGQueue(qcfg, store=JobStore(":memory:"))
+    api_cfg = APIConfig(upload_dir=str(tmp / "uploads"),
+                        queue_db_path=":memory:")
+    app = create_app(api_cfg, rag=rag, queue=queue)
+
+    loop = asyncio.new_event_loop()
+    stop = threading.Event()
+
+    async def _serve():
+        srv = await asyncio.start_server(app._handle_conn, "127.0.0.1", PORT)
+        async with srv:
+            while not stop.is_set():
+                await asyncio.sleep(0.1)
+
+    t = threading.Thread(
+        target=lambda: loop.run_until_complete(_serve()), daemon=True
+    )
+    t.start()
+    # wait for readiness
+    for _ in range(50):
+        try:
+            httpx.get(f"{BASE}/health/live", timeout=1.0)
+            break
+        except Exception:
+            time.sleep(0.1)
+    yield {"rag": rag, "queue": queue, "app": app}
+    stop.set()
+    t.join(timeout=2.0)
+
+
+@pytest.fixture(scope="module")
+def seeded(server):
+    """Ingest a tiny corpus directly through the pipeline."""
+    import numpy as np
+
+    from audio_rag_tpu.audio.io import write_wav
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "x.wav")
+    write_wav(p, 0.1 * np.random.default_rng(0).standard_normal(16000 * 10)
+              .astype(np.float32), 16000)
+    server["rag"].ingest(p)
+    return server
+
+
+class TestAuth:
+    def test_missing_key_401(self, server):
+        r = httpx.post(f"{BASE}/api/v1/query", json={"query": "x"})
+        assert r.status_code == 401
+
+    def test_bad_key_403(self, server):
+        r = httpx.post(f"{BASE}/api/v1/query", json={"query": "x"},
+                       headers={"X-API-Key": "nope"})
+        assert r.status_code == 403
+
+    def test_request_id_header(self, server):
+        r = httpx.get(f"{BASE}/health/live")
+        assert "x-request-id" in r.headers
+        assert "x-response-time-ms" in r.headers
+
+
+class TestHealth:
+    def test_live(self, server):
+        assert httpx.get(f"{BASE}/health/live").json()["status"] == "alive"
+
+    def test_ready(self, server):
+        r = httpx.get(f"{BASE}/health/ready")
+        assert r.status_code == 200
+        assert r.json()["checks"]["queue"] is True
+
+    def test_startup(self, server):
+        assert httpx.get(f"{BASE}/health/startup").status_code == 200
+
+
+class TestQuery:
+    def test_query_returns_results(self, seeded):
+        r = httpx.post(
+            f"{BASE}/api/v1/query",
+            json={"query": "word0 word1", "search_type": "dense",
+                  "rerank": False},
+            headers=KEY, timeout=30.0,
+        )
+        assert r.status_code == 200
+        body = r.json()
+        assert body["results"]
+        assert body["response"]
+        assert "x-ratelimit-limit" in r.headers
+
+    def test_query_with_answer(self, seeded):
+        r = httpx.post(
+            f"{BASE}/api/v1/query",
+            json={"query": "word0", "generate_answer": True},
+            headers=KEY, timeout=30.0,
+        )
+        assert "fake answer" in r.json()["answer"]
+
+    def test_validation_422(self, server):
+        r = httpx.post(f"{BASE}/api/v1/query", json={"query": ""},
+                       headers=KEY)
+        assert r.status_code == 422
+
+    def test_unknown_route_404(self, server):
+        assert httpx.get(f"{BASE}/api/v1/nope",
+                         headers=KEY).status_code == 404
+
+    def test_wrong_method_405(self, server):
+        assert httpx.get(f"{BASE}/api/v1/query",
+                         headers=KEY).status_code == 405
+
+
+class TestIngest:
+    def make_wav_bytes(self) -> bytes:
+        import io
+        import wave
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(16000)
+            wf.writeframes(
+                (np.random.default_rng(0).standard_normal(16000 * 2) * 3000)
+                .astype("<i2").tobytes()
+            )
+        return buf.getvalue()
+
+    def test_upload_and_job_status(self, server):
+        wav = self.make_wav_bytes()
+        r = httpx.post(
+            f"{BASE}/api/v1/ingest",
+            files={"file": ("lecture.wav", wav, "audio/wav")},
+            data={"priority": "high",
+                  "metadata": json.dumps({"course": "cs229"})},
+            headers=KEY, timeout=30.0,
+        )
+        assert r.status_code == 202
+        body = r.json()
+        assert body["queue"] == "high"
+        job_id = body["job_id"]
+
+        st = httpx.get(f"{BASE}/api/v1/jobs/{job_id}", headers=KEY)
+        assert st.status_code == 200
+        assert st.json()["status"] == "queued"
+
+        # drain with an in-process worker against the same store
+        from audio_rag_tpu.jobqueue.worker import TPUWorker
+
+        worker = TPUWorker(server["queue"].config,
+                           store=server["queue"].store,
+                           rag_factory=lambda: server["rag"])
+        assert worker.run_once()
+        st2 = httpx.get(f"{BASE}/api/v1/jobs/{job_id}", headers=KEY).json()
+        assert st2["status"] == "completed"
+        assert st2["result"]["num_chunks"] > 0
+
+    def test_bad_extension_422(self, server):
+        r = httpx.post(
+            f"{BASE}/api/v1/ingest",
+            files={"file": ("x.txt", b"hello", "text/plain")},
+            headers=KEY,
+        )
+        assert r.status_code == 422
+
+    def test_job_not_found_404(self, server):
+        r = httpx.get(f"{BASE}/api/v1/jobs/doesnotexist", headers=KEY)
+        assert r.status_code == 404
+
+    def test_duplicate_409(self, server):
+        wav = self.make_wav_bytes() + b"unique-suffix-dup-test"
+        for expected in (202, 409):
+            r = httpx.post(
+                f"{BASE}/api/v1/ingest",
+                files={"file": ("dup.wav", wav, "audio/wav")},
+                headers=KEY, timeout=30.0,
+            )
+            assert r.status_code == expected
+
+
+class TestCollections:
+    def test_list_and_info(self, seeded):
+        r = httpx.get(f"{BASE}/api/v1/collections", headers=KEY)
+        names = [c["name"] for c in r.json()["collections"]]
+        assert "audio_rag" in names
+        info = httpx.get(f"{BASE}/api/v1/collections/audio_rag",
+                         headers=KEY).json()
+        assert info["count"] > 0
+
+    def test_missing_collection_404(self, server):
+        assert httpx.get(f"{BASE}/api/v1/collections/zzz",
+                         headers=KEY).status_code == 404
+
+
+class TestWebSocketStreaming:
+    def test_ws_transcribe_roundtrip(self, server):
+        import websockets.sync.client as wsc
+
+        pcm = (np.random.default_rng(0).standard_normal(16000) * 3000) \
+            .astype("<i2").tobytes()
+        url = f"ws://127.0.0.1:{PORT}/api/v1/ws/transcribe?api_key=dev-key-basic"
+        with wsc.connect(url) as ws:
+            hello = json.loads(ws.recv(timeout=10))
+            assert hello == {"type": "status", "status": "listening"}
+            # 6s of audio in 1s frames → at least one 5s-chunk transcript
+            transcripts = []
+            for _ in range(6):
+                ws.send(pcm)
+                try:
+                    while True:
+                        msg = json.loads(ws.recv(timeout=5))
+                        if msg["type"] == "transcript":
+                            transcripts.append(msg)
+                        break
+                except TimeoutError:
+                    pass
+            ws.send(json.dumps({"command": "stop"}))
+            # drain until stopped status
+            for _ in range(10):
+                msg = json.loads(ws.recv(timeout=10))
+                if msg.get("status") == "stopped":
+                    break
+                if msg["type"] == "transcript":
+                    transcripts.append(msg)
+        assert transcripts, "expected at least one transcript message"
+        assert transcripts[0]["text"]
+        assert transcripts[0]["end"] > transcripts[0]["start"]
+
+    def test_ws_unauthorized(self, server):
+        import websockets.sync.client as wsc
+
+        url = f"ws://127.0.0.1:{PORT}/api/v1/ws/transcribe"
+        with wsc.connect(url) as ws:
+            msg = json.loads(ws.recv(timeout=5))
+            assert msg["error"] == "unauthorized"
+
+    def test_streaming_status_endpoint(self, server):
+        r = httpx.get(f"{BASE}/api/v1/streaming/status", headers=KEY)
+        assert r.status_code == 200
+        assert "state" in r.json()
