@@ -74,10 +74,19 @@ class BGEM3Embedder(BaseEmbedder):
         get_resource_manager().unregister("embeddings")
 
     def _program(self, B: int, T: int):
+        pad_id = self.dims.pad_id
+
         def build():
             @jax.jit
-            def run(params, ids, mask):
-                return bgem3_forward(params, self.dims, ids, mask)
+            def run(params, ids_packed):
+                # ids_packed: (B, T) int32 with -1 at padding — one upload
+                # carries both ids and mask (host↔device interactions are
+                # the latency floor on this runtime)
+                mask = (ids_packed >= 0).astype(jnp.int32)
+                ids = jnp.where(mask.astype(bool), ids_packed, pad_id)
+                dense, w = bgem3_forward(params, self.dims, ids, mask)
+                # one packed output → one device→host transfer
+                return jnp.concatenate([dense, w], axis=1)
 
             return run
 
@@ -103,14 +112,14 @@ class BGEM3Embedder(BaseEmbedder):
         ]
         T = _bucket(max(len(s) for s in seqs), hi=self.config.max_length)
         B = _bucket(len(seqs), lo=1, hi=self.config.batch_size)
-        ids, mask = pad_batch(seqs, T, self._tok.pad_id)
+        ids, _ = pad_batch(seqs, T, -1)  # -1 padding doubles as the mask
         if len(seqs) < B:  # pad batch dim to the bucket
-            ids = np.pad(ids, ((0, B - len(seqs)), (0, 0)))
-            mask = np.pad(mask, ((0, B - len(seqs)), (0, 0)))
+            ids = np.pad(ids, ((0, B - len(seqs)), (0, 0)),
+                         constant_values=-1)
         run = self._program(B, T)
-        dense, weights = run(self._params, jnp.asarray(ids), jnp.asarray(mask))
-        dense = np.asarray(dense)
-        weights = np.asarray(weights)
+        packed = np.asarray(run(self._params, jnp.asarray(ids)))
+        dense = packed[:, : self.dims.d_model]
+        weights = packed[:, self.dims.d_model:]
 
         results: list[EmbeddingResult] = []
         for j, (text, seq) in enumerate(zip(texts, seqs)):

@@ -131,10 +131,14 @@ def hybrid_search(
     search_type: str = "hybrid",
     rrf_k: float = 2.0,
     prefetch: int = 0,
-) -> tuple[jax.Array, jax.Array]:
+) -> jax.Array:
     """One fused device program: score → (fuse) → top-k.
 
-    Returns (scores (B, k), indices (B, k)); invalid slots have score -inf.
+    Returns ONE packed fp32 array (2, B, k): row 0 = scores, row 1 =
+    indices (cast to f32 — exact for corpora < 2^24 rows). A single output
+    means a single device→host transfer; on this runtime every transfer
+    carries a flat ~28 ms cost, so two reads per query would double the
+    floor. Invalid slots have score -inf.
     """
     if search_type == "dense":
         scores = dense_scores(q_dense, corpus_dense)
@@ -146,4 +150,5 @@ def hybrid_search(
         scores = rrf_fuse([d, s], valid_mask, rrf_k=rrf_k, prefetch=prefetch)
     else:
         raise ValueError(f"unknown search_type {search_type!r}")
-    return topk_with_mask(scores, valid_mask, top_k)
+    top_scores, top_idx = topk_with_mask(scores, valid_mask, top_k)
+    return jnp.stack([top_scores, top_idx.astype(jnp.float32)])

@@ -78,9 +78,14 @@ class BGEReranker(BaseReranker):
         get_resource_manager().unregister("reranking")
 
     def _program(self, B: int, T: int):
+        pad_id = self.dims.pad_id
+
         def build():
             @jax.jit
-            def run(params, ids, mask):
+            def run(params, ids_packed):
+                # -1-padded ids carry the mask; single output transfer
+                mask = (ids_packed >= 0).astype(jnp.int32)
+                ids = jnp.where(mask.astype(bool), ids_packed, pad_id)
                 return cross_encoder_forward(params, self.dims, ids, mask)
 
             return run
@@ -93,13 +98,32 @@ class BGEReranker(BaseReranker):
         seqs = [self._tok.encode_pair(query, t, max_len) for t in texts]
         T = _bucket(max(len(s) for s in seqs), 16, max_len)
         B = _bucket(len(seqs), 1, max(self.config.initial_k, len(seqs)))
-        ids, mask = pad_batch(seqs, T, self._tok.pad_id)
+        ids, _ = pad_batch(seqs, T, -1)
         if len(seqs) < B:
-            ids = np.pad(ids, ((0, B - len(seqs)), (0, 0)))
-            mask = np.pad(mask, ((0, B - len(seqs)), (0, 0)))
+            ids = np.pad(ids, ((0, B - len(seqs)), (0, 0)),
+                         constant_values=-1)
         run = self._program(B, T)
-        scores = np.asarray(run(self._params, jnp.asarray(ids),
-                                jnp.asarray(mask)))
+        scores = np.asarray(run(self._params, jnp.asarray(ids)))
+        return scores[: len(seqs)]
+
+    def score_pairs_multi(
+        self, queries: list[str], texts: list[str]
+    ) -> np.ndarray:
+        """Score heterogeneous (query_i, text_i) pairs in one device call
+        (used by the batched QueryEngine to amortize dispatch cost)."""
+        max_len = min(self.config.max_length, self.dims.max_len)
+        seqs = [
+            self._tok.encode_pair(q, t, max_len)
+            for q, t in zip(queries, texts)
+        ]
+        T = _bucket(max(len(s) for s in seqs), 16, max_len)
+        B = _bucket(len(seqs), 1, 4096)
+        ids, _ = pad_batch(seqs, T, -1)
+        if len(seqs) < B:
+            ids = np.pad(ids, ((0, B - len(seqs)), (0, 0)),
+                         constant_values=-1)
+        run = self._program(B, T)
+        scores = np.asarray(run(self._params, jnp.asarray(ids)))
         return scores[: len(seqs)]
 
     @timed

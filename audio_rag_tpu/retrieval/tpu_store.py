@@ -85,12 +85,20 @@ class Collection:
             self._device.clear()
 
     def device_arrays(self) -> dict[str, jax.Array]:
-        """Upload host mirrors once per mutation; cached across queries."""
+        """Upload host mirrors once per mutation; cached across queries.
+
+        The no-filter valid mask is cached too: on this runtime every
+        host↔device interaction costs ~28 ms once transfers have begun, so
+        the hot no-filter path must not re-upload a mask per query.
+        """
         if not self._device:
+            mask = np.zeros(self.capacity, bool)
+            mask[: self.count] = True
             self._device = {
                 "dense": jax.device_put(self.dense),
                 "doc_tokens": jax.device_put(self.doc_tokens),
                 "doc_weights": jax.device_put(self.doc_weights),
+                "valid_mask": jax.device_put(mask),
             }
         return self._device
 
@@ -246,25 +254,29 @@ class TPUVectorStore(BaseRetriever):
         qt, qw = self._pad_sparse(
             query_embedding.sparse, self.config.max_query_nnz
         )
-        mask = self._metadata_mask(coll, metadata_filter)
+        if metadata_filter:
+            mask = jax.device_put(self._metadata_mask(coll, metadata_filter))
+        else:
+            mask = dev["valid_mask"]  # cached on device
         k = min(top_k, coll.count)
         # fused device program: score → fuse → top-k (pad k to cut recompiles)
         k_pad = 1 << (max(k, 1) - 1).bit_length()
-        scores, idx = hybrid_search(
+        packed = hybrid_search(
             qd,
             qt[None],
             qw[None],
             dev["dense"],
             dev["doc_tokens"],
             dev["doc_weights"],
-            jax.device_put(mask),
+            mask,
             top_k=min(k_pad, coll.capacity),
             search_type=search_type,
             rrf_k=float(self.config.rrf_k),
             prefetch=0,
         )
-        scores = np.asarray(scores[0])[:k]
-        idx = np.asarray(idx[0])[:k]
+        packed = np.asarray(packed)  # ONE device→host transfer
+        scores = packed[0, 0][:k]
+        idx = packed[1, 0][:k].astype(np.int64)
 
         thr = (
             score_threshold
