@@ -60,7 +60,9 @@ def create_app(
     register_health_routes(app)
     register_v1_routes(app)
 
-    @app.get("/")
+    _register_frontend(app)
+
+    @app.get("/api")
     async def root(request: Request) -> Response:
         return Response.json({
             "service": "audio-rag-tpu",
@@ -71,6 +73,54 @@ def create_app(
     if config.inline_worker and rag is not None:
         _start_inline_worker(app, queue, rag)
     return app
+
+
+_MIME = {
+    ".html": "text/html; charset=utf-8",
+    ".js": "application/javascript",
+    ".css": "text/css",
+    ".svg": "image/svg+xml",
+    ".png": "image/png",
+}
+
+
+def _register_frontend(app: App) -> None:
+    """Serve the dependency-free web UI (frontend/) at ``/``."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[2] / "frontend"
+    if not root.is_dir():
+        @app.get("/")
+        async def no_ui(request: Request) -> Response:
+            return Response.json({"service": "audio-rag-tpu",
+                                  "docs": "/api/v1"})
+        return
+
+    async def serve_file(request: Request) -> Response:
+        name = request.path_params.get("name") or "index.html"
+        target = (root / name).resolve()
+        if not str(target).startswith(str(root)) or not target.is_file():
+            from audio_rag_tpu.api.http import HTTPError
+
+            raise HTTPError(404, "not found")
+        return Response(
+            target.read_bytes(),
+            content_type=_MIME.get(target.suffix, "application/octet-stream"),
+        )
+
+    app.get("/")(serve_file)
+    app.get("/ui/{name}")(serve_file)
+    # top-level asset paths referenced by index.html
+    app.get("/app.js")(serve_file_named(serve_file, "app.js"))
+    app.get("/styles.css")(serve_file_named(serve_file, "styles.css"))
+
+
+def serve_file_named(handler, name: str):
+    async def inner(request: Request) -> Response:
+        request.path_params["name"] = name
+        return await handler(request)
+
+    return inner
 
 
 def _start_inline_worker(app: App, queue: AudioRAGQueue, rag) -> None:

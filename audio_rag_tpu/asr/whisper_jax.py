@@ -116,6 +116,7 @@ class WhisperJaxASR(BaseASR):
         get_resource_manager().unregister("asr")
 
     def _make_text_decoder(self):
+        self._hf_tokenizer = None
         if self.config.checkpoint_path:
             try:
                 from transformers import WhisperTokenizer
@@ -123,6 +124,7 @@ class WhisperJaxASR(BaseASR):
                 tok = WhisperTokenizer.from_pretrained(
                     self.config.checkpoint_path, local_files_only=True
                 )
+                self._hf_tokenizer = tok
                 return lambda ids: tok.decode(ids, skip_special_tokens=True)
             except Exception:
                 pass
@@ -188,7 +190,10 @@ class WhisperJaxASR(BaseASR):
         bs = self.config.window_batch_size
         for i in range(0, len(windows), bs):
             chunk = windows[i: i + bs]
-            segments.extend(self._transcribe_batch(chunk, lang))
+            segments.extend(
+                self._transcribe_batch(chunk, lang,
+                                       want_words=word_timestamps)
+            )
 
         if word_timestamps:
             for seg in segments:
@@ -203,7 +208,8 @@ class WhisperJaxASR(BaseASR):
 
     # -- internals ---------------------------------------------------------
     def _transcribe_batch(
-        self, windows: list[tuple[float, np.ndarray]], lang: str
+        self, windows: list[tuple[float, np.ndarray]], lang: str,
+        want_words: bool = False,
     ) -> list[TranscriptSegment]:
         B = len(windows)
         n_mel_samples = (
@@ -232,14 +238,116 @@ class WhisperJaxASR(BaseASR):
             run(self._params, jnp.asarray(mel_batch), jnp.asarray(prompt))
         )
 
+        # optional: one teacher-forced pass collecting cross-attention for
+        # DTW word timestamps (faster-whisper parity; asr/word_timing.py)
+        window_weights = None
+        clean_per_window: list[list[int]] = []
+        if want_words:
+            for j in range(B):
+                ids = self._strip_special(tokens[j])
+                clean_per_window.append(
+                    [i for i in ids if i < self.tokens.timestamp_base]
+                )
+            window_weights = self._collect_cross_weights(
+                mel_batch, prompt, clean_per_window
+            )
+
         out: list[TranscriptSegment] = []
         for j, (t0, seg_audio) in enumerate(windows):
             dur = len(seg_audio) / SAMPLE_RATE
             text_ids = self._strip_special(tokens[j])
-            out.extend(
-                self._tokens_to_segments(text_ids, t0, dur, lang)
-            )
+            segs = self._tokens_to_segments(text_ids, t0, dur, lang)
+            if want_words and window_weights is not None and segs:
+                self._apply_word_times(
+                    segs, window_weights[j], clean_per_window[j], dur, t0
+                )
+            out.extend(segs)
         return out
+
+    def _collect_cross_weights(
+        self, mel_batch: np.ndarray, prompt: np.ndarray,
+        clean_per_window: list[list[int]],
+    ) -> np.ndarray | None:
+        """Teacher-forced decoder pass → (B, L, H, T, Ta) fp32 weights."""
+        from audio_rag_tpu.models.whisper import (
+            decoder_forward,
+            encode,
+            precompute_cross_kv,
+        )
+
+        max_t = max((len(c) for c in clean_per_window), default=0)
+        if max_t == 0:
+            return None
+        P = prompt.shape[1]
+        B = len(clean_per_window)
+        tf_tokens = np.full((B, P + max_t), self.tokens.eot, np.int32)
+        tf_tokens[:, :P] = prompt
+        for j, c in enumerate(clean_per_window):
+            tf_tokens[j, P: P + len(c)] = c
+
+        def build():
+            @jax.jit
+            def run(params, mel, toks):
+                enc = encode(params, self.dims, mel, dtype=self.dtype)
+                ckv = precompute_cross_kv(params, self.dims, enc, self.dtype)
+                _, _, w = decoder_forward(
+                    params, self.dims, toks, ckv, dtype=self.dtype,
+                    collect_cross_weights=True,
+                )
+                return w  # (L, B, H, T, Ta)
+
+            return run
+
+        run = self._engine.program(
+            ("whisper", "align", B, P + max_t), build
+        )
+        w = np.asarray(
+            run(self._params, jnp.asarray(mel_batch), jnp.asarray(tf_tokens))
+        )
+        return w.transpose(1, 0, 2, 3, 4)  # (B, L, H, T, Ta)
+
+    def _apply_word_times(
+        self, segs: list[TranscriptSegment], weights: np.ndarray,
+        clean_ids: list[int], dur: float, t0: float,
+    ) -> None:
+        from audio_rag_tpu.asr.word_timing import attention_to_word_times
+
+        if not clean_ids:
+            return
+        P = 4  # prompt length
+        # token → word map: with the id-map fallback every token is a word;
+        # HF tokenizers start a word at a leading-space piece
+        token_word = self._token_word_map(clean_ids)
+        tok_slice = weights[:, :, P: P + len(clean_ids), :]
+        n_frames = min(int(dur / 0.02), tok_slice.shape[-1])
+        times = attention_to_word_times(
+            tok_slice, token_word, max(n_frames, 1), time_offset=t0
+        )
+        # distribute word times across this window's segments in order
+        cursor = 0
+        for seg in segs:
+            words_text = seg.text.split()
+            seg_times = times[cursor: cursor + len(words_text)]
+            cursor += len(words_text)
+            seg.words = [
+                Word(text=w, start=s, end=e, speaker=seg.speaker)
+                for w, (s, e) in zip(words_text, seg_times)
+            ]
+            if seg.words:
+                seg.start = min(seg.start, seg.words[0].start)
+                seg.end = max(seg.end, seg.words[-1].end)
+
+    def _token_word_map(self, ids: list[int]) -> list[int]:
+        hf = getattr(self, "_hf_tokenizer", None)
+        if hf is not None:
+            out, wid = [], -1
+            pieces = hf.convert_ids_to_tokens(ids)
+            for p in pieces:
+                if wid < 0 or p.startswith(("Ġ", "▁", " ")):
+                    wid += 1
+                out.append(wid)
+            return out
+        return list(range(len(ids)))  # fallback: token == word
 
     def _strip_special(self, ids: np.ndarray) -> list[int]:
         """Drop the prompt and control tokens; keep text + timestamp tokens.

@@ -1,0 +1,137 @@
+"""Word-level timestamps from decoder cross-attention (DTW).
+
+faster-whisper's ``word_timestamps=True`` (behind reference
+``asr/whisper.py:151-207``) follows OpenAI Whisper's method: average
+cross-attention weights from selected alignment heads, normalize per audio
+frame, run dynamic time warping over the (token × frame) cost matrix, and
+read word boundaries off the monotonic path.
+
+Implementation notes:
+* attention weights come from one teacher-forced decoder pass with
+  ``collect_cross_weights=True`` (:func:`models.whisper.decoder_forward`)
+  — on TPU this is a single batched forward, not a per-token hook;
+* head selection: without the published alignment-head masks we average the
+  upper half of decoder layers (they attend most audio-locally), which is
+  Whisper's documented fallback;
+* DTW runs on host (token × frame matrices are tiny: ≤448 × 1500).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from audio_rag_tpu.core.types import TranscriptSegment, Word
+
+__all__ = ["dtw_path", "attention_to_word_times", "assign_word_timestamps"]
+
+FRAME_SECONDS = 0.02  # one encoder frame after conv stride 2 = 20 ms
+
+
+def dtw_path(cost: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Monotonic minimal-cost path through ``cost`` (N_tokens, N_frames).
+
+    Standard DTW with steps (↓, →, ↘); returns (token_idx, frame_idx)
+    arrays of the backtracked path.
+    """
+    N, M = cost.shape
+    D = np.full((N + 1, M + 1), np.inf)
+    D[0, 0] = 0.0
+    trace = np.zeros((N + 1, M + 1), np.int8)
+    for i in range(1, N + 1):
+        row_c = cost[i - 1]
+        for j in range(1, M + 1):
+            c = row_c[j - 1]
+            best = D[i - 1, j - 1]
+            t = 0  # diagonal
+            if D[i - 1, j] < best:
+                best, t = D[i - 1, j], 1  # token advance
+            if D[i, j - 1] < best:
+                best, t = D[i, j - 1], 2  # frame advance
+            D[i, j] = best + c
+            trace[i, j] = t
+    # backtrack
+    i, j = N, M
+    ti, fi = [], []
+    while i > 0 and j > 0:
+        ti.append(i - 1)
+        fi.append(j - 1)
+        t = trace[i, j]
+        if t == 0:
+            i, j = i - 1, j - 1
+        elif t == 1:
+            i -= 1
+        else:
+            j -= 1
+    return np.array(ti[::-1]), np.array(fi[::-1])
+
+
+def _median_filter(x: np.ndarray, width: int = 7) -> np.ndarray:
+    """Median filter along the last axis (Whisper smooths attention)."""
+    if width <= 1 or x.shape[-1] < width:
+        return x
+    pad = width // 2
+    xp = np.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="edge")
+    out = np.empty_like(x)
+    for k in range(x.shape[-1]):
+        out[..., k] = np.median(xp[..., k: k + width], axis=-1)
+    return out
+
+
+def attention_to_word_times(
+    cross_weights: np.ndarray,  # (L, H, T_tokens, T_frames) fp32
+    token_word_index: list[int],  # word id per token (−1 = not a word token)
+    n_frames_valid: int,
+    time_offset: float = 0.0,
+) -> list[tuple[float, float]]:
+    """(start, end) seconds per word id from attention alignment."""
+    L = cross_weights.shape[0]
+    # fallback head selection: upper half of layers, all heads
+    w = cross_weights[L // 2:].mean(axis=(0, 1))  # (T_tokens, T_frames)
+    w = w[:, :n_frames_valid]
+    # per-frame normalization then smoothing, as Whisper does
+    std = w.std(axis=0, keepdims=True) + 1e-9
+    mean = w.mean(axis=0, keepdims=True)
+    w = (w - mean) / std
+    w = _median_filter(w, 7)
+
+    ti, fi = dtw_path(-w)  # maximize attention = minimize negative
+
+    n_words = max(token_word_index) + 1 if token_word_index else 0
+    starts = np.full(n_words, np.inf)
+    ends = np.zeros(n_words)
+    for tok, frame in zip(ti, fi):
+        wid = token_word_index[tok] if tok < len(token_word_index) else -1
+        if wid < 0:
+            continue
+        t = frame * FRAME_SECONDS
+        starts[wid] = min(starts[wid], t)
+        ends[wid] = max(ends[wid], t + FRAME_SECONDS)
+    out = []
+    prev_end = 0.0
+    for k in range(n_words):
+        s = starts[k] if np.isfinite(starts[k]) else prev_end
+        e = max(ends[k], s + FRAME_SECONDS)
+        # enforce monotonicity
+        s = max(s, prev_end)
+        e = max(e, s + FRAME_SECONDS)
+        prev_end = e
+        out.append((round(s + time_offset, 3), round(e + time_offset, 3)))
+    return out
+
+
+def assign_word_timestamps(
+    segment: TranscriptSegment,
+    cross_weights: np.ndarray,
+    token_word_index: list[int],
+    n_frames_valid: int,
+) -> None:
+    """Populate ``segment.words`` in place from attention alignment."""
+    words_text = segment.text.split()
+    times = attention_to_word_times(
+        cross_weights, token_word_index, n_frames_valid,
+        time_offset=segment.start,
+    )
+    segment.words = [
+        Word(text=w, start=t[0], end=t[1], speaker=segment.speaker)
+        for w, t in zip(words_text, times)
+    ]
