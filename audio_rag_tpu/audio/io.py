@@ -25,6 +25,15 @@ TARGET_SR = 16_000
 
 
 def _decode_wav(path: Path) -> tuple[np.ndarray, int]:
+    # native fast path (C++ decoder; audio_rag_tpu/native)
+    try:
+        from audio_rag_tpu.native import wav_decode
+
+        result = wav_decode(path.read_bytes())
+        if result is not None:
+            return result
+    except Exception:
+        pass
     try:
         with wave.open(str(path), "rb") as wf:
             sr = wf.getframerate()
@@ -80,9 +89,20 @@ def _decode_ffmpeg(path: Path, sr: int) -> tuple[np.ndarray, int]:
 
 
 def resample(audio: np.ndarray, sr: int, target_sr: int = TARGET_SR) -> np.ndarray:
-    """Polyphase resample to ``target_sr`` (identity when already there)."""
+    """Polyphase resample to ``target_sr`` (identity when already there).
+
+    Uses the native Kaiser-sinc resampler when built; scipy otherwise.
+    """
     if sr == target_sr:
         return audio.astype(np.float32, copy=False)
+    try:
+        from audio_rag_tpu.native import resample as native_resample
+
+        out = native_resample(audio, sr, target_sr)
+        if out is not None:
+            return out
+    except Exception:
+        pass
     from math import gcd
 
     from scipy.signal import resample_poly

@@ -128,6 +128,12 @@ def _attend(
     if n_kv != n_heads:  # GQA: repeat kv heads
         k = jnp.repeat(k, n_heads // n_kv, axis=1)
         v = jnp.repeat(v, n_heads // n_kv, axis=1)
+    # Pallas flash path for long unmasked self-attention (Whisper encoder)
+    from audio_rag_tpu.ops.pallas_kernels import attend_auto
+
+    flash = attend_auto(q, k, v, mask)
+    if flash is not None:
+        return flash
     scale = q.shape[-1] ** -0.5
     logits = jnp.einsum(
         "bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32

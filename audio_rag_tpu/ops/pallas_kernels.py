@@ -1,0 +1,143 @@
+"""Pallas TPU kernels for the attention hot path.
+
+Flash attention (blocked online-softmax) for the Whisper encoder's
+unmasked self-attention over 1500 frames — the single largest FLOP sink in
+ingest (SURVEY.md hot loop #1). Logits never materialize in HBM: each
+(q-block × k-block) tile is computed in VMEM with running max/sum
+renormalization, so HBM traffic is O(T·D) instead of O(T²).
+
+CPU tests run the same kernel under ``interpret=True``; callers fall back
+to the einsum path off-TPU or for masked/short sequences
+(:func:`attend_auto`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+__all__ = ["flash_attention", "attend_auto"]
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
+    """One q-block against all k/v blocks with online softmax.
+
+    q_ref: (block_q, d); k_ref/v_ref: (Tk, d); o_ref: (block_q, d).
+    """
+    block_q, d = q_ref.shape
+    tk = k_ref.shape[0]
+    n_kb = tk // block_k
+
+    q = q_ref[:].astype(jnp.float32) * scale
+
+    def body(i, carry):
+        acc, m, l = carry
+        k = k_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
+        return acc, m_new, l_new
+
+    acc0 = jnp.zeros((block_q, d), jnp.float32)
+    m0 = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, n_kb, body, (acc0, m0, l0))
+    o_ref[:] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k", "interpret")
+)
+def flash_attention(
+    q: jax.Array,  # (B, H, T, D)
+    k: jax.Array,
+    v: jax.Array,
+    block_q: int = 128,
+    block_k: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """Unmasked softmax(QKᵀ/√d)·V. T must divide by the block sizes
+    (pad beforehand — Whisper's 1500 frames pad to 1536)."""
+    B, H, T, D = q.shape
+    scale = D ** -0.5
+    qf = q.reshape(B * H, T, D)
+    kf = k.reshape(B * H, T, D)
+    vf = v.reshape(B * H, T, D)
+
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, block_k=block_k, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((B * H, T, D), q.dtype),
+        grid=(B * H, T // block_q),
+        in_specs=[
+            pl.BlockSpec((None, block_q, D), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((None, T, D), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((None, T, D), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, D), lambda b, i: (b, i, 0)),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out.reshape(B, H, T, D)
+
+
+def _pad_len(t: int, block: int) -> int:
+    return ((t + block - 1) // block) * block
+
+
+def attend_auto(
+    q: jax.Array, k: jax.Array, v: jax.Array,
+    mask: jax.Array | None = None,
+) -> jax.Array | None:
+    """Use the Pallas kernel when it applies (TPU, unmasked, long T);
+    returns None when the caller should take the einsum path."""
+    if mask is not None:
+        return None
+    B, H, T, D = q.shape
+    if T < 256 or D > 256:
+        return None
+    try:
+        platform = q.devices().pop().platform if hasattr(q, "devices") \
+            else jax.default_backend()
+    except Exception:
+        platform = jax.default_backend()
+    if platform not in ("tpu", "axon"):
+        return None
+    Tp = _pad_len(T, 128)
+    if Tp != T:
+        pad = [(0, 0), (0, 0), (0, Tp - T), (0, 0)]
+        # padded keys get -inf logits naturally? No — zero keys give logit 0.
+        # Pad keys with a large negative projection instead: simplest is to
+        # pad q/k/v with zeros and mask via value zeroing — but zero-logit
+        # pads would absorb probability mass. Take the einsum path when T
+        # is not block-aligned and the pad fraction is large.
+        if (Tp - T) / Tp > 0.1:
+            return None
+        qp = jnp.pad(q, pad)
+        kp = jnp.pad(k, pad)
+        vp = jnp.pad(v, pad)
+        # suppress padded keys with a -1e30 bias on their logits by giving
+        # padded k rows a huge negative component against a constant q dim:
+        # cheaper: run kernel then renormalize is incorrect; instead bias
+        # via extended dim:
+        pad_flag = jnp.zeros((B, H, Tp, 1), q.dtype).at[:, :, T:, :].set(1.0)
+        # extra feature dim: real queries carry a constant −1e4 that only
+        # pairs with padded keys' √(D+1) indicator → their logits ≈ −1e4,
+        # softmax mass ≈ 0; real keys carry 0 there. The kernel scales by
+        # (D+1)^-0.5, so real q features are pre-scaled to keep q·k·D^-0.5.
+        qp = qp * ((D + 1) / D) ** 0.5
+        qp = jnp.concatenate(
+            [qp, jnp.full((B, H, Tp, 1), -1e4, q.dtype)], axis=-1
+        )
+        kp = jnp.concatenate([kp, pad_flag * ((D + 1) ** 0.5)], axis=-1)
+        vp = jnp.concatenate(
+            [vp, jnp.zeros((B, H, Tp, 1), q.dtype)], axis=-1
+        )
+        out = flash_attention(qp, kp, vp)
+        return out[:, :, :T, :D]
+    return flash_attention(q, k, v)

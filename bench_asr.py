@@ -1,0 +1,87 @@
+"""ASR ingest benchmark: Whisper large-v3 real-time factor on one chip.
+
+Reference baseline (BASELINE.md): ASR stage 6 min per audio-hour (0.1x RTF)
+on an RTX 3080; full ingest 0.33x. North star: ≤0.1x RTF on a single v5e.
+
+Measures the whisper-jax backend end to end (mel → encoder → batched
+KV-cached greedy decode over all 30 s windows) with random-init large-v3
+weights — identical FLOPs to trained weights; random weights never emit
+EOT early, so every window decodes the full 224 tokens (worst case: real
+RTF is lower).
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_RTF = 0.10  # reference ASR stage: 6 min per 60 min of audio
+
+AUDIO_MINUTES = 4.0
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    import jax
+
+    from audio_rag_tpu.asr.whisper_jax import WhisperJaxASR
+    from audio_rag_tpu.config.schema import ASRConfig
+    from audio_rag_tpu.utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    log(f"devices: {jax.devices()}")
+
+    asr = WhisperJaxASR(ASRConfig(
+        backend="whisper-jax", model_size="large-v3",
+        compute_type="bfloat16", vad_filter=False, window_batch_size=8,
+    ))
+    t0 = time.time()
+    asr.load()
+    log(f"load+init {time.time() - t0:.1f}s")
+
+    sr = 16000
+    rng = np.random.default_rng(0)
+    n = int(AUDIO_MINUTES * 60 * sr)
+    # speech-band noise with amplitude modulation (VAD-friendly, nonzero mel)
+    audio = (0.1 * rng.standard_normal(n)).astype(np.float32)
+    audio *= 0.5 * (1 + np.sin(2 * np.pi * 3.0 *
+                               np.arange(n) / sr)).astype(np.float32)
+
+    # warmup: compile the (batch=8) transcribe program on a short prefix
+    t0 = time.time()
+    asr.transcribe(audio[: sr * 240], sr)
+    log(f"warmup (compile) {time.time() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    segments = asr.transcribe(audio, sr)
+    elapsed = time.perf_counter() - t0
+    audio_s = n / sr
+    rtf = elapsed / audio_s
+    log(f"{audio_s:.0f}s audio in {elapsed:.1f}s → RTF {rtf:.4f} "
+        f"({len(segments)} segments)")
+
+    print(json.dumps({
+        "metric": "whisper_large_v3_ingest_rtf",
+        "value": round(rtf, 4),
+        "unit": "x_realtime",
+        "vs_baseline": round(BASELINE_RTF / max(rtf, 1e-9), 2),
+        "extra": {
+            "baseline_rtf": BASELINE_RTF,
+            "audio_minutes": AUDIO_MINUTES,
+            "window_batch": 8,
+            "note": "random-init large-v3 (same FLOPs); full 224-token "
+                    "decode per window (no early EOT) — worst case",
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()
