@@ -38,6 +38,7 @@ from audio_rag_tpu.models.whisper import (
     WHISPER_PRESETS,
     SpecialTokens,
     WhisperDims,
+    beam_decode,
     encode,
     greedy_decode,
     init_whisper,
@@ -134,20 +135,29 @@ class WhisperJaxASR(BaseASR):
     # -- compiled programs -------------------------------------------------
     def _program(self, batch: int):
         engine = self._engine
+        strategy = self.config.decode
+        beam = self.config.beam_size
+        max_new = MAX_NEW_TOKENS if self.dims.n_text_ctx >= 448 else 8
 
         def build():
             @functools.partial(jax.jit, static_argnames=())
             def run(params, mel, prompt):
                 enc = encode(params, self.dims, mel, dtype=self.dtype)
+                if strategy == "beam":
+                    return beam_decode(
+                        params, self.dims, enc, prompt, max_new,
+                        self.tokens.eot, beam_size=beam, dtype=self.dtype,
+                    )
                 return greedy_decode(
-                    params, self.dims, enc, prompt,
-                    MAX_NEW_TOKENS if self.dims.n_text_ctx >= 448 else 8,
+                    params, self.dims, enc, prompt, max_new,
                     self.tokens.eot, dtype=self.dtype,
                 )
 
             return run
 
-        return engine.program(("whisper", "transcribe", batch), build)
+        return engine.program(
+            ("whisper", "transcribe", strategy, batch), build
+        )
 
     # -- public API --------------------------------------------------------
     @timed

@@ -234,7 +234,13 @@ def mlp_init(key: jax.Array, d_model: int, d_ff: int, bias: bool = True) -> Para
 
 
 def mlp(p: Params, x: jax.Array, dtype: jnp.dtype = jnp.bfloat16) -> jax.Array:
-    return linear(p["down"], jax.nn.gelu(linear(p["up"], x, dtype)), dtype)
+    # exact (erf) GELU: Whisper and XLM-R use it; the tanh approximation
+    # breaks logit-level parity with released checkpoints
+    return linear(
+        p["down"],
+        jax.nn.gelu(linear(p["up"], x, dtype), approximate=False),
+        dtype,
+    )
 
 
 def swiglu_init(key: jax.Array, d_model: int, d_ff: int) -> Params:

@@ -116,7 +116,6 @@ def _block_init(key: jax.Array, d: int, cross: bool) -> Params:
     p: Params = {
         "ln1": layer_norm_init(d),
         "attn": mha_init(ks[0], d, 1, bias=True, kv_bias=False),  # heads at apply
-        "ln2": layer_norm_init(d),
         "mlp": mlp_init(ks[1], d, d * 4),
         "ln_mlp": layer_norm_init(d),
     }
@@ -188,8 +187,8 @@ def encode(
     """mel (B, n_mels, 2*n_audio_ctx) → encoder states (B, n_audio_ctx, d)."""
     enc = params["encoder"]
     x = mel.transpose(0, 2, 1)  # (B, T, n_mels)
-    x = jax.nn.gelu(_conv1d(enc["conv1"], x, 1, dtype))
-    x = jax.nn.gelu(_conv1d(enc["conv2"], x, 2, dtype))
+    x = jax.nn.gelu(_conv1d(enc["conv1"], x, 1, dtype), approximate=False)
+    x = jax.nn.gelu(_conv1d(enc["conv2"], x, 2, dtype), approximate=False)
     x = x + enc["pos"].astype(dtype)
 
     n_heads = dims.n_audio_head
@@ -382,3 +381,92 @@ def greedy_decode(
         cond, body, (jnp.int32(P), tokens, sk, sv, finished)
     )
     return tokens
+
+
+def beam_decode(
+    params: Params,
+    dims: WhisperDims,
+    enc: jax.Array,  # (B, Ta, d)
+    prompt: jax.Array,  # (B, P)
+    max_new_tokens: int,
+    eot: int,
+    beam_size: int = 5,
+    length_penalty: float = 1.0,
+    dtype: jnp.dtype = jnp.bfloat16,
+) -> jax.Array:
+    """Beam search (faster-whisper's default strategy, beam_size=5).
+
+    Hypotheses live as an extra batch dimension (B·K sequences decode as
+    one batched program); caches reorder by gather each step. Returns the
+    best hypothesis per batch item, (B, P+max_new), EOT-padded.
+    """
+    B, P = prompt.shape
+    K = beam_size
+    L, H = dims.n_text_layer, dims.n_text_head
+    hd = dims.n_text_state // H
+    total = P + max_new_tokens
+    cache_len = min(dims.n_text_ctx, total)
+
+    # expand encoder state to B*K
+    enc_k = jnp.repeat(enc, K, axis=0)
+    cross_kv = precompute_cross_kv(params, dims, enc_k, dtype)
+
+    prompt_k = jnp.repeat(prompt, K, axis=0)  # (B*K, P)
+    sk = jnp.zeros((L, B * K, H, cache_len, hd), dtype)
+    sv = jnp.zeros_like(sk)
+    logits, (sk, sv), _ = decoder_forward(
+        params, dims, prompt_k, cross_kv, 0, (sk, sv), dtype
+    )
+    logp0 = jax.nn.log_softmax(logits[:, -1, :], axis=-1)  # (B*K, V)
+    V = dims.n_vocab
+
+    # initialize: take top-K distinct first tokens from beam 0 of each item
+    first = logp0.reshape(B, K, V)[:, 0, :]
+    top_lp, top_tok = jax.lax.top_k(first, K)  # (B, K)
+    tokens = jnp.full((B, K, total), eot, jnp.int32)
+    tokens = tokens.at[:, :, :P].set(prompt[:, None, :])
+    tokens = tokens.at[:, :, P].set(top_tok)
+    sum_lp = top_lp  # (B, K)
+    finished = top_tok == eot
+
+    def body(i, state):
+        tokens, sum_lp, finished, sk, sv = state
+        cur = jax.lax.dynamic_slice(
+            tokens.reshape(B * K, total), (0, i), (B * K, 1)
+        )
+        logits, (sk_n, sv_n), _ = decoder_forward(
+            params, dims, cur, cross_kv, i, (sk, sv), dtype
+        )
+        logp = jax.nn.log_softmax(
+            logits[:, -1, :], axis=-1
+        ).reshape(B, K, V)
+        # finished beams may only extend with EOT at no cost
+        eot_only = jnp.full((V,), -jnp.inf).at[eot].set(0.0)
+        logp = jnp.where(finished[:, :, None], eot_only[None, None, :], logp)
+
+        cand = sum_lp[:, :, None] + logp  # (B, K, V)
+        cand_flat = cand.reshape(B, K * V)
+        new_lp, flat_idx = jax.lax.top_k(cand_flat, K)  # (B, K)
+        src_beam = flat_idx // V  # (B, K)
+        new_tok = (flat_idx % V).astype(jnp.int32)
+
+        # reorder per-beam state by source beam
+        gather = (jnp.arange(B)[:, None] * K + src_beam).reshape(-1)
+        tokens = tokens.reshape(B * K, total)[gather].reshape(B, K, total)
+        tokens = tokens.at[:, :, i + 1].set(new_tok)
+        sk = sk_n[:, gather]
+        sv = sv_n[:, gather]
+        finished = finished.reshape(B * K)[gather].reshape(B, K)
+        finished = finished | (new_tok == eot)
+        return tokens, new_lp, finished, sk, sv
+
+    tokens, sum_lp, finished, _, _ = jax.lax.fori_loop(
+        jnp.int32(P), jnp.int32(total - 1), body,
+        (tokens, sum_lp, finished, sk, sv),
+    )
+
+    # pick best by length-normalized logprob
+    lengths = jnp.sum((tokens != eot).astype(jnp.float32), axis=-1) - P + 1.0
+    score = sum_lp / jnp.maximum(lengths, 1.0) ** length_penalty
+    best = jnp.argmax(score, axis=-1)  # (B,)
+    return tokens[jnp.arange(B), best]

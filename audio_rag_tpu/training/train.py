@@ -58,7 +58,6 @@ def _block_spec(cross: bool) -> dict:
             "v": {"w": col_w, "b": col_b},
             "o": {"w": row_w, "b": rep_b},
         },
-        "ln2": ln,
         "mlp": {
             "up": {"w": col_w, "b": col_b},
             "down": {"w": row_w, "b": rep_b},

@@ -1,0 +1,82 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audio_rag_tpu.models.whisper import (
+    WHISPER_PRESETS,
+    SpecialTokens,
+    beam_decode,
+    decoder_forward,
+    encode,
+    greedy_decode,
+    init_whisper,
+    precompute_cross_kv,
+)
+
+DIMS = WHISPER_PRESETS["test"]
+ST = SpecialTokens.for_dims(DIMS)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = init_whisper(jax.random.PRNGKey(0), DIMS)
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(
+        rng.standard_normal((2, DIMS.n_mels, 2 * DIMS.n_audio_ctx)),
+        jnp.float32,
+    )
+    enc = encode(params, DIMS, mel, dtype=jnp.float32)
+    prompt = jnp.array(
+        [[ST.sot, ST.lang_base, ST.transcribe, ST.no_timestamps]] * 2,
+        jnp.int32,
+    )
+    return params, enc, prompt
+
+
+class TestBeamDecode:
+    def test_shapes_and_determinism(self, setup):
+        params, enc, prompt = setup
+        o1 = beam_decode(params, DIMS, enc, prompt, 6, ST.eot,
+                         beam_size=3, dtype=jnp.float32)
+        o2 = beam_decode(params, DIMS, enc, prompt, 6, ST.eot,
+                         beam_size=3, dtype=jnp.float32)
+        assert o1.shape == (2, prompt.shape[1] + 6)
+        np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+    def test_beam1_matches_greedy(self, setup):
+        """beam_size=1 must reduce exactly to greedy decoding."""
+        params, enc, prompt = setup
+        beam = beam_decode(params, DIMS, enc, prompt, 6, ST.eot,
+                           beam_size=1, dtype=jnp.float32)
+        greedy = greedy_decode(params, DIMS, enc, prompt, 6, ST.eot,
+                               dtype=jnp.float32)
+        np.testing.assert_array_equal(np.asarray(beam), np.asarray(greedy))
+
+    def test_beam_sequence_logprob_not_worse_than_greedy(self, setup):
+        """The beam winner's total logprob must be >= greedy's (that's the
+        point of beam search)."""
+        params, enc, prompt = setup
+
+        def seq_logprob(tokens):
+            ckv = precompute_cross_kv(params, DIMS, enc, jnp.float32)
+            logits, _, _ = decoder_forward(
+                params, DIMS, tokens[:, :-1], ckv, dtype=jnp.float32
+            )
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            P = prompt.shape[1]
+            total = 0.0
+            for b in range(tokens.shape[0]):
+                for i in range(P - 1, tokens.shape[1] - 1):
+                    tid = int(tokens[b, i + 1])
+                    total += float(logp[b, i, tid])
+                    if tid == ST.eot:
+                        break
+            return total
+
+        beam = beam_decode(params, DIMS, enc, prompt, 5, ST.eot,
+                           beam_size=4, dtype=jnp.float32)
+        greedy = greedy_decode(params, DIMS, enc, prompt, 5, ST.eot,
+                               dtype=jnp.float32)
+        assert seq_logprob(np.asarray(beam)) >= \
+            seq_logprob(np.asarray(greedy)) - 1e-3
