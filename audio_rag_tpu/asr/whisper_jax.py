@@ -216,6 +216,35 @@ class WhisperJaxASR(BaseASR):
     ) -> list[TranscriptSegment]:
         return self.transcribe(audio, sample_rate, word_timestamps=True, **kw)
 
+    def detect_language(
+        self, audio: np.ndarray | str, sample_rate: int | None = None
+    ) -> tuple[int, float]:
+        """(language offset from <|en|>, probability) for the first window
+        (faster-whisper detect_language parity)."""
+        from audio_rag_tpu.models.whisper import detect_language, encode
+
+        self.require_loaded()
+        wav, _ = decode_audio(audio, sample_rate)
+        n = 2 * self.dims.n_audio_ctx * HOP_LENGTH
+        window = np.zeros(n, np.float32)
+        window[: min(len(wav), n)] = wav[:n]
+        mel = log_mel_spectrogram(
+            jnp.asarray(window), n_mels=self.dims.n_mels
+        )[None]
+
+        def build():
+            @jax.jit
+            def run(params, mel):
+                enc = encode(params, self.dims, mel, dtype=self.dtype)
+                return detect_language(params, self.dims, enc,
+                                       self.tokens, self.dtype)
+
+            return run
+
+        run = self._engine.program(("whisper", "lang"), build)
+        lang, prob = run(self._params, mel)
+        return int(np.asarray(lang)[0]), float(np.asarray(prob)[0])
+
     # -- internals ---------------------------------------------------------
     def _transcribe_batch(
         self, windows: list[tuple[float, np.ndarray]], lang: str,

@@ -383,6 +383,35 @@ def greedy_decode(
     return tokens
 
 
+N_LANGUAGES = 100  # multilingual whisper language-token block size
+
+
+def detect_language(
+    params: Params,
+    dims: WhisperDims,
+    enc: jax.Array,  # (B, Ta, d)
+    st: SpecialTokens,
+    dtype: jnp.dtype = jnp.bfloat16,
+) -> tuple[jax.Array, jax.Array]:
+    """Language id + probability from one decoder step over <|sot|>.
+
+    faster-whisper's detect_language: softmax over the language-token block
+    of the first-step logits. Returns (lang_offset (B,), prob (B,)) where
+    offset indexes from ``st.lang_base``.
+    """
+    B = enc.shape[0]
+    ckv = precompute_cross_kv(params, dims, enc, dtype)
+    sot = jnp.full((B, 1), st.sot, jnp.int32)
+    logits, _, _ = decoder_forward(params, dims, sot, ckv, dtype=dtype)
+    n_lang = min(N_LANGUAGES, dims.n_vocab - st.lang_base)
+    lang_logits = jax.lax.dynamic_slice_in_dim(
+        logits[:, 0, :], st.lang_base, n_lang, axis=-1
+    )
+    probs = jax.nn.softmax(lang_logits.astype(jnp.float32), axis=-1)
+    best = jnp.argmax(probs, axis=-1)
+    return best, probs[jnp.arange(B), best]
+
+
 def beam_decode(
     params: Params,
     dims: WhisperDims,

@@ -30,6 +30,7 @@ from audio_rag_tpu.generation.base import create_generator
 from audio_rag_tpu.retrieval.base import RetrievalRegistry
 from audio_rag_tpu.utils.decorators import timed
 from audio_rag_tpu.utils.logging import get_logger
+from audio_rag_tpu.utils.tracing import span
 
 log = get_logger(__name__)
 
@@ -198,7 +199,8 @@ class IngestionPipeline:
         if not segments and not chunks:
             # 1. transcribe (words needed for alignment)
             self._progress("transcribing", 0.0)
-            segments = self.asr.transcribe_with_words(audio, sample_rate)
+            with span("ingest.transcribe"):
+                segments = self.asr.transcribe_with_words(audio, sample_rate)
             t0 = clock("transcribe", t0)
             if not segments:
                 return IngestionResult(
@@ -211,7 +213,8 @@ class IngestionPipeline:
             # 2-3. diarize + align
             if diarize:
                 self._progress("diarizing", 0.2)
-                diar = self.diarizer.diarize(audio, sample_rate)
+                with span("ingest.diarize"):
+                    diar = self.diarizer.diarize(audio, sample_rate)
                 t0 = clock("diarize", t0)
                 self._progress("aligning", 0.4)
                 words = [w for s in segments for w in s.words]
@@ -244,10 +247,12 @@ class IngestionPipeline:
 
         # 6. embed + store
         self._progress("embedding", 0.7)
-        embeddings = self.embedder.embed([c.text for c in chunks])
+        with span("ingest.embed"):
+            embeddings = self.embedder.embed([c.text for c in chunks])
         t0 = clock("embed", t0)
         self._progress("indexing", 0.9)
-        self.retriever.add(chunks, embeddings, collection)
+        with span("ingest.index"):
+            self.retriever.add(chunks, embeddings, collection)
         clock("index", t0)
         self._progress("done", 1.0)
 

@@ -26,6 +26,15 @@ log = get_logger(__name__)
 __all__ = ["AudioRAG"]
 
 
+def _trace_summary() -> dict[str, Any]:
+    try:
+        from audio_rag_tpu.utils.tracing import get_trace_summary
+
+        return get_trace_summary()
+    except Exception:
+        return {}
+
+
 class AudioRAG:
     def __init__(self, config: AudioRAGConfig | None = None):
         self.config = config or AudioRAGConfig()
@@ -83,6 +92,9 @@ class AudioRAG:
     def query(self, query: str, **kw: Any) -> QueryResult:
         return self.querying.query(query, **kw)
 
+    def query_batch(self, queries: list[str], **kw: Any) -> list[QueryResult]:
+        return self.querying.query_batch(queries, **kw)
+
     def get_context(self, query: str, **kw: Any) -> str:
         return self.querying.get_context_for_llm(query, **kw)
 
@@ -110,6 +122,7 @@ class AudioRAG:
             "resources": get_resource_manager().status(),
             "collections": collections,
             "stage_timings": get_stage_timings(),
+            "traces": _trace_summary(),
         }
 
     def clear_collection(self, collection: str | None = None) -> bool:

@@ -28,6 +28,7 @@ from audio_rag_tpu.retrieval.base import RetrievalRegistry
 from audio_rag_tpu.tts.base import create_tts
 from audio_rag_tpu.utils.decorators import timed
 from audio_rag_tpu.utils.logging import get_logger
+from audio_rag_tpu.utils.tracing import span
 
 log = get_logger(__name__)
 
@@ -121,6 +122,67 @@ class QueryPipeline:
         return self._expander
 
     @property
+    def fused_engine(self):
+        """Fused batched QueryEngine when the loaded backends support it
+        (BGE-M3 embedder + TPU store): one device program per query batch
+        instead of separate embed/search dispatches."""
+        if not hasattr(self, "_fused"):
+            self._fused = None
+            try:
+                from audio_rag_tpu.embeddings.bge import BGEM3Embedder
+                from audio_rag_tpu.engine.query_engine import QueryEngine
+                from audio_rag_tpu.retrieval.tpu_store import TPUVectorStore
+
+                if isinstance(self.embedder, BGEM3Embedder) and isinstance(
+                    self.retriever, TPUVectorStore
+                ):
+                    self._fused = QueryEngine(
+                        self.embedder, self.retriever, None
+                    )
+            except Exception as exc:
+                log.debug("fused engine unavailable: %s", exc)
+        return self._fused
+
+    def query_batch(
+        self,
+        queries: list[str],
+        top_k: int | None = None,
+        search_type: str | None = None,
+        collection: str | None = None,
+        rerank: bool | None = None,
+    ) -> list[QueryResult]:
+        """Batched query entry point (fused device path when available)."""
+        top_k = top_k or self.config.retrieval.top_k
+        search_type = search_type or self.config.retrieval.search_type
+        do_rerank = (
+            self.config.reranking.backend != "none"
+            if rerank is None else rerank
+        )
+        fused = self.fused_engine
+        if fused is not None:
+            fused.collection = collection
+            fused.reranker = self.reranker if do_rerank else None
+            t0 = time.perf_counter()
+            rows = fused.query_batch(
+                queries, top_k=top_k, search_type=search_type,
+                initial_k=self.config.reranking.initial_k,
+                rerank=do_rerank,
+            )
+            dt = round((time.perf_counter() - t0) / max(len(queries), 1), 4)
+            return [
+                QueryResult(
+                    query=q, results=row,
+                    response=self._build_response(q, row), elapsed_s=dt,
+                )
+                for q, row in zip(queries, rows)
+            ]
+        return [
+            self.query(q, top_k=top_k, search_type=search_type,
+                       collection=collection, rerank=do_rerank)
+            for q in queries
+        ]
+
+    @property
     def tts(self):
         if not self._tts_built:
             self._tts = create_tts(self.config.tts)
@@ -175,20 +237,23 @@ class QueryPipeline:
             t0 = clock("hyde", t0)
 
         # 2. embed
-        emb = self.embedder.embed_query(embed_text)
+        with span("query.embed"):
+            emb = self.embedder.embed_query(embed_text)
         t0 = clock("embed", t0)
 
         # 3. retrieve (over-fetch when reranking, reference query.py:146-152)
         fetch_k = self.config.reranking.initial_k if do_rerank else top_k
-        results = self.retriever.search(
-            emb, top_k=fetch_k, search_type=search_type,
-            collection=collection, metadata_filter=metadata_filter,
-        )
+        with span("query.search"):
+            results = self.retriever.search(
+                emb, top_k=fetch_k, search_type=search_type,
+                collection=collection, metadata_filter=metadata_filter,
+            )
         t0 = clock("search", t0)
 
         # 4. rerank with the ORIGINAL query
         if do_rerank and self.reranker is not None and results:
-            results = self.reranker.rerank(query, results, top_k)
+            with span("query.rerank"):
+                results = self.reranker.rerank(query, results, top_k)
             t0 = clock("rerank", t0)
         else:
             results = results[:top_k]

@@ -135,6 +135,39 @@ def main() -> None:
     log(f"qps={qps:.1f} batch_p50={batch_p50:.0f}ms "
         f"single_p50={single_p50:.0f}ms")
 
+    # secondary headline: whisper large-v3 ingest RTF (compiles are cached
+    # across runs by the persistent cache; skip silently if it can't load)
+    asr_rtf = None
+    try:
+        from audio_rag_tpu.asr.whisper_jax import WhisperJaxASR
+        from audio_rag_tpu.config.schema import ASRConfig
+
+        # free the query-path models: large-v3 + xlmr-large + workspaces
+        # exceed a single v5e's HBM
+        engine.reranker = None
+        engine.embedder = None
+        reranker.unload()
+        embedder.unload()
+
+        asr = WhisperJaxASR(ASRConfig(
+            model_size="large-v3", compute_type="bfloat16",
+            vad_filter=False, window_batch_size=8,
+        ))
+        asr.load()
+        n = 120 * 16000  # 2 minutes
+        audio = (0.1 * rng.standard_normal(n)).astype(np.float32)
+        audio *= 0.5 * (1 + np.sin(
+            2 * np.pi * 3.0 * np.arange(n) / 16000
+        )).astype(np.float32)
+        asr.transcribe(audio[: 16000 * 120], 16000)  # warm/compile
+        t1 = time.perf_counter()
+        asr.transcribe(audio, 16000)
+        asr_rtf = round((time.perf_counter() - t1) / 120.0, 4)
+        log(f"asr rtf={asr_rtf}")
+        asr.unload()
+    except Exception as exc:  # pragma: no cover
+        log(f"asr bench skipped: {exc}")
+
     print(json.dumps({
         "metric": "hybrid_search_rerank_qps",
         "value": round(qps, 1),
@@ -147,6 +180,8 @@ def main() -> None:
             "baseline_qps": BASELINE_QPS,
             "baseline_p50_ms": 141,
             "corpus_size": CORPUS_SIZE,
+            "asr_rtf_large_v3": asr_rtf,
+            "asr_rtf_baseline": 0.10,
             "note": "BGE-M3 embed + hybrid RRF + cross-encoder rerank(20→5) "
                     "as 2 fused device programs per batch; random-init "
                     "weights (same FLOPs as trained); single-chip v5e via "
