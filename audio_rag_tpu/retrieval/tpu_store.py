@@ -44,6 +44,28 @@ from audio_rag_tpu.utils.decorators import timed
 __all__ = ["TPUVectorStore", "Collection"]
 
 
+def _row_placers(capacity: int):
+    """(rows, vector) device_put functions, row-sharded over the mesh's
+    data axis when it has more than one device."""
+    try:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from audio_rag_tpu.parallel.mesh import get_default_mesh
+
+        mesh = get_default_mesh()
+        n_data = mesh.shape.get("data", 1)
+        if n_data > 1 and capacity % n_data == 0:
+            rows = NamedSharding(mesh, P("data", None))
+            vec = NamedSharding(mesh, P("data"))
+            return (
+                lambda x: jax.device_put(x, rows),
+                lambda x: jax.device_put(x, vec),
+            )
+    except Exception:
+        pass
+    return jax.device_put, jax.device_put
+
+
 @dataclass
 class Collection:
     """One namespace of chunks: host mirrors + lazily-synced device arrays."""
@@ -87,18 +109,22 @@ class Collection:
     def device_arrays(self) -> dict[str, jax.Array]:
         """Upload host mirrors once per mutation; cached across queries.
 
-        The no-filter valid mask is cached too: on this runtime every
-        host↔device interaction costs ~28 ms once transfers have begun, so
-        the hot no-filter path must not re-upload a mask per query.
+        Multi-chip: corpus rows shard over the mesh's ``data`` axis
+        (capacity is a multiple of ``capacity_step``, which divides by the
+        axis size), so scoring runs shard-local and XLA inserts the
+        all-gather for the final top-k merge. The no-filter valid mask is
+        cached on device too: on this runtime every host↔device interaction
+        costs ~28 ms once transfers have begun.
         """
         if not self._device:
             mask = np.zeros(self.capacity, bool)
             mask[: self.count] = True
+            put_rows, put_vec = _row_placers(self.capacity)
             self._device = {
-                "dense": jax.device_put(self.dense),
-                "doc_tokens": jax.device_put(self.doc_tokens),
-                "doc_weights": jax.device_put(self.doc_weights),
-                "valid_mask": jax.device_put(mask),
+                "dense": put_rows(self.dense),
+                "doc_tokens": put_rows(self.doc_tokens),
+                "doc_weights": put_rows(self.doc_weights),
+                "valid_mask": put_vec(mask),
             }
         return self._device
 
