@@ -71,7 +71,9 @@ class QueryEngine:
                 else:
                     d = dense_scores(dense, corpus_dense)
                     s = sparse_scores(q_tok, q_w, doc_tokens, doc_weights)
-                    scores = rrf_fuse([d, s], valid_mask, rrf_k=rrf_k)
+                    # prefetch = 2·k, Qdrant's Prefetch(limit) convention
+                    scores = rrf_fuse([d, s], valid_mask, rrf_k=rrf_k,
+                                      prefetch=2 * k)
                 ts, ti = topk_with_mask(scores, valid_mask, k)
                 return jnp.stack([ts, ti.astype(jnp.float32)])
 

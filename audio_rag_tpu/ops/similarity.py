@@ -91,27 +91,28 @@ def rrf_fuse(
     score_lists: list[jax.Array],  # each (B, N)
     valid_mask: jax.Array,  # (N,)
     rrf_k: float = 2.0,
-    prefetch: int = 0,
+    prefetch: int = 64,
 ) -> jax.Array:
     """Reciprocal Rank Fusion: Σ_lists 1/(rrf_k + rank_list(doc)).
 
-    ``rank`` is 0-based dense rank by descending score (ties broken by index,
-    matching a stable sort). When ``prefetch`` > 0 only the top-``prefetch``
-    docs of each list contribute, mirroring Qdrant's Prefetch(limit=2k)
-    semantics in the reference hybrid query (``retrieval/qdrant.py:281-298``).
+    Matches the reference's actual retrieval semantics — Qdrant fuses only
+    the docs inside each ``Prefetch(limit=2·k)`` list
+    (``retrieval/qdrant.py:281-298``) — and maps far better onto TPU than
+    full-corpus ranking: two ``top_k(prefetch)`` calls + scatter-adds
+    instead of two O(N log N) sorts per list. Docs outside every prefetch
+    list contribute 0.
     """
-    fused = jnp.zeros_like(score_lists[0])
-    n = score_lists[0].shape[-1]
+    B, N = score_lists[0].shape
+    prefetch = min(prefetch if prefetch > 0 else 64, N)
+    fused = jnp.zeros((B, N), jnp.float32)
+    rank_contrib = 1.0 / (rrf_k + jnp.arange(prefetch, dtype=jnp.float32))
     for scores in score_lists:
         masked = jnp.where(valid_mask, scores, NEG_INF)
-        order = jnp.argsort(-masked, axis=-1, stable=True)
-        ranks = jnp.argsort(order, axis=-1, stable=True).astype(jnp.float32)
-        contrib = 1.0 / (rrf_k + ranks)
-        if prefetch > 0:
-            contrib = jnp.where(ranks < prefetch, contrib, 0.0)
-        # docs with -inf score (invalid/no-match) contribute nothing
-        contrib = jnp.where(masked > NEG_INF / 2, contrib, 0.0)
-        fused = fused + contrib
+        top_s, top_i = jax.lax.top_k(masked, prefetch)  # (B, prefetch)
+        contrib = jnp.where(top_s > NEG_INF / 2, rank_contrib[None, :], 0.0)
+        fused = jax.vmap(
+            lambda f, idx, c: f.at[idx].add(c)
+        )(fused, top_i, contrib)
     return fused
 
 
@@ -147,7 +148,10 @@ def hybrid_search(
     elif search_type == "hybrid":
         d = dense_scores(q_dense, corpus_dense)
         s = sparse_scores(q_tokens, q_weights, doc_tokens, doc_weights)
-        scores = rrf_fuse([d, s], valid_mask, rrf_k=rrf_k, prefetch=prefetch)
+        scores = rrf_fuse(
+            [d, s], valid_mask, rrf_k=rrf_k,
+            prefetch=prefetch if prefetch > 0 else 2 * top_k,
+        )
     else:
         raise ValueError(f"unknown search_type {search_type!r}")
     top_scores, top_idx = topk_with_mask(scores, valid_mask, top_k)

@@ -117,7 +117,11 @@ class BGEReranker(BaseReranker):
             for q, t in zip(queries, texts)
         ]
         T = _bucket(max(len(s) for s in seqs), 16, max_len)
-        B = _bucket(len(seqs), 1, 4096)
+        # small batches: pow-2 buckets (few compile variants); large ones:
+        # multiples of 512 — a 2560-pair batch would pad to 4096 (60%
+        # wasted MXU work) under pow-2 bucketing
+        n = len(seqs)
+        B = _bucket(n, 1, 256) if n <= 256 else ((n + 511) // 512) * 512
         ids, _ = pad_batch(seqs, T, -1)
         if len(seqs) < B:
             ids = np.pad(ids, ((0, B - len(seqs)), (0, 0)),

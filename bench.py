@@ -29,8 +29,8 @@ import numpy as np
 BASELINE_QPS = 7.1  # reference search+rerank throughput (BASELINE.md)
 
 CORPUS_SIZE = 10_000
-BATCH = 64
-N_BATCHES = 8
+BATCH = 128
+N_BATCHES = 6
 N_SINGLE = 10
 
 
