@@ -70,23 +70,71 @@ class ContextualProcessor:
                         chunk.chunk_id, exc)
             return None
 
+    def _build_prompt(self, chunk: AudioChunk,
+                      neighbors: list[AudioChunk]) -> str:
+        ctx = "\n".join(
+            f"- {n.text[:NEIGHBOR_TRUNCATE]}" for n in neighbors
+        ) or "(none)"
+        return CONTEXT_PROMPT.format(
+            context=ctx,
+            speaker=chunk.speaker or "unknown",
+            start=chunk.start,
+            end=chunk.end,
+            chunk=chunk.text,
+        )
+
     @timed
     def process_chunks(self, chunks: list[AudioChunk]) -> list[AudioChunk]:
         """Prepend ``[Context: ...]`` headers; original text kept in
-        metadata['original_text'] (reference processor.py:133-201)."""
+        metadata['original_text'] (reference processor.py:133-201).
+
+        All headers for a file generate as batched device calls when the
+        generator supports ``generate_batch`` — the reference's slowest
+        ingest stage (one serial Ollama call per chunk) becomes a handful
+        of batched decodes.
+        """
         if not self.config.enabled or self.generator is None:
             return chunks
         w = self.config.window_size
-        out: list[AudioChunk] = []
+        prompts = []
         for i, chunk in enumerate(chunks):
             neighbors = [
                 chunks[j]
                 for j in range(max(0, i - w), min(len(chunks), i + w + 1))
                 if j != i
             ]
-            header = self.generate_context(chunk, neighbors)
+            prompts.append(self._build_prompt(chunk, neighbors))
+
+        headers: list[str | None]
+        gen_batch = getattr(self.generator, "generate_batch", None)
+        if callable(gen_batch):
+            headers = []
+            BATCH = 16
+            for i in range(0, len(prompts), BATCH):
+                try:
+                    headers.extend(gen_batch(
+                        prompts[i: i + BATCH], max_tokens=96,
+                        temperature=0.3,
+                    ))
+                except Exception as exc:
+                    log.warning("batched contextual headers failed: %s", exc)
+                    headers.extend([None] * len(prompts[i: i + BATCH]))
+        else:
+            headers = []
+            for p in prompts:
+                try:
+                    headers.append(self.generator.generate(
+                        p, max_tokens=96, temperature=0.3
+                    ))
+                except Exception as exc:
+                    log.warning("contextual header failed: %s", exc)
+                    headers.append(None)
+
+        out: list[AudioChunk] = []
+        for chunk, header in zip(chunks, headers):
+            header = (header or "").strip() or None
             if header:
-                new = AudioChunk(
+                out.append(AudioChunk(
                     text=f"[Context: {header}]\n{chunk.text}",
                     start=chunk.start,
                     end=chunk.end,
@@ -94,8 +142,7 @@ class ContextualProcessor:
                     chunk_id=chunk.chunk_id,
                     metadata={**chunk.metadata, "original_text": chunk.text,
                               "contextualized": True},
-                )
-                out.append(new)
+                ))
             else:
                 out.append(chunk)
         return out

@@ -86,31 +86,72 @@ class LLMGenerator(BaseGenerator):
         max_tokens: int | None = None,
         temperature: float | None = None,
     ) -> str:
+        return self.generate_batch(
+            [prompt], system=system, max_tokens=max_tokens,
+            temperature=temperature,
+        )[0]
+
+    @timed
+    def generate_batch(
+        self,
+        prompts: list[str],
+        system: str | None = None,
+        max_tokens: int | None = None,
+        temperature: float | None = None,
+    ) -> list[str]:
+        """Decode many prompts as ONE batched device program.
+
+        This is what makes contextual ingest viable: the reference's slowest
+        stage is one serial Ollama HTTP call per chunk (~10 min/audio-hour,
+        SURVEY.md hot loop #4); here all chunk headers decode together.
+        Prompts left-pad to a shared bucket so positions align at the end.
+        """
         self.require_loaded()
-        text = f"{system}\n\n{prompt}" if system else prompt
-        ids = self._tok.encode(text)[-(self.dims.max_len - 8):]
+        if not prompts:
+            return []
+        texts = [f"{system}\n\n{p}" if system else p for p in prompts]
+        seqs = [
+            self._tok.encode(t)[-(self.dims.max_len - 8):] for t in texts
+        ]
+        max_p = max(len(s) for s in seqs)
+        P = 1 << (max_p - 1).bit_length()  # pow-2 prompt bucket
+        P = min(P, self.dims.max_len - 8)
+        # left-pad so every sequence ends at position P; pads are masked
+        # out of attention via prompt_mask
+        pad_id = self._tok.eos_id
+        batch = np.full((len(seqs), P), pad_id, np.int32)
+        mask = np.zeros((len(seqs), P), bool)
+        for i, s in enumerate(seqs):
+            s = s[-P:]
+            batch[i, P - len(s):] = s
+            mask[i, P - len(s):] = True
+
         max_new = min(
             max_tokens or self.config.max_tokens,
-            self.dims.max_len - len(ids) - 1,
+            self.dims.max_len - P - 1,
         )
         if max_new <= 0:
             raise GenerationError(
                 "prompt exhausts the context window",
-                context={"prompt_tokens": len(ids),
+                context={"prompt_tokens": max_p,
                          "max_len": self.dims.max_len},
             )
         temp = self.config.temperature if temperature is None else temperature
         out = llm_generate(
-            self._params, self.dims,
-            jnp.asarray(np.array([ids], np.int32)),
-            max_new, eos_id=self._tok.eos_id, temperature=temp,
-            rng=jax.random.PRNGKey(abs(hash(text)) % (2 ** 31)),
+            self._params, self.dims, jnp.asarray(batch),
+            max_new, eos_id=pad_id, temperature=temp,
+            rng=jax.random.PRNGKey(abs(hash(tuple(texts))) % (2 ** 31)),
+            prompt_mask=jnp.asarray(mask),
         )
-        gen = np.asarray(out)[0, len(ids):]
-        eos = np.nonzero(gen == self._tok.eos_id)[0]
-        if eos.size:
-            gen = gen[: eos[0]]
-        return self._tok.decode(gen.tolist()).strip()
+        out = np.asarray(out)
+        results = []
+        for i in range(len(seqs)):
+            gen = out[i, P:]
+            eos = np.nonzero(gen == pad_id)[0]
+            if eos.size:
+                gen = gen[: eos[0]]
+            results.append(self._tok.decode(gen.tolist()).strip())
+        return results
 
     def generate_stream(
         self,

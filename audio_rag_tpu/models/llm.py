@@ -169,8 +169,12 @@ def llm_forward(
     pos_offset=0,
     cache: tuple[jax.Array, jax.Array] | None = None,  # (L, B, HKV, C, hd) ×2
     dtype: jnp.dtype = jnp.bfloat16,
+    kv_valid: jax.Array | None = None,  # (B, C or T) bool, False = pad slot
 ) -> tuple[jax.Array, tuple[jax.Array, jax.Array] | None]:
-    """Returns (logits (B, T, vocab) fp32, updated cache)."""
+    """Returns (logits (B, T, vocab) fp32, updated cache).
+
+    ``kv_valid`` masks left-padded prompt positions out of attention
+    (needed for batched generation over unequal-length prompts)."""
     B, T = tokens.shape
     hd = dims.d_model // dims.n_heads
     cos_t, sin_t = _rope_tables(dims, hd)
@@ -185,6 +189,9 @@ def llm_forward(
         mask = mask & (jnp.arange(C)[None, :] < pos_offset + T)
     else:
         mask = make_causal_mask(T, T)
+    if kv_valid is not None:
+        # (B, 1, 1, C/T) broadcast against (T, C/T)
+        mask = mask[None, None] & kv_valid[:, None, None, :]
 
     def block(carry, layer):
         x = carry
@@ -234,6 +241,7 @@ def llm_generate(
     temperature: float = 0.0,
     rng: jax.Array | None = None,
     dtype: jnp.dtype = jnp.bfloat16,
+    prompt_mask: jax.Array | None = None,  # (B, P) bool, False = left-pad
 ) -> jax.Array:
     """Batched sampling with static KV cache; returns (B, P+max_new)."""
     B, Pl = prompt.shape
@@ -243,8 +251,16 @@ def llm_generate(
     lk = jnp.zeros((dims.n_layers, B, dims.n_kv_heads, cache_len, hd), dtype)
     lv = jnp.zeros_like(lk)
 
+    kv_valid = None
+    if prompt_mask is not None:
+        kv_valid = jnp.concatenate(
+            [prompt_mask.astype(bool),
+             jnp.ones((B, cache_len - Pl), bool)], axis=1
+        )
+
     logits, (lk, lv) = llm_forward(
-        params, dims, prompt, 0, (lk, lv), dtype
+        params, dims, prompt, 0, (lk, lv), dtype,
+        kv_valid=kv_valid[:, :cache_len] if kv_valid is not None else None,
     )
     if rng is None:
         rng = jax.random.PRNGKey(0)
@@ -270,7 +286,9 @@ def llm_generate(
     def body(state):
         i, tokens, lk, lv, finished, rng = state
         cur = jax.lax.dynamic_slice(tokens, (0, i), (B, 1))
-        logits, (lk, lv) = llm_forward(params, dims, cur, i, (lk, lv), dtype)
+        logits, (lk, lv) = llm_forward(
+            params, dims, cur, i, (lk, lv), dtype, kv_valid=kv_valid
+        )
         key, rng = jax.random.split(rng)
         nxt = pick(logits[:, -1, :], key)
         nxt = jnp.where(finished, eos_id, nxt)
