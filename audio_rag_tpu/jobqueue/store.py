@@ -283,6 +283,33 @@ class JobStore:
             self._conn.commit()
         return int(n)
 
+    def requeue_stale(self, worker_ttl_s: float = 300.0) -> list[str]:
+        """Requeue RUNNING jobs claimed by workers with expired heartbeats.
+
+        Crash recovery the reference delegated to RQ: a worker that dies
+        mid-job leaves the job RUNNING forever; any live worker calls this
+        periodically so the job returns to QUEUED (and resumes from its
+        last stage checkpoint).
+        """
+        cutoff = time.time() - worker_ttl_s
+        with self._lock:
+            rows = self._conn.execute(
+                "SELECT j.job_id FROM jobs j LEFT JOIN workers w"
+                " ON j.claimed_by = w.worker_id"
+                " WHERE j.status = ? AND (w.worker_id IS NULL"
+                "       OR w.last_heartbeat <= ?)",
+                (JobStatus.RUNNING.value, cutoff),
+            ).fetchall()
+            ids = [r["job_id"] for r in rows]
+            for jid in ids:
+                self._conn.execute(
+                    "UPDATE jobs SET status = ?, claimed_by = NULL,"
+                    " updated_at = ? WHERE job_id = ?",
+                    (JobStatus.QUEUED.value, time.time(), jid),
+                )
+            self._conn.commit()
+        return ids
+
     # -- maintenance -------------------------------------------------------
     def cleanup_expired(self) -> int:
         now = time.time()

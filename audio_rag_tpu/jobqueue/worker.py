@@ -204,8 +204,18 @@ class TPUWorker:
             except Exception as exc:
                 log.warning("model preload failed: %s", exc)
         self._start_heartbeat()
+        last_reap = 0.0
         try:
             while not self._stop.is_set():
+                now = time.monotonic()
+                if now - last_reap > self.config.worker.heartbeat_ttl_s:
+                    stale = self.store.requeue_stale(
+                        self.config.worker.heartbeat_ttl_s
+                    )
+                    if stale:
+                        log.warning("requeued %d stale job(s): %s",
+                                    len(stale), stale)
+                    last_reap = now
                 worked = self.run_once()
                 if max_jobs is not None and self.jobs_processed >= max_jobs:
                     break
