@@ -73,7 +73,7 @@ class AlignmentConfig(BaseModel):
 
 
 class ChunkingConfig(BaseModel):
-    strategy: Literal["speaker_turn", "fixed"] = "speaker_turn"
+    strategy: Literal["speaker_turn", "semantic", "fixed"] = "speaker_turn"
     max_tokens: int = Field(default=256, ge=50, le=2000)
     overlap_tokens: int = Field(default=50, ge=0)
     min_chunk_tokens: int = Field(default=30, ge=1)
@@ -85,7 +85,7 @@ class ContextualConfig(BaseModel):
 
 
 class EmbeddingConfig(BaseModel):
-    backend: Literal["bge-m3", "fake"] = "bge-m3"
+    backend: Literal["bge-m3", "multilingual-e5", "fake"] = "bge-m3"
     model: str = "BAAI/bge-m3"
     device: Literal["tpu", "cpu", "auto"] = "auto"
     batch_size: int = Field(default=32, ge=1)

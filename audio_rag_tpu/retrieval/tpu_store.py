@@ -271,7 +271,11 @@ class TPUVectorStore(BaseRetriever):
         if search_type not in ("dense", "sparse", "hybrid"):
             raise RetrievalError(f"unknown search_type {search_type!r}")
 
-        dev = coll.device_arrays()
+        with self._lock:  # atomic snapshot vs concurrent add()/regrow
+            dev = coll.device_arrays()
+            capacity = coll.capacity
+            count = coll.count
+            payloads = coll.payloads
         qd = np.zeros((1, coll.dim), np.float32)
         if query_embedding.dense is not None:
             v = np.asarray(query_embedding.dense, np.float32)
@@ -284,7 +288,7 @@ class TPUVectorStore(BaseRetriever):
             mask = jax.device_put(self._metadata_mask(coll, metadata_filter))
         else:
             mask = dev["valid_mask"]  # cached on device
-        k = min(top_k, coll.count)
+        k = min(top_k, count)
         # fused device program: score → fuse → top-k (pad k to cut recompiles)
         k_pad = 1 << (max(k, 1) - 1).bit_length()
         packed = hybrid_search(
@@ -295,7 +299,7 @@ class TPUVectorStore(BaseRetriever):
             dev["doc_tokens"],
             dev["doc_weights"],
             mask,
-            top_k=min(k_pad, coll.capacity),
+            top_k=min(k_pad, capacity),
             search_type=search_type,
             rrf_k=float(self.config.rrf_k),
             prefetch=0,
@@ -315,7 +319,7 @@ class TPUVectorStore(BaseRetriever):
                 continue
             if thr and s < thr:
                 continue
-            p = coll.payloads[int(i)]
+            p = payloads[int(i)]
             out.append(
                 RetrievalResult(
                     text=p["text"],
