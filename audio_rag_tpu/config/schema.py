@@ -138,6 +138,10 @@ class GenerationConfig(BaseModel):
     max_tokens: int = Field(default=1024, ge=1, le=8192)
     timeout: float = Field(default=60.0, ge=1.0)
     checkpoint_path: str | None = None
+    #: coalesce concurrent requests into batched decodes (engine/scheduler)
+    use_scheduler: bool = True
+    scheduler_max_batch: int = Field(default=16, ge=1)
+    scheduler_max_wait_ms: float = Field(default=10.0, ge=0.0)
 
 
 class TTSConfig(BaseModel):

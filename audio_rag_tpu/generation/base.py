@@ -11,7 +11,15 @@ GeneratorRegistry: Registry[BaseGenerator] = Registry("generation")
 def create_generator(config: GenerationConfig) -> BaseGenerator | None:
     if config.backend == "none":
         return None
-    return GeneratorRegistry.create(config.backend, config)
+    gen = GeneratorRegistry.create(config.backend, config)
+    if config.backend == "llm-jax" and config.use_scheduler:
+        from audio_rag_tpu.engine.scheduler import ScheduledGenerator
+
+        return ScheduledGenerator(
+            gen, max_batch=config.scheduler_max_batch,
+            max_wait_ms=config.scheduler_max_wait_ms,
+        )
+    return gen
 
 
 __all__ = ["GeneratorRegistry", "create_generator"]
