@@ -133,7 +133,7 @@ class WhisperJaxASR(BaseASR):
         return lambda ids: " ".join(f"tok{int(i)}" for i in ids)
 
     # -- compiled programs -------------------------------------------------
-    def _program(self, batch: int):
+    def _program(self, batch: int, temperature: float = 0.0):
         engine = self._engine
         strategy = self.config.decode
         beam = self.config.beam_size
@@ -143,20 +143,26 @@ class WhisperJaxASR(BaseASR):
             @functools.partial(jax.jit, static_argnames=())
             def run(params, mel, prompt):
                 enc = encode(params, self.dims, mel, dtype=self.dtype)
-                if strategy == "beam":
-                    return beam_decode(
+                if strategy == "beam" and temperature <= 0.0:
+                    toks = beam_decode(
                         params, self.dims, enc, prompt, max_new,
                         self.tokens.eot, beam_size=beam, dtype=self.dtype,
                     )
+                    B = toks.shape[0]
+                    return (toks, jnp.zeros((B,), jnp.float32),
+                            jnp.zeros((B,), jnp.float32))
                 return greedy_decode(
                     params, self.dims, enc, prompt, max_new,
                     self.tokens.eot, dtype=self.dtype,
+                    temperature=temperature,
+                    rng=jax.random.PRNGKey(int(temperature * 100)),
+                    no_speech_id=self.tokens.no_speech,
                 )
 
             return run
 
         return engine.program(
-            ("whisper", "transcribe", strategy, batch), build
+            ("whisper", "transcribe", strategy, batch, temperature), build
         )
 
     # -- public API --------------------------------------------------------
@@ -272,9 +278,33 @@ class WhisperJaxASR(BaseASR):
             ),
             (B, 1),
         )
-        run = self._program(B)
-        tokens = np.asarray(
-            run(self._params, jnp.asarray(mel_batch), jnp.asarray(prompt))
+        mel_j, prompt_j = jnp.asarray(mel_batch), jnp.asarray(prompt)
+        out = self._program(B)(self._params, mel_j, prompt_j)
+        tokens = np.array(out[0])  # writable copies (fallback ladder mutates)
+        avg_lp = np.array(out[1])
+        no_speech = np.asarray(out[2])
+
+        # temperature-fallback ladder (faster-whisper semantics): windows
+        # whose avg logprob is below threshold retry at higher temperatures;
+        # the full batch reruns (static shapes) and only failed rows update
+        if self.config.temperature_fallback and self.config.decode == "greedy":
+            for temp in self.config.fallback_temperatures:
+                failed = avg_lp < self.config.logprob_threshold
+                if not failed.any():
+                    break
+                out_t = self._program(B, float(temp))(
+                    self._params, mel_j, prompt_j
+                )
+                t_tokens = np.asarray(out_t[0])
+                t_lp = np.asarray(out_t[1])
+                improved = failed & (t_lp > avg_lp)
+                tokens[improved] = t_tokens[improved]
+                avg_lp[improved] = t_lp[improved]
+
+        # no-speech gate: Whisper drops windows where p(no_speech) is high
+        # AND the transcript is low-confidence
+        silent = (no_speech > self.config.no_speech_threshold) & (
+            avg_lp < self.config.logprob_threshold
         )
 
         # optional: one teacher-forced pass collecting cross-attention for
@@ -293,9 +323,13 @@ class WhisperJaxASR(BaseASR):
 
         out: list[TranscriptSegment] = []
         for j, (t0, seg_audio) in enumerate(windows):
+            if silent[j]:
+                continue  # whisper's no-speech gate
             dur = len(seg_audio) / SAMPLE_RATE
             text_ids = self._strip_special(tokens[j])
             segs = self._tokens_to_segments(text_ids, t0, dur, lang)
+            for s in segs:
+                s.avg_logprob = round(float(avg_lp[j]), 4)
             if want_words and window_weights is not None and segs:
                 self._apply_word_times(
                     segs, window_weights[j], clean_per_window[j], dur, t0

@@ -48,6 +48,14 @@ class ASRConfig(BaseModel):
     #: decode strategy for the autoregressive loop
     decode: Literal["greedy", "beam"] = "greedy"
     beam_size: int = Field(default=5, ge=1, le=16)
+    #: faster-whisper quality gates: retry low-confidence windows at higher
+    #: temperatures; drop windows Whisper itself flags as non-speech
+    temperature_fallback: bool = True
+    fallback_temperatures: list[float] = Field(
+        default_factory=lambda: [0.2, 0.4]
+    )
+    logprob_threshold: float = -1.0
+    no_speech_threshold: float = Field(default=0.6, ge=0.0, le=1.0)
     #: batch 30s windows together instead of sequential decode
     window_batch_size: int = Field(default=8, ge=1)
     checkpoint_path: str | None = None

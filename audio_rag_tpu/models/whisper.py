@@ -331,10 +331,17 @@ def greedy_decode(
     eot: int,
     suppress_blank: bool = False,
     dtype: jnp.dtype = jnp.bfloat16,
-) -> jax.Array:
-    """Batched greedy decode with static KV cache; returns (B, P+max_new).
+    temperature: float = 0.0,
+    rng: jax.Array | None = None,
+    no_speech_id: int | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Batched greedy/sampled decode with static KV cache.
 
-    Positions past EOT are filled with ``eot``.
+    Returns (tokens (B, P+max_new), avg_logprob (B,), no_speech_prob (B,)).
+    Positions past EOT are filled with ``eot``; ``avg_logprob`` is the mean
+    chosen-token log-probability (the quality signal faster-whisper uses
+    for its temperature-fallback ladder); ``no_speech_prob`` is read from
+    the first decode step, as Whisper defines it.
     """
     B, P = prompt.shape
     L = dims.n_text_layer
@@ -342,6 +349,8 @@ def greedy_decode(
     head_dim = dims.n_text_state // H
     total = P + max_new_tokens
     cache_len = min(dims.n_text_ctx, total)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
 
     cross_kv = precompute_cross_kv(params, dims, enc, dtype)
 
@@ -353,34 +362,59 @@ def greedy_decode(
         params, dims, prompt, cross_kv, pos_offset=0,
         self_cache=(sk, sv), dtype=dtype,
     )
-    first = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+    step0 = jax.nn.log_softmax(logits[:, -1, :].astype(jnp.float32), axis=-1)
+    no_speech_prob = (
+        jnp.exp(step0[:, no_speech_id]) if no_speech_id is not None
+        else jnp.zeros((B,), jnp.float32)
+    )
+
+    def pick(logp, key):
+        if temperature <= 0.0:
+            return jnp.argmax(logp, axis=-1).astype(jnp.int32)
+        return jax.random.categorical(
+            key, logp / temperature, axis=-1
+        ).astype(jnp.int32)
+
+    k0, rng = jax.random.split(rng)
+    first = pick(step0, k0)
+    first_lp = step0[jnp.arange(B), first]
 
     tokens = jnp.full((B, total), eot, jnp.int32)
     tokens = tokens.at[:, :P].set(prompt)
     tokens = tokens.at[:, P].set(first)
     finished = first == eot
+    sum_lp = first_lp
+    n_decoded = jnp.ones((B,), jnp.float32)
 
     def cond(state):
-        i, _, _, _, finished = state
+        i, _, _, _, finished, _, _, _ = state
         return (i < total - 1) & ~jnp.all(finished)
 
     def body(state):
-        i, tokens, sk, sv, finished = state
+        i, tokens, sk, sv, finished, sum_lp, n_decoded, rng = state
         cur = jax.lax.dynamic_slice(tokens, (0, i), (B, 1))
         logits, (sk, sv), _ = decoder_forward(
             params, dims, cur, cross_kv, pos_offset=i,
             self_cache=(sk, sv), dtype=dtype,
         )
-        nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        logp = jax.nn.log_softmax(
+            logits[:, -1, :].astype(jnp.float32), axis=-1
+        )
+        key, rng = jax.random.split(rng)
+        nxt = pick(logp, key)
         nxt = jnp.where(finished, eot, nxt)
+        lp = logp[jnp.arange(B), nxt]
+        sum_lp = sum_lp + jnp.where(finished, 0.0, lp)
+        n_decoded = n_decoded + jnp.where(finished, 0.0, 1.0)
         tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, i + 1))
         finished = finished | (nxt == eot)
-        return i + 1, tokens, sk, sv, finished
+        return i + 1, tokens, sk, sv, finished, sum_lp, n_decoded, rng
 
-    _, tokens, _, _, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(P), tokens, sk, sv, finished)
+    _, tokens, _, _, _, sum_lp, n_decoded, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(P), tokens, sk, sv, finished, sum_lp, n_decoded, rng),
     )
-    return tokens
+    return tokens, sum_lp / jnp.maximum(n_decoded, 1.0), no_speech_prob
 
 
 N_LANGUAGES = 100  # multilingual whisper language-token block size

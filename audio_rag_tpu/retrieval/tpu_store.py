@@ -104,7 +104,7 @@ class Collection:
                 [self.doc_weights, np.zeros((grow, self.max_doc_nnz), np.float32)]
             )
             self.capacity = cap
-            self._device.clear()
+            self._device = {}  # rebind, never clear: readers hold snapshots
 
     def device_arrays(self) -> dict[str, jax.Array]:
         """Upload host mirrors once per mutation; cached across queries.
@@ -129,7 +129,9 @@ class Collection:
         return self._device
 
     def invalidate_device(self) -> None:
-        self._device.clear()
+        # rebind rather than clear(): concurrent searches keep a reference
+        # to the previous (complete, immutable) snapshot
+        self._device = {}
 
 
 @RetrievalRegistry.register("tpu")

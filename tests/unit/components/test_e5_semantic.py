@@ -116,5 +116,5 @@ class TestStoreConcurrency:
             t.start()
         for t in threads:
             t.join()
-        assert not errors
+        assert not errors, [repr(e) for e in errors]
         assert store.count() == 150

@@ -49,8 +49,8 @@ class TestBeamDecode:
         params, enc, prompt = setup
         beam = beam_decode(params, DIMS, enc, prompt, 6, ST.eot,
                            beam_size=1, dtype=jnp.float32)
-        greedy = greedy_decode(params, DIMS, enc, prompt, 6, ST.eot,
-                               dtype=jnp.float32)
+        greedy, _, _ = greedy_decode(params, DIMS, enc, prompt, 6, ST.eot,
+                                     dtype=jnp.float32)
         np.testing.assert_array_equal(np.asarray(beam), np.asarray(greedy))
 
     def test_beam_sequence_logprob_not_worse_than_greedy(self, setup):
@@ -76,7 +76,7 @@ class TestBeamDecode:
 
         beam = beam_decode(params, DIMS, enc, prompt, 5, ST.eot,
                            beam_size=4, dtype=jnp.float32)
-        greedy = greedy_decode(params, DIMS, enc, prompt, 5, ST.eot,
-                               dtype=jnp.float32)
+        greedy, _, _ = greedy_decode(params, DIMS, enc, prompt, 5, ST.eot,
+                                     dtype=jnp.float32)
         assert seq_logprob(np.asarray(beam)) >= \
             seq_logprob(np.asarray(greedy)) - 1e-3

@@ -111,10 +111,13 @@ class TestGreedyDecode:
             [[st.sot, st.lang_base, st.transcribe, st.no_timestamps]] * 2,
             jnp.int32,
         )
-        out1 = greedy_decode(params, DIMS, enc, prompt, 8, st.eot,
-                             dtype=jnp.float32)
-        out2 = greedy_decode(params, DIMS, enc, prompt, 8, st.eot,
-                             dtype=jnp.float32)
+        out1, lp1, ns1 = greedy_decode(params, DIMS, enc, prompt, 8,
+                                       st.eot, dtype=jnp.float32)
+        out2, lp2, _ = greedy_decode(params, DIMS, enc, prompt, 8,
+                                     st.eot, dtype=jnp.float32)
+        assert lp1.shape == (2,) and ns1.shape == (2,)
+        assert (np.asarray(lp1) <= 0).all()
+        np.testing.assert_array_equal(np.asarray(lp1), np.asarray(lp2))
         assert out1.shape == (2, prompt.shape[1] + 8)
         np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
 
@@ -126,8 +129,8 @@ class TestGreedyDecode:
             [[st.sot, st.lang_base, st.transcribe, st.no_timestamps]],
             jnp.int32,
         )
-        out = greedy_decode(params, DIMS, enc, prompt, 6, st.eot,
-                            dtype=jnp.float32)
+        out, _, _ = greedy_decode(params, DIMS, enc, prompt, 6, st.eot,
+                                  dtype=jnp.float32)
         ckv = precompute_cross_kv(params, DIMS, enc, dtype=jnp.float32)
         # replay the decoded sequence teacher-forced; drop positions after EOT
         seq = np.asarray(out[0])
