@@ -53,6 +53,32 @@ def register_job_routes(app: App) -> None:
             JobCancelResponse(job_id=job_id, cancelled=ok).model_dump()
         )
 
+    @app.get("/api/v1/jobs")
+    async def list_jobs(request: Request) -> Response:
+        """Paginated listing of the caller tenant's jobs (reference
+        api/schemas.py pagination models, which its API never wired up)."""
+        ctx = authenticate(request, config)
+        check_rate_limit(request, config, "status", app.state["store"])
+        queue = get_queue(app.state)
+        try:
+            limit = min(int(request.query.get("limit", "20")), 100)
+            offset = max(int(request.query.get("offset", "0")), 0)
+        except ValueError:
+            from audio_rag_tpu.api.http import HTTPError
+
+            raise HTTPError(422, "limit/offset must be integers") from None
+        status_filter = request.query.get("status")
+        rows, total = queue.store.list_jobs(
+            tenant_id=ctx.tenant_id, status=status_filter,
+            limit=limit, offset=offset,
+        )
+        return Response.json({
+            "jobs": rows,
+            "total": total,
+            "limit": limit,
+            "offset": offset,
+        })
+
     @app.get("/api/v1/queue/stats")
     async def queue_stats(request: Request) -> Response:
         authenticate(request, config)

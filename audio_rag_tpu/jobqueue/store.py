@@ -156,6 +156,35 @@ class JobStore:
             ).fetchone()
         return dict(row) if row else None
 
+    def list_jobs(
+        self,
+        tenant_id: str | None = None,
+        status: str | None = None,
+        limit: int = 50,
+        offset: int = 0,
+    ) -> tuple[list[dict[str, Any]], int]:
+        """Paginated job listing (newest first); returns (rows, total)."""
+        where: list[str] = []
+        args: list[Any] = []
+        if tenant_id:
+            where.append("tenant_id = ?")
+            args.append(tenant_id)
+        if status:
+            where.append("status = ?")
+            args.append(status)
+        clause = (" WHERE " + " AND ".join(where)) if where else ""
+        with self._lock:
+            (total,) = self._conn.execute(
+                f"SELECT COUNT(*) FROM jobs{clause}", args
+            ).fetchone()
+            rows = self._conn.execute(
+                f"SELECT job_id, tenant_id, queue, priority, status, stage,"
+                f" error, created_at, updated_at FROM jobs{clause}"
+                f" ORDER BY created_at DESC LIMIT ? OFFSET ?",
+                (*args, limit, offset),
+            ).fetchall()
+        return [dict(r) for r in rows], int(total)
+
     def queue_depth(self, queue: str) -> int:
         with self._lock:
             (n,) = self._conn.execute(

@@ -206,6 +206,18 @@ class TestIngest:
         )
         assert r.status_code == 422
 
+    def test_jobs_list_pagination(self, server):
+        r = httpx.get(f"{BASE}/api/v1/jobs?limit=5", headers=KEY)
+        assert r.status_code == 200
+        body = r.json()
+        assert {"jobs", "total", "limit", "offset"} <= set(body)
+        assert body["limit"] == 5
+        assert all(j["tenant_id"] == "dev_tenant_basic"
+                   for j in body["jobs"])
+        # probe: non-integer paging params
+        assert httpx.get(f"{BASE}/api/v1/jobs?limit=abc",
+                         headers=KEY).status_code == 422
+
     def test_job_not_found_404(self, server):
         r = httpx.get(f"{BASE}/api/v1/jobs/doesnotexist", headers=KEY)
         assert r.status_code == 404
