@@ -60,6 +60,31 @@ def create_app(
     register_health_routes(app)
     register_v1_routes(app)
 
+    # idle-model eviction (resources.unload_after_idle_seconds)
+    @app.on_startup
+    async def start_idle_reaper():
+        import asyncio
+
+        from audio_rag_tpu.resources.manager import get_resource_manager
+
+        rag_cfg = app.state.get("rag_config")
+        idle_s = (
+            rag_cfg.resources.unload_after_idle_seconds
+            if rag_cfg is not None else 0
+        )
+        if idle_s <= 0:
+            return
+
+        async def reap():
+            while True:
+                await asyncio.sleep(max(idle_s / 4, 10))
+                try:
+                    get_resource_manager().evict_idle(idle_s)
+                except Exception as exc:
+                    log.warning("idle eviction failed: %s", exc)
+
+        app.state["idle_reaper"] = asyncio.create_task(reap())
+
     _register_frontend(app)
 
     @app.get("/api")

@@ -176,6 +176,7 @@ class WhisperJaxASR(BaseASR):
         **kw: Any,
     ) -> list[TranscriptSegment]:
         self.require_loaded()
+        get_resource_manager().touch("asr")
         wav, sr = decode_audio(audio, sample_rate)
         if wav.size == 0:
             return []

@@ -95,6 +95,7 @@ class BGEM3Embedder(BaseEmbedder):
     @timed
     def embed(self, texts: list[str]) -> list[EmbeddingResult]:
         self.require_loaded()
+        get_resource_manager().touch("embeddings")
         if not texts:
             return []
         out: list[EmbeddingResult] = []

@@ -92,7 +92,12 @@ class QueryEngine:
         rerank: bool = True,
     ) -> list[list[RetrievalResult]]:
         """Run a batch of queries end to end; returns per-query results."""
-        coll = self.store._coll(self.collection)
+        from audio_rag_tpu.core.exceptions import RetrievalError
+
+        try:
+            coll = self.store._coll(self.collection)
+        except RetrievalError:
+            return [[] for _ in queries]
         if coll.count == 0:
             return [[] for _ in queries]
         dev = coll.device_arrays()

@@ -107,6 +107,7 @@ class LLMGenerator(BaseGenerator):
         Prompts left-pad to a shared bucket so positions align at the end.
         """
         self.require_loaded()
+        get_resource_manager().touch("generation")
         if not prompts:
             return []
         texts = [f"{system}\n\n{p}" if system else p for p in prompts]

@@ -236,27 +236,49 @@ class QueryPipeline:
                 embed_text = expanded
             t0 = clock("hyde", t0)
 
-        # 2. embed
-        with span("query.embed"):
-            emb = self.embedder.embed_query(embed_text)
-        t0 = clock("embed", t0)
-
-        # 3. retrieve (over-fetch when reranking, reference query.py:146-152)
-        fetch_k = self.config.reranking.initial_k if do_rerank else top_k
-        with span("query.search"):
-            results = self.retriever.search(
-                emb, top_k=fetch_k, search_type=search_type,
-                collection=collection, metadata_filter=metadata_filter,
-            )
-        t0 = clock("search", t0)
-
-        # 4. rerank with the ORIGINAL query
-        if do_rerank and self.reranker is not None and results:
-            with span("query.rerank"):
-                results = self.reranker.rerank(query, results, top_k)
-            t0 = clock("rerank", t0)
+        # 2-4. embed → retrieve → rerank. The fused QueryEngine runs
+        # embed+score+fuse+top-k as one device program — use it whenever the
+        # request shape allows (no HyDE rewrite, no metadata filter).
+        fused = self.fused_engine
+        if (
+            fused is not None and embed_text == query
+            and metadata_filter is None
+        ):
+            with span("query.fused"):
+                # the properties re-load backends evicted by the idle reaper
+                fused.embedder = self.embedder
+                rr = self.reranker if do_rerank else None
+                if rr is not None and not rr.is_loaded:
+                    rr.load()
+                fused.collection = collection
+                fused.reranker = rr
+                results = fused.query_batch(
+                    [query], top_k=top_k, search_type=search_type,
+                    initial_k=self.config.reranking.initial_k,
+                    rerank=do_rerank,
+                )[0]
+            t0 = clock("fused", t0)
         else:
-            results = results[:top_k]
+            with span("query.embed"):
+                emb = self.embedder.embed_query(embed_text)
+            t0 = clock("embed", t0)
+
+            # over-fetch when reranking (reference query.py:146-152)
+            fetch_k = self.config.reranking.initial_k if do_rerank else top_k
+            with span("query.search"):
+                results = self.retriever.search(
+                    emb, top_k=fetch_k, search_type=search_type,
+                    collection=collection, metadata_filter=metadata_filter,
+                )
+            t0 = clock("search", t0)
+
+            # rerank with the ORIGINAL query
+            if do_rerank and self.reranker is not None and results:
+                with span("query.rerank"):
+                    results = self.reranker.rerank(query, results, top_k)
+                t0 = clock("rerank", t0)
+            else:
+                results = results[:top_k]
 
         response = self._build_response(query, results)
 

@@ -135,6 +135,7 @@ class BGEReranker(BaseReranker):
         self, query: str, results: list[RetrievalResult], top_k: int | None = None
     ) -> list[RetrievalResult]:
         self.require_loaded()
+        get_resource_manager().touch("reranking")
         k = top_k or self.config.top_k
         if len(results) <= k:
             return results

@@ -98,6 +98,25 @@ class ResourceManager:
     # alias for reference API parity
     ensure_vram = ensure_hbm
 
+    def evict_idle(self, max_idle_s: float) -> list[str]:
+        """Unload models unused for ``max_idle_s`` (the reference's
+        ``unload_after_idle_seconds`` knob, which it never enforced)."""
+        if max_idle_s <= 0:
+            return []
+        now = time.monotonic()
+        evicted: list[str] = []
+        with self._lock:
+            for m in list(self._models.values()):
+                if now - m.last_used > max_idle_s:
+                    log.info("idle-evicting %s (%.0fs idle)",
+                             m.name, now - m.last_used)
+                    try:
+                        m.instance.unload()
+                    finally:
+                        self._models.pop(m.name, None)
+                        evicted.append(m.name)
+        return evicted
+
     def unload_all(self) -> None:
         with self._lock:
             for m in list(self._models.values()):

@@ -82,5 +82,11 @@ class TestTracing:
         rag_real_tiny.query("word0", rerank=False)
         traces = rag_real_tiny.status()["traces"]
         assert "ingest.transcribe" in traces
-        assert "query.embed" in traces
-        assert traces["query.embed"]["count"] >= 1
+        # real BGE-M3 + TPU store → the fused single-program span fires
+        assert "query.fused" in traces
+        assert traces["query.fused"]["count"] >= 1
+        # the unfused spans fire when a metadata filter forces the long path
+        rag_real_tiny.query("word0", rerank=False,
+                            metadata_filter={"source": "nope"})
+        traces = rag_real_tiny.status()["traces"]
+        assert "query.embed" in traces and "query.search" in traces
