@@ -156,6 +156,17 @@ class StreamingASR(BaseASR):
     def _load(self) -> None:
         if not self.backend.is_loaded:
             self.backend.load(self._engine)
+        # prewarm the chunk-shaped program so the first live chunk doesn't
+        # pay the compile (a real-time session can't absorb minutes)
+        try:
+            n = int(self.streaming.chunk_duration
+                    * self.streaming.sample_rate)
+            # audible noise: silence would be VAD-gated before compiling
+            warm = (0.1 * np.random.default_rng(0).standard_normal(n)
+                    ).astype(np.float32)
+            self.backend.transcribe(warm, self.streaming.sample_rate)
+        except Exception as exc:
+            log.warning("streaming prewarm skipped: %s", exc)
 
     def _unload(self) -> None:
         self.backend.unload()
