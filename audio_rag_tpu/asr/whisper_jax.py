@@ -165,6 +165,28 @@ class WhisperJaxASR(BaseASR):
             ("whisper", "transcribe", strategy, batch, temperature), build
         )
 
+    def _place_batch(self, mel_batch: np.ndarray, prompt: np.ndarray):
+        """Shard the window batch over the mesh's data axis when possible.
+
+        This is the SURVEY §5 long-audio strategy: Whisper windows are
+        independent, so an hour of audio processes as batch-parallel
+        windows across chips — the context-parallel analog without halo
+        exchanges. Falls back to single-device placement.
+        """
+        try:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            mesh = self._engine.mesh
+            n_data = mesh.shape.get("data", 1)
+            if n_data > 1 and mel_batch.shape[0] % n_data == 0:
+                mel_s = NamedSharding(mesh, P("data", None, None))
+                pr_s = NamedSharding(mesh, P("data", None))
+                return (jax.device_put(mel_batch, mel_s),
+                        jax.device_put(prompt, pr_s))
+        except Exception:
+            pass
+        return jnp.asarray(mel_batch), jnp.asarray(prompt)
+
     # -- public API --------------------------------------------------------
     @timed
     def transcribe(
@@ -279,7 +301,7 @@ class WhisperJaxASR(BaseASR):
             ),
             (B, 1),
         )
-        mel_j, prompt_j = jnp.asarray(mel_batch), jnp.asarray(prompt)
+        mel_j, prompt_j = self._place_batch(mel_batch, prompt)
         out = self._program(B)(self._params, mel_j, prompt_j)
         tokens = np.array(out[0])  # writable copies (fallback ladder mutates)
         avg_lp = np.array(out[1])
