@@ -121,6 +121,9 @@ class RetrievalConfig(BaseModel):
     persist_dir: str | None = None
     #: pad collections to multiples of this many rows for static shapes
     capacity_step: int = Field(default=4096, ge=128)
+    #: int8-quantize the dense corpus (4x HBM capacity, MXU int8 matmuls;
+    #: per-row symmetric scales, ~1e-2 score error)
+    quantize_dense: bool = False
 
 
 class RerankingConfig(BaseModel):

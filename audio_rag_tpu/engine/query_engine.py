@@ -55,7 +55,7 @@ class QueryEngine:
         def build():
             @jax.jit
             def run(params, ids_packed, corpus_dense, doc_tokens,
-                    doc_weights, valid_mask):
+                    doc_weights, valid_mask, corpus_scales=None):
                 mask = (ids_packed >= 0).astype(jnp.int32)
                 ids = jnp.where(mask.astype(bool), ids_packed, dims.pad_id)
                 dense, w = bgem3_forward(params, dims, ids, mask)
@@ -64,12 +64,12 @@ class QueryEngine:
                 q_tok = jnp.where(is_text, ids, -1)
                 q_w = jnp.where(is_text, w, 0.0)
                 if search_type == "dense":
-                    scores = dense_scores(dense, corpus_dense)
+                    scores = dense_scores(dense, corpus_dense, corpus_scales)
                 elif search_type == "sparse":
                     scores = sparse_scores(q_tok, q_w, doc_tokens,
                                            doc_weights)
                 else:
-                    d = dense_scores(dense, corpus_dense)
+                    d = dense_scores(dense, corpus_dense, corpus_scales)
                     s = sparse_scores(q_tok, q_w, doc_tokens, doc_weights)
                     # prefetch = 2·k, Qdrant's Prefetch(limit) convention
                     scores = rrf_fuse([d, s], valid_mask, rrf_k=rrf_k,
@@ -120,6 +120,7 @@ class QueryEngine:
         packed = np.asarray(run(
             self.embedder._params, jnp.asarray(ids), dev["dense"],
             dev["doc_tokens"], dev["doc_weights"], dev["valid_mask"],
+            dev.get("scales"),
         ))
         scores = packed[0][: len(queries)]
         idx = packed[1][: len(queries)].astype(np.int64)

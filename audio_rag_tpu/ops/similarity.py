@@ -40,8 +40,26 @@ __all__ = [
 NEG_INF = -1e30
 
 
-def dense_scores(queries: jax.Array, corpus: jax.Array) -> jax.Array:
-    """Cosine/IP scores, shape (B, N). Inputs are pre-normalized if cosine."""
+def dense_scores(
+    queries: jax.Array,
+    corpus: jax.Array,
+    corpus_scales: jax.Array | None = None,
+) -> jax.Array:
+    """Cosine/IP scores, shape (B, N). Inputs are pre-normalized if cosine.
+
+    When the corpus is int8 (symmetric per-row quantization with
+    ``corpus_scales`` = row_max/127), the query quantizes symmetrically too
+    and the contraction runs on the MXU's int8 path — 4× less HBM traffic
+    for the memory-bound scoring matmul.
+    """
+    if corpus.dtype == jnp.int8:
+        q_max = jnp.max(jnp.abs(queries), axis=-1, keepdims=True)
+        q_scale = jnp.maximum(q_max, 1e-9) / 127.0
+        q_q = jnp.clip(
+            jnp.round(queries / q_scale), -127, 127
+        ).astype(jnp.int8)
+        acc = jnp.dot(q_q, corpus.T, preferred_element_type=jnp.int32)
+        return acc.astype(jnp.float32) * q_scale * corpus_scales[None, :]
     return jnp.dot(
         queries, corpus.T, preferred_element_type=jnp.float32
     )
@@ -128,6 +146,7 @@ def hybrid_search(
     doc_tokens: jax.Array,  # (N, Dnnz) int32
     doc_weights: jax.Array,  # (N, Dnnz) f32
     valid_mask: jax.Array,  # (N,) bool — row in use AND passes metadata filter
+    corpus_scales: jax.Array | None = None,  # (N,) when corpus is int8
     top_k: int = 5,
     search_type: str = "hybrid",
     rrf_k: float = 2.0,
@@ -142,11 +161,11 @@ def hybrid_search(
     floor. Invalid slots have score -inf.
     """
     if search_type == "dense":
-        scores = dense_scores(q_dense, corpus_dense)
+        scores = dense_scores(q_dense, corpus_dense, corpus_scales)
     elif search_type == "sparse":
         scores = sparse_scores(q_tokens, q_weights, doc_tokens, doc_weights)
     elif search_type == "hybrid":
-        d = dense_scores(q_dense, corpus_dense)
+        d = dense_scores(q_dense, corpus_dense, corpus_scales)
         s = sparse_scores(q_tokens, q_weights, doc_tokens, doc_weights)
         scores = rrf_fuse(
             [d, s], valid_mask, rrf_k=rrf_k,

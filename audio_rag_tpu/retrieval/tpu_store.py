@@ -79,6 +79,8 @@ class Collection:
     doc_tokens: np.ndarray | None = None  # (capacity, max_doc_nnz) i32, pad -1
     doc_weights: np.ndarray | None = None  # (capacity, max_doc_nnz) f32
     payloads: list[dict[str, Any]] = field(default_factory=list)
+    #: int8-quantize the dense matrix on upload (set from RetrievalConfig)
+    quantize_dense: bool = False
     #: device copies; dropped whenever host mirrors change
     _device: dict[str, jax.Array] = field(default_factory=dict)
 
@@ -120,12 +122,22 @@ class Collection:
             mask = np.zeros(self.capacity, bool)
             mask[: self.count] = True
             put_rows, put_vec = _row_placers(self.capacity)
-            self._device = {
-                "dense": put_rows(self.dense),
+            dev: dict[str, jax.Array] = {
                 "doc_tokens": put_rows(self.doc_tokens),
                 "doc_weights": put_rows(self.doc_weights),
                 "valid_mask": put_vec(mask),
             }
+            if self.quantize_dense:
+                row_max = np.abs(self.dense).max(axis=1)
+                scales = np.maximum(row_max, 1e-9) / 127.0
+                q = np.clip(
+                    np.round(self.dense / scales[:, None]), -127, 127
+                ).astype(np.int8)
+                dev["dense"] = put_rows(q)
+                dev["scales"] = put_vec(scales.astype(np.float32))
+            else:
+                dev["dense"] = put_rows(self.dense)
+            self._device = dev
         return self._device
 
     def invalidate_device(self) -> None:
@@ -165,6 +177,7 @@ class TPUVectorStore(BaseRetriever):
                     dim=dim or 0,
                     max_doc_nnz=self.config.max_doc_nnz,
                     capacity=0,
+                    quantize_dense=self.config.quantize_dense,
                 )
             return self._collections[cname]
 
@@ -301,6 +314,7 @@ class TPUVectorStore(BaseRetriever):
             dev["doc_tokens"],
             dev["doc_weights"],
             mask,
+            dev.get("scales"),
             top_k=min(k_pad, capacity),
             search_type=search_type,
             rrf_k=float(self.config.rrf_k),
@@ -406,6 +420,7 @@ class TPUVectorStore(BaseRetriever):
                 max_doc_nnz=int(data["doc_tokens"].shape[1]) if n else
                 self.config.max_doc_nnz,
                 capacity=0,
+                quantize_dense=self.config.quantize_dense,
             )
             coll.ensure_capacity(n, self.config.capacity_step)
             coll.dense[:n] = data["dense"]
