@@ -277,11 +277,19 @@ def main() -> None:  # pragma: no cover - CLI entry
     apply_platform_env()
     parser = argparse.ArgumentParser(description="audio_rag_tpu worker")
     parser.add_argument("--db", default=None, help="queue db path")
+    parser.add_argument("--queue-config", default=None,
+                        help="queue YAML (e.g. configs/queue.yaml)")
     parser.add_argument("--max-jobs", type=int, default=None)
     args = parser.parse_args()
 
     setup_logging("INFO")
-    cfg = QueueConfig()
+    if args.queue_config:  # the reference left this as a TODO
+        import yaml
+
+        with open(args.queue_config) as f:
+            cfg = QueueConfig(**(yaml.safe_load(f) or {}))
+    else:
+        cfg = QueueConfig()
     if args.db:
         cfg.storage.db_path = args.db
     worker = TPUWorker(cfg)
