@@ -55,6 +55,14 @@ def register_ingest_routes(app: App) -> None:
                 metadata = json.loads(request.form["metadata"])
             except json.JSONDecodeError:
                 raise HTTPError(422, "metadata must be valid JSON") from None
+        config_overrides = {}
+        if request.form.get("config"):
+            # per-job pipeline overrides (reference IngestConfig schema),
+            # e.g. {"chunking.max_tokens": 128}
+            try:
+                config_overrides = json.loads(request.form["config"])
+            except json.JSONDecodeError:
+                raise HTTPError(422, "config must be valid JSON") from None
         priority_name = request.form.get("priority", "normal")
         try:
             priority = Priority.from_name(priority_name)
@@ -69,6 +77,7 @@ def register_ingest_routes(app: App) -> None:
             priority=priority,
             collection=request.form.get("collection"),
             metadata={"filename": upload.filename, **metadata},
+            config_overrides=config_overrides,
         )
         job_id = queue.enqueue(job, validate=True)
         qname = queue.config.queue_for_priority(priority.name).name

@@ -113,6 +113,7 @@ def process_ingest_job(
         )
 
     rag.ingestion.progress_callback = on_progress
+    restore = _apply_config_overrides(rag, job.config_overrides)
     try:
         res = rag.ingestion.ingest(
             job.audio_path,
@@ -152,9 +153,44 @@ def process_ingest_job(
         store.set_status(job.job_id, JobStatus.FAILED, error=result.error)
     finally:
         rag.ingestion.progress_callback = None
+        restore()
 
     store.put_result(result, config.storage.result_ttl_s)
     return result
+
+
+def _apply_config_overrides(rag, overrides: dict[str, Any]):
+    """Apply per-job ``{"section.key": value}`` or nested-dict overrides
+    (reference ``queue/worker.py:361-365``); returns a restore callback."""
+    if not overrides:
+        return lambda: None
+    undo: list[tuple[Any, str, Any]] = []
+    for key, value in overrides.items():
+        try:
+            if "." in key:
+                section_name, attr = key.split(".", 1)
+                pairs = [(section_name, attr, value)]
+            elif isinstance(value, dict):
+                pairs = [(key, a, v) for a, v in value.items()]
+            else:
+                log.warning("ignoring malformed config override %r", key)
+                continue
+            for section_name, attr, v in pairs:
+                section = getattr(rag.config, section_name, None)
+                if section is None or not hasattr(section, attr):
+                    log.warning("unknown config override %s.%s",
+                                section_name, attr)
+                    continue
+                undo.append((section, attr, getattr(section, attr)))
+                setattr(section, attr, v)
+        except Exception as exc:
+            log.warning("config override %r failed: %s", key, exc)
+
+    def restore() -> None:
+        for section, attr, old in reversed(undo):
+            setattr(section, attr, old)
+
+    return restore
 
 
 class _CancelledSignal(Exception):

@@ -115,6 +115,35 @@ class TestWorkerE2E:
         out = rag.query("resumed chunk", search_type="dense", rerank=False)
         assert out.results and out.results[0].chunk_id == "ck1"
 
+    def test_config_overrides_applied_and_restored(self, env, wav):
+        """Per-job config overrides steer the pipeline, then restore
+        (reference queue/worker.py:361-365 semantics)."""
+        store, cfg, queue = env
+        jid = queue.enqueue(IngestJob(
+            "tenant1", wav,
+            config_overrides={"chunking.max_tokens": 77,
+                              "retrieval": {"collection_name": "override"}},
+        ))
+        rag = fake_rag()
+        before = rag.config.chunking.max_tokens
+        job = store.claim_next("w1")
+        from audio_rag_tpu.jobqueue.worker import process_ingest_job
+
+        seen = {}
+        orig_ingest = rag.ingestion.ingest
+
+        def spy(*a, **k):
+            seen["max_tokens"] = rag.config.chunking.max_tokens
+            seen["collection_name"] = rag.config.retrieval.collection_name
+            return orig_ingest(*a, **k)
+
+        rag.ingestion.ingest = spy
+        result = process_ingest_job(job, store, rag, cfg)
+        assert result.status is JobStatus.COMPLETED
+        assert seen["max_tokens"] == 77  # applied during the job
+        assert seen["collection_name"] == "override"
+        assert rag.config.chunking.max_tokens == before  # restored after
+
     def test_heartbeat_registered(self, env, wav):
         store, cfg, queue = env
         worker = TPUWorker(cfg, store=store, rag_factory=fake_rag)
