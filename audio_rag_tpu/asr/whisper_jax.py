@@ -374,12 +374,19 @@ class WhisperJaxASR(BaseASR):
         max_t = max((len(c) for c in clean_per_window), default=0)
         if max_t == 0:
             return None
+        # pow-2 bucket: token counts vary per batch, and a fresh shape means
+        # a fresh compile — fatal for streaming (one compile per chunk)
+        max_t = 1 << (max_t - 1).bit_length()
+        max_t = min(max_t, self.dims.n_text_ctx - prompt.shape[1])
         P = prompt.shape[1]
         B = len(clean_per_window)
         tf_tokens = np.full((B, P + max_t), self.tokens.eot, np.int32)
         tf_tokens[:, :P] = prompt
         for j, c in enumerate(clean_per_window):
+            c = c[:max_t]
             tf_tokens[j, P: P + len(c)] = c
+
+        L = self.dims.n_text_layer
 
         def build():
             @jax.jit
@@ -390,17 +397,19 @@ class WhisperJaxASR(BaseASR):
                     params, self.dims, toks, ckv, dtype=self.dtype,
                     collect_cross_weights=True,
                 )
-                return w  # (L, B, H, T, Ta)
+                # reduce ON DEVICE: upper-half layers, head-averaged →
+                # (B, T, Ta). The raw (L,B,H,T,Ta) tensor is ~1 GB for a
+                # large-v3 window — transferring it froze streaming.
+                return jnp.mean(w[L // 2:], axis=(0, 2))
 
             return run
 
         run = self._engine.program(
             ("whisper", "align", B, P + max_t), build
         )
-        w = np.asarray(
+        return np.asarray(
             run(self._params, jnp.asarray(mel_batch), jnp.asarray(tf_tokens))
-        )
-        return w.transpose(1, 0, 2, 3, 4)  # (B, L, H, T, Ta)
+        )  # (B, T, Ta)
 
     def _apply_word_times(
         self, segs: list[TranscriptSegment], weights: np.ndarray,
@@ -414,7 +423,8 @@ class WhisperJaxASR(BaseASR):
         # token → word map: with the id-map fallback every token is a word;
         # HF tokenizers start a word at a leading-space piece
         token_word = self._token_word_map(clean_ids)
-        tok_slice = weights[:, :, P: P + len(clean_ids), :]
+        # weights: (T, Ta), already layer/head-averaged on device
+        tok_slice = weights[P: P + len(clean_ids), :]
         n_frames = min(int(dur / 0.02), tok_slice.shape[-1])
         times = attention_to_word_times(
             tok_slice, token_word, max(n_frames, 1), time_offset=t0

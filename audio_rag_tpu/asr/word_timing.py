@@ -78,15 +78,19 @@ def _median_filter(x: np.ndarray, width: int = 7) -> np.ndarray:
 
 
 def attention_to_word_times(
-    cross_weights: np.ndarray,  # (L, H, T_tokens, T_frames) fp32
+    cross_weights: np.ndarray,  # (T_tokens, T_frames) averaged, or
+    #                             (L, H, T_tokens, T_frames) raw fp32
     token_word_index: list[int],  # word id per token (−1 = not a word token)
     n_frames_valid: int,
     time_offset: float = 0.0,
 ) -> list[tuple[float, float]]:
     """(start, end) seconds per word id from attention alignment."""
-    L = cross_weights.shape[0]
-    # fallback head selection: upper half of layers, all heads
-    w = cross_weights[L // 2:].mean(axis=(0, 1))  # (T_tokens, T_frames)
+    if cross_weights.ndim == 4:
+        # fallback head selection: upper half of layers, all heads
+        L = cross_weights.shape[0]
+        w = cross_weights[L // 2:].mean(axis=(0, 1))
+    else:
+        w = cross_weights  # already reduced on device
     w = w[:, :n_frames_valid]
     # per-frame normalization then smoothing, as Whisper does
     std = w.std(axis=0, keepdims=True) + 1e-9
