@@ -44,7 +44,18 @@ from audio_rag_tpu.models.layers import (
     sinusoid_positions,
 )
 
-__all__ = ["WhisperDims", "WHISPER_PRESETS", "SpecialTokens", "WhisperModel"]
+__all__ = [
+    "WhisperDims",
+    "WHISPER_PRESETS",
+    "SpecialTokens",
+    "init_whisper",
+    "encode",
+    "decoder_forward",
+    "precompute_cross_kv",
+    "greedy_decode",
+    "beam_decode",
+    "detect_language",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -329,7 +340,6 @@ def greedy_decode(
     prompt: jax.Array,  # (B, P) int32 SOT sequence
     max_new_tokens: int,
     eot: int,
-    suppress_blank: bool = False,
     dtype: jnp.dtype = jnp.bfloat16,
     temperature: float = 0.0,
     rng: jax.Array | None = None,
