@@ -63,6 +63,19 @@ class QueryEngine:
                 is_text = mask.astype(bool)
                 q_tok = jnp.where(is_text, ids, -1)
                 q_w = jnp.where(is_text, w, 0.0)
+                # dedup duplicate tokens with max-pooling (FlagEmbedding's
+                # lexical-weight semantics; matches the store path): keep
+                # the group max at the first occurrence, zero the rest
+                Q = q_tok.shape[1]
+                same = q_tok[:, :, None] == q_tok[:, None, :]  # (B,Q,Q)
+                group_max = jnp.max(
+                    jnp.where(same, q_w[:, None, :], 0.0), axis=-1
+                )
+                pos = jnp.arange(Q)
+                first = jnp.min(
+                    jnp.where(same, pos[None, None, :], Q), axis=-1
+                )
+                q_w = jnp.where(first == pos[None, :], group_max, 0.0)
                 if search_type == "dense":
                     scores = dense_scores(dense, corpus_dense, corpus_scales)
                 elif search_type == "sparse":

@@ -318,7 +318,9 @@ class TPUVectorStore(BaseRetriever):
             top_k=min(k_pad, capacity),
             search_type=search_type,
             rrf_k=float(self.config.rrf_k),
-            prefetch=0,
+            # 2·k on the TRUE k (not the pow-2-padded program k), matching
+            # Qdrant's Prefetch(limit=2·limit) and the fused QueryEngine
+            prefetch=2 * k,
         )
         packed = np.asarray(packed)  # ONE device→host transfer
         scores = packed[0, 0][:k]
