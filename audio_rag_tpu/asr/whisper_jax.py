@@ -224,14 +224,35 @@ class WhisperJaxASR(BaseASR):
         if not windows:
             return []
 
-        lang = language or self.config.language or "en"
+        lang = language or self.config.language
+        lang_offset = 0
+        if lang:
+            from audio_rag_tpu.models.whisper import language_offset
+
+            try:
+                lang_offset = language_offset(lang)
+            except ValueError:
+                log.warning("unknown language %r; defaulting to en", lang)
+                lang = "en"
+        elif self.dims.n_vocab >= 51865:
+            # auto-detect from the first window (faster-whisper behavior
+            # when no language is given); one extra cached program
+            lang_offset, prob = self.detect_language(wav[: N_SAMPLES], sr)
+            from audio_rag_tpu.models.whisper import WHISPER_LANGUAGES
+
+            lang = WHISPER_LANGUAGES[lang_offset]
+            log.info("detected language %s (p=%.2f)", lang, prob)
+        else:
+            lang = "en"
+
         segments: list[TranscriptSegment] = []
         bs = self.config.window_batch_size
         for i in range(0, len(windows), bs):
             chunk = windows[i: i + bs]
             segments.extend(
                 self._transcribe_batch(chunk, lang,
-                                       want_words=word_timestamps)
+                                       want_words=word_timestamps,
+                                       lang_offset=lang_offset)
             )
 
         if word_timestamps:
@@ -277,7 +298,7 @@ class WhisperJaxASR(BaseASR):
     # -- internals ---------------------------------------------------------
     def _transcribe_batch(
         self, windows: list[tuple[float, np.ndarray]], lang: str,
-        want_words: bool = False,
+        want_words: bool = False, lang_offset: int = 0,
     ) -> list[TranscriptSegment]:
         B = len(windows)
         n_mel_samples = (
@@ -294,7 +315,7 @@ class WhisperJaxASR(BaseASR):
             )
 
         st = self.tokens
-        lang_id = st.lang_base  # en; multilingual offsets via tokenizer later
+        lang_id = st.lang_base + lang_offset
         prompt = np.tile(
             np.array(
                 [[st.sot, lang_id, st.transcribe, st.no_timestamps]], np.int32

@@ -429,6 +429,29 @@ def greedy_decode(
 
 N_LANGUAGES = 100  # multilingual whisper language-token block size
 
+#: Whisper's language-token order (public; token id = lang_base + index).
+#: large-v3 appends "yue" as index 99.
+WHISPER_LANGUAGES: tuple[str, ...] = (
+    "en", "zh", "de", "es", "ru", "ko", "fr", "ja", "pt", "tr", "pl",
+    "ca", "nl", "ar", "sv", "it", "id", "hi", "fi", "vi", "he", "uk",
+    "el", "ms", "cs", "ro", "da", "hu", "ta", "no", "th", "ur", "hr",
+    "bg", "lt", "la", "mi", "ml", "cy", "sk", "te", "fa", "lv", "bn",
+    "sr", "az", "sl", "kn", "et", "mk", "br", "eu", "is", "hy", "ne",
+    "mn", "bs", "kk", "sq", "sw", "gl", "mr", "pa", "si", "km", "sn",
+    "yo", "so", "af", "oc", "ka", "be", "tg", "sd", "gu", "am", "yi",
+    "lo", "uz", "fo", "ht", "ps", "tk", "nn", "mt", "sa", "lb", "my",
+    "bo", "tl", "mg", "as", "tt", "haw", "ln", "ha", "ba", "jw", "su",
+    "yue",
+)
+
+
+def language_offset(code: str) -> int:
+    """Language code → offset from ``lang_base`` (e.g. "en" → 0)."""
+    try:
+        return WHISPER_LANGUAGES.index(code.lower())
+    except ValueError:
+        raise ValueError(f"unknown whisper language code {code!r}") from None
+
 
 def detect_language(
     params: Params,

@@ -90,3 +90,46 @@ class TestTracing:
                             metadata_filter={"source": "nope"})
         traces = rag_real_tiny.status()["traces"]
         assert "query.embed" in traces and "query.search" in traces
+
+
+class TestLanguageMapping:
+    def test_language_offsets(self):
+        from audio_rag_tpu.models.whisper import (
+            WHISPER_LANGUAGES,
+            language_offset,
+        )
+
+        assert language_offset("en") == 0
+        assert language_offset("ZH") == 1
+        assert language_offset("yue") == 99
+        assert len(WHISPER_LANGUAGES) == 100
+        with pytest.raises(ValueError):
+            language_offset("klingon")
+
+    def test_explicit_language_sets_prompt_token(self):
+        from audio_rag_tpu.asr.whisper_jax import WhisperJaxASR
+        from audio_rag_tpu.config.schema import ASRConfig
+
+        asr = WhisperJaxASR(ASRConfig(
+            model_size="test", compute_type="float32", vad_filter=False,
+            temperature_fallback=False, language="de",
+        ))
+        asr.load()
+        audio = (0.2 * np.random.default_rng(0).standard_normal(16000)) \
+            .astype(np.float32)
+        segs = asr.transcribe(audio, 16000)
+        assert segs and segs[0].language == "de"
+
+    def test_unknown_language_falls_back(self):
+        from audio_rag_tpu.asr.whisper_jax import WhisperJaxASR
+        from audio_rag_tpu.config.schema import ASRConfig
+
+        asr = WhisperJaxASR(ASRConfig(
+            model_size="test", compute_type="float32", vad_filter=False,
+            temperature_fallback=False, language="klingon",
+        ))
+        asr.load()
+        audio = (0.2 * np.random.default_rng(0).standard_normal(16000)) \
+            .astype(np.float32)
+        segs = asr.transcribe(audio, 16000)
+        assert segs and segs[0].language == "en"
