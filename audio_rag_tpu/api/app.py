@@ -124,7 +124,9 @@ def _register_frontend(app: App) -> None:
     async def serve_file(request: Request) -> Response:
         name = request.path_params.get("name") or "index.html"
         target = (root / name).resolve()
-        if not str(target).startswith(str(root)) or not target.is_file():
+        # directory-exact containment (a bare prefix check would also admit
+        # sibling dirs like frontend-x if routing/decoding ever changes)
+        if not target.is_relative_to(root) or not target.is_file():
             from audio_rag_tpu.api.http import HTTPError
 
             raise HTTPError(404, "not found")

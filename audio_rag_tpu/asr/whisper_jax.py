@@ -328,12 +328,20 @@ class WhisperJaxASR(BaseASR):
         avg_lp = np.array(out[1])
         no_speech = np.asarray(out[2])
 
-        # temperature-fallback ladder (faster-whisper semantics): windows
-        # whose avg logprob is below threshold retry at higher temperatures;
-        # the full batch reruns (static shapes) and only failed rows update
+        # temperature-fallback ladder (faster-whisper semantics,
+        # reference asr/whisper.py temperature tuple): a window retries at
+        # the next temperature while EITHER quality gate fails — avg logprob
+        # below threshold OR decoded text gzip-compresses better than
+        # compression_ratio_threshold (the signature of a repetition loop,
+        # which has HIGH logprob and so needs its own gate). Each retry's
+        # result REPLACES the failing window unconditionally, so windows
+        # that never pass keep the highest-temperature attempt (reference
+        # behavior) instead of being stuck with a confident repetition. The
+        # full batch reruns (static shapes); only failing rows update, and
+        # rows that pass leave the ladder.
         if self.config.temperature_fallback and self.config.decode == "greedy":
+            failed = self._gates_failed(tokens, avg_lp)
             for temp in self.config.fallback_temperatures:
-                failed = avg_lp < self.config.logprob_threshold
                 if not failed.any():
                     break
                 out_t = self._program(B, float(temp))(
@@ -341,9 +349,9 @@ class WhisperJaxASR(BaseASR):
                 )
                 t_tokens = np.asarray(out_t[0])
                 t_lp = np.asarray(out_t[1])
-                improved = failed & (t_lp > avg_lp)
-                tokens[improved] = t_tokens[improved]
-                avg_lp[improved] = t_lp[improved]
+                tokens[failed] = t_tokens[failed]
+                avg_lp[failed] = t_lp[failed]
+                failed = failed & self._gates_failed(tokens, avg_lp)
 
         # no-speech gate: Whisper drops windows where p(no_speech) is high
         # AND the transcript is low-confidence
@@ -476,6 +484,24 @@ class WhisperJaxASR(BaseASR):
             return out
         return list(range(len(ids)))  # fallback: token == word
 
+    def _gates_failed(self, tokens: np.ndarray, avg_lp: np.ndarray
+                      ) -> np.ndarray:
+        """Per-window bool mask: True where a quality gate trips
+        (low avg logprob OR repetition-loop compression ratio)."""
+        failed = avg_lp < self.config.logprob_threshold
+        thr = self.config.compression_ratio_threshold
+        if thr:
+            for j in range(tokens.shape[0]):
+                if failed[j]:
+                    continue
+                text = self._tokenizer([
+                    i for i in self._strip_special(tokens[j])
+                    if i < self.tokens.timestamp_base
+                ])
+                if _compression_ratio(text) > thr:
+                    failed[j] = True
+        return failed
+
     def _strip_special(self, ids: np.ndarray) -> list[int]:
         """Drop the prompt and control tokens; keep text + timestamp tokens.
 
@@ -533,6 +559,17 @@ class WhisperJaxASR(BaseASR):
                 )
             )
         return out
+
+
+def _compression_ratio(text: str) -> float:
+    """gzip compression ratio of decoded text (Whisper's repetition gate):
+    raw bytes / compressed bytes; loops compress far better than speech."""
+    import zlib
+
+    data = text.encode("utf-8")
+    if not data:
+        return 0.0
+    return len(data) / len(zlib.compress(data))
 
 
 def _interpolate_words(seg: TranscriptSegment) -> list[Word]:

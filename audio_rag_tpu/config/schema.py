@@ -55,6 +55,9 @@ class ASRConfig(BaseModel):
         default_factory=lambda: [0.2, 0.4]
     )
     logprob_threshold: float = -1.0
+    #: gzip-ratio repetition gate (Whisper: decoded text compressing better
+    #: than 2.4× signals a repetition loop → retry at higher temperature)
+    compression_ratio_threshold: float = 2.4
     no_speech_threshold: float = Field(default=0.6, ge=0.0, le=1.0)
     #: batch 30s windows together instead of sequential decode
     window_batch_size: int = Field(default=8, ge=1)

@@ -20,6 +20,7 @@ from audio_rag_tpu.models.bgem3 import bgem3_forward
 from audio_rag_tpu.ops.similarity import (
     dense_scores,
     rrf_fuse,
+    rrf_prefetch,
     sparse_scores,
     topk_with_mask,
 )
@@ -48,7 +49,8 @@ class QueryEngine:
         self.collection = collection
 
     def _fused_program(self, B: int, T: int, capacity: int,
-                       search_type: str, k: int, rrf_k: float):
+                       search_type: str, k: int, rrf_k: float,
+                       prefetch: int):
         dims = self.embedder.dims
         engine = self.embedder._engine
 
@@ -84,15 +86,15 @@ class QueryEngine:
                 else:
                     d = dense_scores(dense, corpus_dense, corpus_scales)
                     s = sparse_scores(q_tok, q_w, doc_tokens, doc_weights)
-                    # prefetch = 2·k, Qdrant's Prefetch(limit) convention
+                    # rrf_prefetch(true k): Qdrant Prefetch(2·k), bucketed
                     scores = rrf_fuse([d, s], valid_mask, rrf_k=rrf_k,
-                                      prefetch=2 * k)
+                                      prefetch=prefetch)
                 ts, ti = topk_with_mask(scores, valid_mask, k)
                 return jnp.stack([ts, ti.astype(jnp.float32)])
 
             return run
 
-        key = ("query_fused", B, T, capacity, search_type, k)
+        key = ("query_fused", B, T, capacity, search_type, k, prefetch)
         return engine.program(key, build)
 
     @timed
@@ -126,17 +128,21 @@ class QueryEngine:
 
         fetch_k = initial_k if (rerank and self.reranker) else top_k
         fetch_k = min(fetch_k, coll.count)
+        # pow-2-bucket the program's k (it is static and shapes the output):
+        # raw fetch_k tracks a growing corpus count and the API's top_k,
+        # each distinct value a fresh remote compile otherwise
+        k_run = min(1 << (max(fetch_k, 1) - 1).bit_length(), coll.capacity)
         run = self._fused_program(
-            B, T, coll.capacity, search_type, fetch_k,
-            float(self.store.config.rrf_k),
+            B, T, coll.capacity, search_type, k_run,
+            float(self.store.config.rrf_k), rrf_prefetch(fetch_k),
         )
         packed = np.asarray(run(
             self.embedder._params, jnp.asarray(ids), dev["dense"],
             dev["doc_tokens"], dev["doc_weights"], dev["valid_mask"],
             dev.get("scales"),
         ))
-        scores = packed[0][: len(queries)]
-        idx = packed[1][: len(queries)].astype(np.int64)
+        scores = packed[0][: len(queries), :fetch_k]
+        idx = packed[1][: len(queries), :fetch_k].astype(np.int64)
 
         candidates: list[list[RetrievalResult]] = []
         for qi in range(len(queries)):

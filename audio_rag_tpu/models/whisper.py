@@ -470,7 +470,10 @@ def detect_language(
     ckv = precompute_cross_kv(params, dims, enc, dtype)
     sot = jnp.full((B, 1), st.sot, jnp.int32)
     logits, _, _ = decoder_forward(params, dims, sot, ckv, dtype=dtype)
-    n_lang = min(N_LANGUAGES, dims.n_vocab - st.lang_base)
+    # language block ends where <|translate|> begins: 99 tokens on pre-v3
+    # vocabs (51865), 100 on large-v3 — deriving from the token layout
+    # keeps <|translate|> from being misread as a language on large-v2
+    n_lang = st.translate - st.lang_base
     lang_logits = jax.lax.dynamic_slice_in_dim(
         logits[:, 0, :], st.lang_base, n_lang, axis=-1
     )

@@ -30,9 +30,25 @@ __all__ = [
     "dense_scores",
     "sparse_scores",
     "rrf_fuse",
+    "rrf_prefetch",
     "topk_with_mask",
     "hybrid_search",
 ]
+
+
+def rrf_prefetch(k: int) -> int:
+    """Pow-2 bucket of Qdrant's ``Prefetch(limit=2·k)`` convention.
+
+    ``prefetch`` is a STATIC jit argument: feeding the raw ``2·k`` through
+    (k is API-exposed, 1..100, and clamped by a growing corpus count) would
+    compile a fresh device program per distinct value — minutes each on the
+    remote-compile relay. Bucketing to the pow-2 ceiling bounds the variant
+    count at ~8 while only admitting extra tail docs into the fusion pool
+    (every reference-prefetch doc keeps its rank contribution). The store
+    path and the fused QueryEngine MUST both use this helper so their
+    rankings stay identical.
+    """
+    return 1 << (max(2 * k, 1) - 1).bit_length()
 
 # Python float, NOT jnp.float32(...): a concrete jnp scalar captured as a jit
 # constant forces a cross-program device dependency that degrades every

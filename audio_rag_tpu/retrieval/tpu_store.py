@@ -37,7 +37,7 @@ from audio_rag_tpu.core.types import (
     RetrievalResult,
     SparseVector,
 )
-from audio_rag_tpu.ops.similarity import hybrid_search
+from audio_rag_tpu.ops.similarity import hybrid_search, rrf_prefetch
 from audio_rag_tpu.retrieval.base import RetrievalRegistry
 from audio_rag_tpu.utils.decorators import timed
 
@@ -318,9 +318,10 @@ class TPUVectorStore(BaseRetriever):
             top_k=min(k_pad, capacity),
             search_type=search_type,
             rrf_k=float(self.config.rrf_k),
-            # 2·k on the TRUE k (not the pow-2-padded program k), matching
-            # Qdrant's Prefetch(limit=2·limit) and the fused QueryEngine
-            prefetch=2 * k,
+            # pow-2 bucket of Qdrant's Prefetch(limit=2·k), on the TRUE k —
+            # prefetch is static, so raw 2·k values would recompile per
+            # requested top_k; must match the fused QueryEngine exactly
+            prefetch=rrf_prefetch(k),
         )
         packed = np.asarray(packed)  # ONE device→host transfer
         scores = packed[0, 0][:k]
