@@ -137,6 +137,10 @@ class RerankingConfig(BaseModel):
     initial_k: int = Field(default=20, ge=1, le=100)
     batch_size: int = Field(default=16, ge=1)
     max_length: int = Field(default=512, ge=16, le=4096)
+    #: fixed doc width of the device-resident rerank token cache used by the
+    #: single-program query path (passage tokens incl. trailing </s>); docs
+    #: truncate here exactly as max_length truncates them on the host path
+    fused_doc_tokens: int = Field(default=224, ge=16)
     checkpoint_path: str | None = None
 
 

@@ -1,15 +1,21 @@
 """Fused batched query engine: tokenize → ONE device program for
-embed+score+fuse+top-k → ONE batched rerank call.
+embed+score+fuse+top-k+rerank.
 
 Rationale (SURVEY.md §3.2): the reference's 141 ms query p50 is the sum of
 three separately-served stages (embed 18 ms + Qdrant 48 ms + rerank 38 ms)
-plus network hops. On TPU the entire embed→search path is a single XLA
-program over a batch of queries, and all (query, candidate) rerank pairs
-for the whole batch score in one cross-encoder call — per-query cost is
-amortized to ~3 host↔device interactions per *batch*.
+plus network hops. On TPU the entire embed→search→rerank path is a single
+XLA program: the corpus keeps a device-resident cache of each chunk's
+reranker tokens, so after the in-program top-k the cross-encoder gathers
+its candidate passages ON DEVICE and re-ranks them without ever returning
+to the host. One dispatch, one readback — which matters doubly on this
+runtime, where every host↔device interaction carries a flat ~28 ms cost
+(two programs put a ≥56 ms floor under single-query latency; one program
+makes the <50 ms p50 target reachable).
 """
 
 from __future__ import annotations
+
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -18,6 +24,7 @@ import numpy as np
 from audio_rag_tpu.core.types import RetrievalResult
 from audio_rag_tpu.models.bgem3 import bgem3_forward
 from audio_rag_tpu.ops.similarity import (
+    NEG_INF,
     dense_scores,
     rrf_fuse,
     rrf_prefetch,
@@ -26,6 +33,9 @@ from audio_rag_tpu.ops.similarity import (
 )
 from audio_rag_tpu.text.tokenizer import pad_batch
 from audio_rag_tpu.utils.decorators import timed
+from audio_rag_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
 
 __all__ = ["QueryEngine"]
 
@@ -35,6 +45,36 @@ def _bucket(n: int, lo: int, hi: int) -> int:
     while b < min(n, hi):
         b <<= 1
     return min(b, hi)
+
+
+def _embed_and_score(params, dims, ids_packed, corpus_dense, doc_tokens,
+                     doc_weights, valid_mask, corpus_scales,
+                     search_type: str, rrf_k: float, prefetch: int):
+    """Shared trace: query embed (dense+sparse) → corpus scores (B, N)."""
+    mask = (ids_packed >= 0).astype(jnp.int32)
+    ids = jnp.where(mask.astype(bool), ids_packed, dims.pad_id)
+    dense, w = bgem3_forward(params, dims, ids, mask)
+    # sparse query terms: token ids with special tokens zeroed
+    is_text = mask.astype(bool)
+    q_tok = jnp.where(is_text, ids, -1)
+    q_w = jnp.where(is_text, w, 0.0)
+    # dedup duplicate tokens with max-pooling (FlagEmbedding's
+    # lexical-weight semantics; matches the store path): keep the group
+    # max at the first occurrence, zero the rest
+    Q = q_tok.shape[1]
+    same = q_tok[:, :, None] == q_tok[:, None, :]  # (B,Q,Q)
+    group_max = jnp.max(jnp.where(same, q_w[:, None, :], 0.0), axis=-1)
+    pos = jnp.arange(Q)
+    first = jnp.min(jnp.where(same, pos[None, None, :], Q), axis=-1)
+    q_w = jnp.where(first == pos[None, :], group_max, 0.0)
+    if search_type == "dense":
+        return dense_scores(dense, corpus_dense, corpus_scales)
+    if search_type == "sparse":
+        return sparse_scores(q_tok, q_w, doc_tokens, doc_weights)
+    d = dense_scores(dense, corpus_dense, corpus_scales)
+    s = sparse_scores(q_tok, q_w, doc_tokens, doc_weights)
+    # rrf_prefetch(true k): Qdrant Prefetch(2·k), pow-2 bucketed
+    return rrf_fuse([d, s], valid_mask, rrf_k=rrf_k, prefetch=prefetch)
 
 
 class QueryEngine:
@@ -47,7 +87,12 @@ class QueryEngine:
         self.store = store
         self.reranker = reranker
         self.collection = collection
+        # per-collection device cache of reranker doc tokens:
+        # name → (coll_uid, count, host (capacity, Ld) i32, device array)
+        self._rr_cache: dict[str, tuple[str, int, np.ndarray, jax.Array]] = {}
+        self._rr_lock = threading.Lock()
 
+    # -- programs -----------------------------------------------------------
     def _fused_program(self, B: int, T: int, capacity: int,
                        search_type: str, k: int, rrf_k: float,
                        prefetch: int):
@@ -58,37 +103,11 @@ class QueryEngine:
             @jax.jit
             def run(params, ids_packed, corpus_dense, doc_tokens,
                     doc_weights, valid_mask, corpus_scales=None):
-                mask = (ids_packed >= 0).astype(jnp.int32)
-                ids = jnp.where(mask.astype(bool), ids_packed, dims.pad_id)
-                dense, w = bgem3_forward(params, dims, ids, mask)
-                # sparse query terms: token ids with special tokens zeroed
-                is_text = mask.astype(bool)
-                q_tok = jnp.where(is_text, ids, -1)
-                q_w = jnp.where(is_text, w, 0.0)
-                # dedup duplicate tokens with max-pooling (FlagEmbedding's
-                # lexical-weight semantics; matches the store path): keep
-                # the group max at the first occurrence, zero the rest
-                Q = q_tok.shape[1]
-                same = q_tok[:, :, None] == q_tok[:, None, :]  # (B,Q,Q)
-                group_max = jnp.max(
-                    jnp.where(same, q_w[:, None, :], 0.0), axis=-1
+                scores = _embed_and_score(
+                    params, dims, ids_packed, corpus_dense, doc_tokens,
+                    doc_weights, valid_mask, corpus_scales, search_type,
+                    rrf_k, prefetch,
                 )
-                pos = jnp.arange(Q)
-                first = jnp.min(
-                    jnp.where(same, pos[None, None, :], Q), axis=-1
-                )
-                q_w = jnp.where(first == pos[None, :], group_max, 0.0)
-                if search_type == "dense":
-                    scores = dense_scores(dense, corpus_dense, corpus_scales)
-                elif search_type == "sparse":
-                    scores = sparse_scores(q_tok, q_w, doc_tokens,
-                                           doc_weights)
-                else:
-                    d = dense_scores(dense, corpus_dense, corpus_scales)
-                    s = sparse_scores(q_tok, q_w, doc_tokens, doc_weights)
-                    # rrf_prefetch(true k): Qdrant Prefetch(2·k), bucketed
-                    scores = rrf_fuse([d, s], valid_mask, rrf_k=rrf_k,
-                                      prefetch=prefetch)
                 ts, ti = topk_with_mask(scores, valid_mask, k)
                 return jnp.stack([ts, ti.astype(jnp.float32)])
 
@@ -97,6 +116,100 @@ class QueryEngine:
         key = ("query_fused", B, T, capacity, search_type, k, prefetch)
         return engine.program(key, build)
 
+    def _fused_rerank_program(self, B: int, T: int, Pq: int, capacity: int,
+                              Ld: int, search_type: str, K: int, k_out: int,
+                              rrf_k: float, prefetch: int):
+        """ONE program: embed → score → top-K candidates → gather their
+        cached reranker tokens → cross-encoder → final top-k.
+
+        ``n_cand`` arrives as a DYNAMIC scalar (candidates beyond it are
+        masked out of the rerank pool) so the reference's "rerank exactly
+        initial_k candidates" semantics hold without a fresh compile per
+        corpus count. Output is one packed (2, B, k_out) array: row 0 =
+        cross-encoder scores, row 1 = corpus indices.
+        """
+        from audio_rag_tpu.models.cross_encoder import cross_encoder_forward
+
+        e_dims = self.embedder.dims
+        r_dims = self.reranker.dims
+        engine = self.embedder._engine
+
+        def build():
+            @jax.jit
+            def run(params_e, params_r, ids_embed, ids_rq, n_cand,
+                    corpus_dense, doc_tokens, doc_weights, valid_mask,
+                    rr_docs, corpus_scales=None):
+                scores = _embed_and_score(
+                    params_e, e_dims, ids_embed, corpus_dense, doc_tokens,
+                    doc_weights, valid_mask, corpus_scales, search_type,
+                    rrf_k, prefetch,
+                )
+                cs, ci = topk_with_mask(scores, valid_mask, K)  # (B, K)
+                # candidate passages: gather cached reranker token rows
+                docs = rr_docs[ci]  # (B, K, Ld)
+                qp = jnp.broadcast_to(ids_rq[:, None, :], (B, K, Pq))
+                pair = jnp.concatenate([qp, docs], axis=-1)
+                pair = pair.reshape(B * K, Pq + Ld)
+                # -1 padding carries the mask; internal holes between the
+                # query prefix and the doc tokens are position-exact for
+                # XLM-R (positions = cumsum of the attention mask)
+                mask = (pair >= 0).astype(jnp.int32)
+                ids2 = jnp.where(mask.astype(bool), pair, r_dims.pad_id)
+                logits = cross_encoder_forward(params_r, r_dims, ids2, mask)
+                logits = logits.reshape(B, K)
+                in_pool = (jnp.arange(K)[None, :] < n_cand) & (
+                    cs > NEG_INF / 2
+                )
+                logits = jnp.where(in_pool, logits, NEG_INF)
+                fs, fi = jax.lax.top_k(logits, k_out)
+                orig = jnp.take_along_axis(ci, fi, axis=1)
+                return jnp.stack([fs, orig.astype(jnp.float32)])
+
+            return run
+
+        key = ("query_fused_rerank", B, T, Pq, capacity, Ld, search_type,
+               K, k_out, prefetch)
+        return engine.program(key, build)
+
+    # -- rerank token cache ---------------------------------------------------
+    def _rerank_doc_cache(self, coll) -> jax.Array:
+        """Device-resident (capacity, Ld) reranker-token rows for ``coll``.
+
+        Rows are ``passage </s>`` ids padded with -1; the query prefix
+        ``<s> q </s></s>`` concatenates on device. The store is append-only,
+        so the host mirror extends incrementally; a recreated collection
+        (different uid) rebuilds from scratch.
+        """
+        tok = self.reranker._tok
+        Ld = self.reranker.config.fused_doc_tokens
+        with self._rr_lock:
+            cached = self._rr_cache.get(coll.name)
+            host = None
+            start = 0
+            if cached is not None and cached[0] == coll.uid:
+                if cached[1] == coll.count and \
+                        cached[2].shape[0] == coll.capacity:
+                    return cached[3]
+                if cached[1] <= coll.count:
+                    start = cached[1]
+                    host = cached[2]
+                    if host.shape[0] != coll.capacity:  # grown bucket
+                        grown = np.full((coll.capacity, Ld), -1, np.int32)
+                        grown[: host.shape[0]] = host
+                        host = grown
+            if host is None:
+                host = np.full((coll.capacity, Ld), -1, np.int32)
+            for i in range(start, coll.count):
+                ids = tok.encode(
+                    coll.payloads[i]["text"], add_special=False
+                )[: Ld - 1]
+                ids.append(tok.sep_id)
+                host[i, : len(ids)] = ids
+            dev = jax.device_put(host)
+            self._rr_cache[coll.name] = (coll.uid, coll.count, host, dev)
+            return dev
+
+    # -- public API ----------------------------------------------------------
     @timed
     def query_batch(
         self,
@@ -126,7 +239,19 @@ class QueryEngine:
             ids = np.pad(ids, ((0, B - len(seqs)), (0, 0)),
                          constant_values=-1)
 
-        fetch_k = initial_k if (rerank and self.reranker) else top_k
+        do_rerank = bool(rerank and self.reranker is not None)
+        if do_rerank and getattr(self.reranker, "_params", None) is not None:
+            try:
+                return self._query_device_rerank(
+                    queries, ids, B, T, coll, dev, search_type,
+                    top_k, initial_k,
+                )
+            except Exception as exc:
+                # graceful degradation (reference reranking/bge.py:125-136):
+                # fall through to the two-program path
+                log.warning("fused rerank failed (%s); two-program path", exc)
+
+        fetch_k = initial_k if do_rerank else top_k
         fetch_k = min(fetch_k, coll.count)
         # pow-2-bucket the program's k (it is static and shapes the output):
         # raw fetch_k tracks a growing corpus count and the API's top_k,
@@ -158,7 +283,7 @@ class QueryEngine:
                 ))
             candidates.append(row)
 
-        if not (rerank and self.reranker):
+        if not do_rerank:
             return [row[:top_k] for row in candidates]
 
         # batched rerank: ALL (query, candidate) pairs in one device call
@@ -188,4 +313,59 @@ class QueryEngine:
                 )
                 for i in order
             ])
+        return out
+
+    def _query_device_rerank(
+        self, queries, ids_embed, B, T, coll, dev, search_type,
+        top_k, initial_k,
+    ) -> list[list[RetrievalResult]]:
+        """Single-dispatch path: embed→search→rerank in one device program."""
+        rtok = self.reranker._tok
+        rr_docs = self._rerank_doc_cache(coll)
+        Ld = int(rr_docs.shape[1])
+
+        # query prefix rows: <s> q </s></s>, -1 padded
+        max_len = min(self.reranker.config.max_length, self.reranker.dims.max_len)
+        pq_budget = max(max_len - Ld, 16)
+        rq_seqs = []
+        for q in queries:
+            s = rtok.encode(q)[: pq_budget - 1]  # <s> q </s> (truncated)
+            rq_seqs.append(s + [rtok.sep_id])
+        Pq = _bucket(max(len(s) for s in rq_seqs), 16, pq_budget)
+        rq, _ = pad_batch(rq_seqs, Pq, -1)
+        if len(rq_seqs) < B:
+            rq = np.pad(rq, ((0, B - len(rq_seqs)), (0, 0)),
+                        constant_values=-1)
+
+        n_cand = min(initial_k, coll.count)
+        # pow-2 candidate pool (static); n_cand masks dynamically inside
+        K = min(1 << (max(n_cand, 1) - 1).bit_length(), coll.capacity)
+        k_out = min(1 << (max(min(top_k, coll.count), 1) - 1).bit_length(), K)
+        run = self._fused_rerank_program(
+            B, T, Pq, coll.capacity, Ld, search_type, K, k_out,
+            float(self.store.config.rrf_k), rrf_prefetch(n_cand),
+        )
+        packed = np.asarray(run(
+            self.embedder._params, self.reranker._params,
+            jnp.asarray(ids_embed), jnp.asarray(rq),
+            jnp.asarray(np.int32(n_cand)),
+            dev["dense"], dev["doc_tokens"], dev["doc_weights"],
+            dev["valid_mask"], rr_docs, dev.get("scales"),
+        ))
+        scores = packed[0][: len(queries), :top_k]
+        idx = packed[1][: len(queries), :top_k].astype(np.int64)
+
+        out: list[list[RetrievalResult]] = []
+        for qi in range(len(queries)):
+            row: list[RetrievalResult] = []
+            for s, i in zip(scores[qi], idx[qi]):
+                if s <= -1e29:
+                    continue
+                p = coll.payloads[int(i)]
+                row.append(RetrievalResult(
+                    text=p["text"], score=float(s), start=p["start"],
+                    end=p["end"], speaker=p["speaker"], chunk_id=p["id"],
+                    metadata=p["metadata"],
+                ))
+            out.append(row)
         return out

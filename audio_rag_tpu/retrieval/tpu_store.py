@@ -83,6 +83,10 @@ class Collection:
     quantize_dense: bool = False
     #: device copies; dropped whenever host mirrors change
     _device: dict[str, jax.Array] = field(default_factory=dict)
+    #: identity stamp for external per-collection caches (e.g. the
+    #: QueryEngine's rerank token cache): a recreated collection must not
+    #: alias a stale cache even if its id() is reused after GC
+    uid: str = field(default_factory=lambda: uuid.uuid4().hex)
 
     def ensure_capacity(self, n_new: int, step: int) -> None:
         needed = self.count + n_new

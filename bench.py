@@ -183,9 +183,10 @@ def main() -> None:
             "asr_rtf_large_v3": asr_rtf,
             "asr_rtf_baseline": 0.10,
             "note": "BGE-M3 embed + hybrid RRF + cross-encoder rerank(20→5) "
-                    "as 2 fused device programs per batch; random-init "
-                    "weights (same FLOPs as trained); single-chip v5e via "
-                    "relay (flat ~28ms/host-device interaction)",
+                    "as ONE fused device program per batch (device-resident "
+                    "rerank token cache); random-init weights (same FLOPs as "
+                    "trained); single-chip v5e via relay (flat ~28ms/"
+                    "host-device interaction)",
         },
     }))
 
