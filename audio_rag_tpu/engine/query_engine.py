@@ -40,6 +40,11 @@ log = get_logger(__name__)
 __all__ = ["QueryEngine"]
 
 
+#: max rerank pairs alive in one cross-encoder scan step — bounds the
+#: (chunk, H, T, T) attention working set (~800 MB at 256×12×256×256 fp32)
+_PAIR_CHUNK = 256
+
+
 def _bucket(n: int, lo: int, hi: int) -> int:
     b = lo
     while b < min(n, hi):
@@ -54,19 +59,12 @@ def _embed_and_score(params, dims, ids_packed, corpus_dense, doc_tokens,
     mask = (ids_packed >= 0).astype(jnp.int32)
     ids = jnp.where(mask.astype(bool), ids_packed, dims.pad_id)
     dense, w = bgem3_forward(params, dims, ids, mask)
-    # sparse query terms: token ids with special tokens zeroed
+    # sparse query terms: token ids with special tokens zeroed; duplicate
+    # tokens max-pool inside sparse_scores (FlagEmbedding's lexical-weight
+    # rule, same semantics as the store path)
     is_text = mask.astype(bool)
     q_tok = jnp.where(is_text, ids, -1)
     q_w = jnp.where(is_text, w, 0.0)
-    # dedup duplicate tokens with max-pooling (FlagEmbedding's
-    # lexical-weight semantics; matches the store path): keep the group
-    # max at the first occurrence, zero the rest
-    Q = q_tok.shape[1]
-    same = q_tok[:, :, None] == q_tok[:, None, :]  # (B,Q,Q)
-    group_max = jnp.max(jnp.where(same, q_w[:, None, :], 0.0), axis=-1)
-    pos = jnp.arange(Q)
-    first = jnp.min(jnp.where(same, pos[None, None, :], Q), axis=-1)
-    q_w = jnp.where(first == pos[None, :], group_max, 0.0)
     if search_type == "dense":
         return dense_scores(dense, corpus_dense, corpus_scales)
     if search_type == "sparse":
@@ -87,9 +85,11 @@ class QueryEngine:
         self.store = store
         self.reranker = reranker
         self.collection = collection
-        # per-collection device cache of reranker doc tokens:
-        # name → (coll_uid, count, host (capacity, Ld) i32, device array)
-        self._rr_cache: dict[str, tuple[str, int, np.ndarray, jax.Array]] = {}
+        # per-collection device cache of reranker doc tokens: name →
+        # (coll_uid, count, host (capacity, Ld) i32, device array, max_len)
+        self._rr_cache: dict[
+            str, tuple[str, int, np.ndarray, jax.Array, int]
+        ] = {}
         self._rr_lock = threading.Lock()
 
     # -- programs -----------------------------------------------------------
@@ -127,12 +127,21 @@ class QueryEngine:
         initial_k candidates" semantics hold without a fresh compile per
         corpus count. Output is one packed (2, B, k_out) array: row 0 =
         cross-encoder scores, row 1 = corpus indices.
+
+        The B·K rerank pairs run through the cross-encoder as a lax.scan
+        over ≤``_PAIR_CHUNK``-row chunks: full-batch attention would
+        materialize (B·K, H, T, T) fp32 logits — 10+ GB at B=128 — while
+        chunking caps the live working set with no FLOP change.
         """
         from audio_rag_tpu.models.cross_encoder import cross_encoder_forward
 
         e_dims = self.embedder.dims
         r_dims = self.reranker.dims
         engine = self.embedder._engine
+        n_pairs = B * K
+        chunk = n_pairs
+        while chunk > _PAIR_CHUNK or n_pairs % chunk:
+            chunk -= 1
 
         def build():
             @jax.jit
@@ -145,17 +154,24 @@ class QueryEngine:
                     rrf_k, prefetch,
                 )
                 cs, ci = topk_with_mask(scores, valid_mask, K)  # (B, K)
-                # candidate passages: gather cached reranker token rows
-                docs = rr_docs[ci]  # (B, K, Ld)
+                # candidate passages: gather cached reranker token rows,
+                # sliced to the collection's bucketed max passage length
+                docs = rr_docs[:, :Ld][ci]  # (B, K, Ld)
                 qp = jnp.broadcast_to(ids_rq[:, None, :], (B, K, Pq))
                 pair = jnp.concatenate([qp, docs], axis=-1)
-                pair = pair.reshape(B * K, Pq + Ld)
                 # -1 padding carries the mask; internal holes between the
                 # query prefix and the doc tokens are position-exact for
                 # XLM-R (positions = cumsum of the attention mask)
-                mask = (pair >= 0).astype(jnp.int32)
-                ids2 = jnp.where(mask.astype(bool), pair, r_dims.pad_id)
-                logits = cross_encoder_forward(params_r, r_dims, ids2, mask)
+                pair = pair.reshape(n_pairs // chunk, chunk, Pq + Ld)
+
+                def step(_, rows):
+                    mask = (rows >= 0).astype(jnp.int32)
+                    ids2 = jnp.where(mask.astype(bool), rows, r_dims.pad_id)
+                    return None, cross_encoder_forward(
+                        params_r, r_dims, ids2, mask
+                    )
+
+                _, logits = jax.lax.scan(step, None, pair)
                 logits = logits.reshape(B, K)
                 in_pool = (jnp.arange(K)[None, :] < n_cand) & (
                     cs > NEG_INF / 2
@@ -172,8 +188,9 @@ class QueryEngine:
         return engine.program(key, build)
 
     # -- rerank token cache ---------------------------------------------------
-    def _rerank_doc_cache(self, coll) -> jax.Array:
-        """Device-resident (capacity, Ld) reranker-token rows for ``coll``.
+    def _rerank_doc_cache(self, coll) -> tuple[jax.Array, int]:
+        """Device-resident (capacity, Ld) reranker-token rows for ``coll``
+        plus the longest row's true length (for in-program width bucketing).
 
         Rows are ``passage </s>`` ids padded with -1; the query prefix
         ``<s> q </s></s>`` concatenates on device. The store is append-only,
@@ -186,13 +203,15 @@ class QueryEngine:
             cached = self._rr_cache.get(coll.name)
             host = None
             start = 0
+            max_len = 1
             if cached is not None and cached[0] == coll.uid:
                 if cached[1] == coll.count and \
                         cached[2].shape[0] == coll.capacity:
-                    return cached[3]
+                    return cached[3], cached[4]
                 if cached[1] <= coll.count:
                     start = cached[1]
                     host = cached[2]
+                    max_len = cached[4]
                     if host.shape[0] != coll.capacity:  # grown bucket
                         grown = np.full((coll.capacity, Ld), -1, np.int32)
                         grown[: host.shape[0]] = host
@@ -205,9 +224,12 @@ class QueryEngine:
                 )[: Ld - 1]
                 ids.append(tok.sep_id)
                 host[i, : len(ids)] = ids
+                max_len = max(max_len, len(ids))
             dev = jax.device_put(host)
-            self._rr_cache[coll.name] = (coll.uid, coll.count, host, dev)
-            return dev
+            self._rr_cache[coll.name] = (
+                coll.uid, coll.count, host, dev, max_len,
+            )
+            return dev, max_len
 
     # -- public API ----------------------------------------------------------
     @timed
@@ -321,8 +343,11 @@ class QueryEngine:
     ) -> list[list[RetrievalResult]]:
         """Single-dispatch path: embed→search→rerank in one device program."""
         rtok = self.reranker._tok
-        rr_docs = self._rerank_doc_cache(coll)
-        Ld = int(rr_docs.shape[1])
+        rr_docs, doc_max = self._rerank_doc_cache(coll)
+        # passage width: pow-2 bucket of the longest cached row (the cache
+        # is allocated at the config cap, but attention cost is quadratic
+        # in pair length — don't pay for width no passage uses)
+        Ld = _bucket(doc_max, 16, int(rr_docs.shape[1]))
 
         # query prefix rows: <s> q </s></s>, -1 padded
         max_len = min(self.reranker.config.max_length, self.reranker.dims.max_len)
@@ -338,8 +363,13 @@ class QueryEngine:
                         constant_values=-1)
 
         n_cand = min(initial_k, coll.count)
-        # pow-2 candidate pool (static); n_cand masks dynamically inside
-        K = min(1 << (max(n_cand, 1) - 1).bit_length(), coll.capacity)
+        # candidate pool: exactly initial_k at steady state (config-stable,
+        # so one compile variant — and no wasted cross-encoder rows); pow-2
+        # bucketed only while the corpus is still smaller than initial_k
+        if coll.count >= initial_k:
+            K = initial_k
+        else:
+            K = min(1 << (max(n_cand, 1) - 1).bit_length(), coll.capacity)
         k_out = min(1 << (max(min(top_k, coll.count), 1) - 1).bit_length(), K)
         run = self._fused_rerank_program(
             B, T, Pq, coll.capacity, Ld, search_type, K, k_out,

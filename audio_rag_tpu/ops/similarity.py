@@ -89,12 +89,31 @@ def sparse_scores(
 ) -> jax.Array:
     """Lexical match scores Σ_t q_w[t]·d_w[t], shape (B, N).
 
-    Computed as a scan over query-token slots: each step matches one query
-    token against every doc's padded token row — (N, Dnnz) elementwise work
-    per step, streamed so no (B, N, Dnnz, Qnnz) intermediate exists.
-    """
+    Duplicate query tokens first max-pool in-place (FlagEmbedding's
+    lexical-weight rule for repeated tokens, reference
+    ``embeddings/bge.py:112-135``) — O(B·Qnnz²), trivial at Qnnz ≤ 64 —
+    then a scan over query-token slots matches one token per step against
+    every doc's padded row: (B, N, Dnnz) elementwise work per step,
+    streamed so no (B, N, Dnnz, Qnnz) intermediate exists. Callers bucket
+    Qnnz to the query's true nnz (pow-2), so short queries pay few steps.
 
-    def one_query(q_tok: jax.Array, q_w: jax.Array) -> jax.Array:
+    A scatter(table)+gather(doc slots) formulation was measured SLOWER on
+    TPU at both B=1 and B=128 (XLA lowers the (N, Dnnz)-indexed gather
+    from a vocab-sized table poorly); the compare-scan keeps everything in
+    vectorizable elementwise form.
+    """
+    Q = q_tokens.shape[1]
+    same = (q_tokens[:, :, None] == q_tokens[:, None, :])  # (B,Q,Q)
+    group_max = jnp.max(
+        jnp.where(same, q_weights[:, None, :], NEG_INF), axis=-1
+    )
+    pos = jnp.arange(Q)
+    first = jnp.min(jnp.where(same, pos[None, None, :], Q), axis=-1)
+    q_w = jnp.where(
+        (first == pos[None, :]) & (q_tokens >= 0), group_max, 0.0
+    )
+
+    def one_query(q_tok: jax.Array, q_wr: jax.Array) -> jax.Array:
         def step(acc, tok_w):
             tok, w = tok_w
             match = (doc_tokens == tok) & (tok >= 0)
@@ -104,10 +123,10 @@ def sparse_scores(
             return acc, None
 
         init = jnp.zeros((doc_tokens.shape[0],), jnp.float32)
-        acc, _ = jax.lax.scan(step, init, (q_tok, q_w))
+        acc, _ = jax.lax.scan(step, init, (q_tok, q_wr))
         return acc
 
-    return jax.vmap(one_query)(q_tokens, q_weights)
+    return jax.vmap(one_query)(q_tokens, q_w)
 
 
 def topk_with_mask(
@@ -161,14 +180,24 @@ def hybrid_search(
     corpus_dense: jax.Array,  # (N, dim)
     doc_tokens: jax.Array,  # (N, Dnnz) int32
     doc_weights: jax.Array,  # (N, Dnnz) f32
-    valid_mask: jax.Array,  # (N,) bool — row in use AND passes metadata filter
+    valid_mask: jax.Array,  # (N,) bool — row in use
     corpus_scales: jax.Array | None = None,  # (N,) when corpus is int8
     top_k: int = 5,
     search_type: str = "hybrid",
     rrf_k: float = 2.0,
     prefetch: int = 0,
+    filter_cols: tuple[jax.Array, ...] = (),  # each (N,) int32 payload codes
+    filter_codes: jax.Array | None = None,  # (F,) int32 wanted codes
 ) -> jax.Array:
-    """One fused device program: score → (fuse) → top-k.
+    """One fused device program: (filter) → score → (fuse) → top-k.
+
+    Metadata filtering is device-side: ``filter_cols`` are cached
+    integer-coded payload columns (one per filtered key; -2 marks rows
+    beyond count / unset values) and ``filter_codes`` the interned codes of
+    the wanted values — the mask is F elementwise compares fused into the
+    scoring program, replacing the reference's Qdrant payload-index
+    FieldCondition path (``retrieval/qdrant.py:300-332``) without a host
+    O(N) loop or a fresh (N,) mask upload per query.
 
     Returns ONE packed fp32 array (2, B, k): row 0 = scores, row 1 =
     indices (cast to f32 — exact for corpora < 2^24 rows). A single output
@@ -176,6 +205,11 @@ def hybrid_search(
     carries a flat ~28 ms cost, so two reads per query would double the
     floor. Invalid slots have score -inf.
     """
+    if filter_cols:
+        stacked = jnp.stack(filter_cols)  # (F, N)
+        valid_mask = valid_mask & jnp.all(
+            stacked == filter_codes[:, None], axis=0
+        )
     if search_type == "dense":
         scores = dense_scores(q_dense, corpus_dense, corpus_scales)
     elif search_type == "sparse":

@@ -26,6 +26,7 @@ from pathlib import Path
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from audio_rag_tpu.config.schema import RetrievalConfig
@@ -42,6 +43,15 @@ from audio_rag_tpu.retrieval.base import RetrievalRegistry
 from audio_rag_tpu.utils.decorators import timed
 
 __all__ = ["TPUVectorStore", "Collection"]
+
+
+def _intern(vocab: dict[Any, int], value: Any) -> int:
+    """Value → stable small int code; unhashable values code to -3 (they can
+    never equal a hashable filter value, matching ``md.get(k) != v``)."""
+    try:
+        return vocab.setdefault(value, len(vocab))
+    except TypeError:
+        return -3
 
 
 def _row_placers(capacity: int):
@@ -79,6 +89,11 @@ class Collection:
     doc_tokens: np.ndarray | None = None  # (capacity, max_doc_nnz) i32, pad -1
     doc_weights: np.ndarray | None = None  # (capacity, max_doc_nnz) f32
     payloads: list[dict[str, Any]] = field(default_factory=list)
+    #: lazily-built integer-coded payload columns for device-side metadata
+    #: filtering: key → (capacity,) int32 of interned value codes
+    #: (-2 = row beyond count, -3 = unhashable value; both match nothing)
+    index_cols: dict[str, np.ndarray] = field(default_factory=dict)
+    index_vocab: dict[str, dict[Any, int]] = field(default_factory=dict)
     #: int8-quantize the dense matrix on upload (set from RetrievalConfig)
     quantize_dense: bool = False
     #: device copies; dropped whenever host mirrors change
@@ -109,6 +124,10 @@ class Collection:
             self.doc_weights = np.concatenate(
                 [self.doc_weights, np.zeros((grow, self.max_doc_nnz), np.float32)]
             )
+            for key, col in self.index_cols.items():
+                self.index_cols[key] = np.concatenate(
+                    [col, np.full(grow, -2, np.int32)]
+                )
             self.capacity = cap
             self._device = {}  # rebind, never clear: readers hold snapshots
 
@@ -122,15 +141,16 @@ class Collection:
         cached on device too: on this runtime every host↔device interaction
         costs ~28 ms once transfers have begun.
         """
-        if not self._device:
+        if "dense" not in self._device:  # filter cols may arrive first
             mask = np.zeros(self.capacity, bool)
             mask[: self.count] = True
             put_rows, put_vec = _row_placers(self.capacity)
-            dev: dict[str, jax.Array] = {
-                "doc_tokens": put_rows(self.doc_tokens),
-                "doc_weights": put_rows(self.doc_weights),
-                "valid_mask": put_vec(mask),
-            }
+            dev: dict[str, jax.Array] = dict(self._device)  # keep filter cols
+            dev.update(
+                doc_tokens=put_rows(self.doc_tokens),
+                doc_weights=put_rows(self.doc_weights),
+                valid_mask=put_vec(mask),
+            )
             if self.quantize_dense:
                 row_max = np.abs(self.dense).max(axis=1)
                 scales = np.maximum(row_max, 1e-9) / 127.0
@@ -253,6 +273,10 @@ class TPUVectorStore(BaseRetriever):
                         "metadata": dict(chunk.metadata),
                     }
                 )
+                for key in coll.index_cols:
+                    coll.index_cols[key][i] = _intern(
+                        coll.index_vocab[key], chunk.metadata.get(key)
+                    )
                 coll.count += 1
             coll.invalidate_device()
             if self.config.persist_dir:
@@ -262,6 +286,8 @@ class TPUVectorStore(BaseRetriever):
     def _metadata_mask(
         self, coll: Collection, metadata_filter: dict[str, Any] | None
     ) -> np.ndarray:
+        """Host-side O(N) fallback — only for unhashable filter values that
+        the interned device columns cannot represent."""
         mask = np.zeros(coll.capacity, bool)
         mask[: coll.count] = True
         if metadata_filter:
@@ -270,6 +296,41 @@ class TPUVectorStore(BaseRetriever):
                 if any(md.get(k) != v for k, v in metadata_filter.items()):
                     mask[i] = False
         return mask
+
+    def _ensure_index(self, coll: Collection, key: str) -> None:
+        """Build the integer-coded payload column for ``key`` (first filtered
+        use); subsequent add() calls extend it incrementally."""
+        if key in coll.index_cols:
+            return
+        col = np.full(coll.capacity, -2, np.int32)
+        vocab: dict[Any, int] = {}
+        for i in range(coll.count):
+            col[i] = _intern(vocab, coll.payloads[i]["metadata"].get(key))
+        coll.index_cols[key] = col
+        coll.index_vocab[key] = vocab
+
+    def _device_filter(
+        self, coll: Collection, metadata_filter: dict[str, Any]
+    ):
+        """(filter_cols tuple, filter_codes (F,) int32 array) for a filtered
+        search, or None when a value is unhashable (host fallback). Columns
+        are device-cached alongside the corpus arrays (dropped together on
+        mutation), so a filtered query uploads only the (F,) code vector."""
+        cols: list[jax.Array] = []
+        codes: list[int] = []
+        for key in sorted(metadata_filter):
+            value = metadata_filter[key]
+            try:
+                hash(value)
+            except TypeError:
+                return None
+            self._ensure_index(coll, key)
+            codes.append(coll.index_vocab[key].get(value, -1))
+            dev_key = f"col:{key}"
+            if dev_key not in coll._device:
+                coll._device[dev_key] = jax.device_put(coll.index_cols[key])
+            cols.append(coll._device[dev_key])
+        return tuple(cols), np.asarray(codes, np.int32)
 
     @timed
     def search(
@@ -290,21 +351,36 @@ class TPUVectorStore(BaseRetriever):
         if search_type not in ("dense", "sparse", "hybrid"):
             raise RetrievalError(f"unknown search_type {search_type!r}")
 
+        filter_cols: tuple = ()
+        filter_codes = None
+        host_mask = None
         with self._lock:  # atomic snapshot vs concurrent add()/regrow
             dev = coll.device_arrays()
             capacity = coll.capacity
             count = coll.count
             payloads = coll.payloads
+            if metadata_filter:
+                device_filter = self._device_filter(coll, metadata_filter)
+                if device_filter is not None:
+                    filter_cols, filter_codes = device_filter
+                else:  # unhashable filter value: host O(N) fallback
+                    host_mask = self._metadata_mask(coll, metadata_filter)
         qd = np.zeros((1, coll.dim), np.float32)
         if query_embedding.dense is not None:
             v = np.asarray(query_embedding.dense, np.float32)
             n = float(np.linalg.norm(v))
             qd[0] = v / n if n > 0 else v
-        qt, qw = self._pad_sparse(
-            query_embedding.sparse, self.config.max_query_nnz
+        # pad the query's sparse terms to the pow-2 bucket of its TRUE nnz:
+        # the sparse scorer scans one corpus pass per query slot, so a
+        # 12-term query should pay 16 steps, not max_query_nnz (64)
+        q_nnz = query_embedding.sparse.nnz if query_embedding.sparse else 0
+        q_width = min(
+            max(8, 1 << max(q_nnz - 1, 0).bit_length()),
+            self.config.max_query_nnz,
         )
-        if metadata_filter:
-            mask = jax.device_put(self._metadata_mask(coll, metadata_filter))
+        qt, qw = self._pad_sparse(query_embedding.sparse, q_width)
+        if host_mask is not None:
+            mask = jax.device_put(host_mask)
         else:
             mask = dev["valid_mask"]  # cached on device
         k = min(top_k, count)
@@ -326,6 +402,10 @@ class TPUVectorStore(BaseRetriever):
             # prefetch is static, so raw 2·k values would recompile per
             # requested top_k; must match the fused QueryEngine exactly
             prefetch=rrf_prefetch(k),
+            filter_cols=filter_cols,
+            filter_codes=(
+                None if filter_codes is None else jnp.asarray(filter_codes)
+            ),
         )
         packed = np.asarray(packed)  # ONE device→host transfer
         scores = packed[0, 0][:k]

@@ -181,6 +181,63 @@ class TestMetadataFilter:
         assert res == []
 
 
+class TestDeviceFilterIndex:
+    """Device-side integer-coded payload columns (replacing the host O(N)
+    loop): incremental extension, multi-key AND, and the host fallback for
+    unhashable values."""
+
+    def test_index_extends_after_append(self, store):
+        chunks, embs = make_corpus(6)
+        store.add(chunks, embs)
+        # first filtered search builds the column
+        store.search(EmbeddingResult(dense=embs[0].dense), top_k=6,
+                     metadata_filter={"source": "a.wav"})
+        more, membs = make_corpus(4)
+        for c in more:
+            c.metadata["source"] = "new.wav"
+        store.add(more, membs)
+        res = store.search(EmbeddingResult(dense=membs[0].dense), top_k=10,
+                           metadata_filter={"source": "new.wav"})
+        assert len(res) == 4
+        assert all(r.metadata["source"] == "new.wav" for r in res)
+
+    def test_multi_key_and_semantics(self, store):
+        chunks, embs = make_corpus(8)
+        for i, c in enumerate(chunks):
+            c.metadata["lang"] = "en" if i % 2 == 0 else "de"
+        store.add(chunks, embs)
+        res = store.search(
+            EmbeddingResult(dense=embs[0].dense), top_k=8,
+            metadata_filter={"source": "a.wav", "lang": "en"},
+        )
+        host_expected = [
+            c.chunk_id for c in chunks
+            if c.metadata["source"] == "a.wav" and c.metadata["lang"] == "en"
+        ]
+        assert sorted(r.chunk_id for r in res) == sorted(host_expected)
+
+    def test_unhashable_value_falls_back_to_host(self, store):
+        chunks, embs = make_corpus(4)
+        chunks[1].metadata["tags"] = ["x", "y"]
+        store.add(chunks, embs)
+        res = store.search(
+            EmbeddingResult(dense=embs[1].dense), top_k=4,
+            metadata_filter={"tags": ["x", "y"]},
+        )
+        assert [r.chunk_id for r in res] == [chunks[1].chunk_id]
+
+    def test_missing_key_matches_none(self, store):
+        chunks, embs = make_corpus(4)
+        chunks[2].metadata["session"] = "s1"
+        store.add(chunks, embs)
+        res = store.search(
+            EmbeddingResult(dense=embs[0].dense), top_k=4,
+            metadata_filter={"session": None},
+        )
+        ids = {r.chunk_id for r in res}
+        assert chunks[2].chunk_id not in ids and len(ids) == 3
+
+
 class TestCollections:
     def test_multiple_collections(self, store):
         chunks, embs = make_corpus(3)
