@@ -136,13 +136,17 @@ class BGEM3Embedder(BaseEmbedder):
         return results
 
     def _to_sparse(self, seq: list[int], w: np.ndarray) -> SparseVector:
-        """Position weights → per-token-id weights (max over duplicates),
-        special tokens excluded — FlagEmbedding's lexical-weight semantics."""
+        """Position weights → per-token-id weights (MAX over duplicate
+        occurrences — FlagEmbedding's ``_process_token_weights`` rule),
+        special tokens excluded (reference ``embeddings/bge.py:112-135``).
+        Emitting one entry per occurrence instead would double-count
+        repeated tokens in every lexical match downstream."""
         specials = {self._tok.cls_id, self._tok.sep_id, self._tok.pad_id}
-        ids, vals = [], []
+        pooled: dict[int, float] = {}
         for pos, tid in enumerate(seq[: w.shape[0]]):
             if tid in specials or w[pos] <= 0:
                 continue
-            ids.append(tid)
-            vals.append(float(w[pos]))
-        return SparseVector(ids, vals)
+            prev = pooled.get(tid)
+            if prev is None or w[pos] > prev:
+                pooled[tid] = float(w[pos])
+        return SparseVector(list(pooled), list(pooled.values()))
