@@ -1,29 +1,54 @@
-"""Energy-based voice activity detection (host-side gate).
+"""Voice activity detection: learned conv VAD (device) + energy gate (host).
 
 Replaces the Silero VAD filter faster-whisper applies before transcription
-(reference ``asr/whisper.py:120-126`` with ``vad_filter=True``). Frame RMS
-energy with hysteresis thresholds and min-duration merging — cheap, runs on
-the host during windowing; the learned conv VAD
-(:func:`audio_rag_tpu.models.speaker.vad_scores`) refines frames on device
-in the diarization path.
+(reference ``asr/whisper.py:120-126`` with ``vad_filter=True``) and the
+marblenet gate in the diarization path (reference
+``diarization/nemo.py:45-100``).
+
+Two backends behind one option surface:
+
+* ``learned`` — the dilated-conv frame VAD
+  (:func:`audio_rag_tpu.models.speaker.vad_scores`) over 10 ms log-mel
+  frames, batched over 3 s windows on device. Weights ship as a committed
+  asset trained by ``scripts/train_vad.py`` on a synthetic curriculum whose
+  negative class covers the energy gate's failure modes (steady tones,
+  broadband noise, hum, clicks); real Silero/marblenet-class weights can
+  replace the npz when available. Boundary fidelity is what BASELINE.md
+  gates on — an energy threshold cannot reproduce learned boundaries.
+* ``energy`` — frame RMS with hysteresis; dependency-free host fallback.
+
+``auto`` uses the learned backend when its weights load and the audio is
+16 kHz, else energy. Span post-processing (min-speech, hangover padding,
+min-silence merging) is shared, so switching backends changes only the
+frame decisions.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
+from pathlib import Path
 
 import numpy as np
 
-__all__ = ["VADOptions", "energy_vad", "speech_segments"]
+__all__ = ["VADOptions", "energy_vad", "learned_vad", "speech_segments"]
+
+_SR = 16_000
+_WINDOW_S = 3.0  # must match scripts/train_vad.py CLIP_S (mel global-norm
+_WINDOW = int(_SR * _WINDOW_S)  # window is part of the model's input law)
+_FRAMES_PER_WINDOW = int(_WINDOW_S * 100)
+_BATCH = 16
 
 
 @dataclass
 class VADOptions:
     frame_ms: int = 30
-    threshold_db: float = -38.0  # speech if frame dBFS above this
+    threshold_db: float = -38.0  # energy backend: speech if dBFS above
+    threshold: float = 0.5  # learned backend: speech if P(speech) above
     hangover_frames: int = 10  # keep speech active this many frames after
     min_speech_ms: int = 250
     min_silence_ms: int = 500
+    #: "auto" | "learned" | "energy"
+    backend: str = "energy"
 
 
 def energy_vad(
@@ -42,20 +67,91 @@ def energy_vad(
     return db > opts.threshold_db
 
 
-def speech_segments(
-    audio: np.ndarray, sr: int = 16000, opts: VADOptions | None = None
-) -> list[tuple[float, float]]:
-    """Merged (start_s, end_s) speech spans.
+# -- learned backend ---------------------------------------------------------
 
-    Pipeline: raw spans → drop spans shorter than ``min_speech_ms``
-    (before padding, so hangover can't promote blips) → pad ends by the
-    hangover → merge spans separated by < ``min_silence_ms``.
-    """
+_learned_runner = None  # None = not tried, False = unavailable
+
+
+def _nest(flat: dict) -> dict:
+    tree: dict = {}
+    for key, value in flat.items():
+        node = tree
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+    return tree
+
+
+def _get_learned_runner():
+    """Lazily build the jitted (B, window) → (B, frames) probability fn."""
+    global _learned_runner
+    if _learned_runner is not None:
+        return _learned_runner
+    path = Path(__file__).resolve().parents[1] / "assets" / "vad_small.npz"
+    if not path.exists():
+        _learned_runner = False
+        return False
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        from audio_rag_tpu.models.speaker import vad_scores
+        from audio_rag_tpu.ops.mel import log_mel_spectrogram
+
+        with np.load(path) as data:
+            params = _nest({k: jnp.asarray(data[k]) for k in data.files})
+
+        @jax.jit
+        def run(clips):  # (B, _WINDOW) f32
+            mel = jax.vmap(
+                lambda a: log_mel_spectrogram(a, n_mels=80)
+            )(clips)
+            return vad_scores(params, mel, dtype=jnp.float32)
+
+        _learned_runner = run
+    except Exception:  # pragma: no cover - asset/backend problems
+        _learned_runner = False
+    return _learned_runner
+
+
+def learned_vad(
+    audio: np.ndarray, sr: int = 16000, opts: VADOptions | None = None
+) -> np.ndarray | None:
+    """Per-10ms-frame speech flags from the learned conv VAD, or None when
+    the backend is unavailable (missing asset / non-16kHz audio)."""
     opts = opts or VADOptions()
-    flags = energy_vad(audio, sr, opts)
-    if flags.size == 0:
-        return []
-    frame_s = opts.frame_ms / 1000.0
+    if sr != _SR:
+        return None
+    run = _get_learned_runner()
+    if not run:
+        return None
+    n_frames = len(audio) // (_SR // 100)
+    if n_frames == 0:
+        return np.zeros(0, bool)
+    n_windows = (len(audio) + _WINDOW - 1) // _WINDOW
+    probs = np.zeros(n_windows * _FRAMES_PER_WINDOW, np.float32)
+    import jax.numpy as jnp
+
+    for base in range(0, n_windows, _BATCH):
+        m = min(_BATCH, n_windows - base)
+        clips = np.zeros((_BATCH, _WINDOW), np.float32)
+        for j in range(m):
+            seg = audio[(base + j) * _WINDOW: (base + j + 1) * _WINDOW]
+            clips[j, : len(seg)] = seg
+        out = np.asarray(run(jnp.asarray(clips)))
+        span = out[:m, :_FRAMES_PER_WINDOW].reshape(-1)
+        probs[base * _FRAMES_PER_WINDOW:
+              base * _FRAMES_PER_WINDOW + span.size] = span
+    return probs[:n_frames] > opts.threshold
+
+
+def _spans_from_flags(
+    flags: np.ndarray, frame_s: float, opts: VADOptions
+) -> list[tuple[float, float]]:
+    """Flags → merged spans: raw spans → drop shorter than min_speech_ms
+    (before padding, so hangover can't promote blips) → pad ends by the
+    hangover → merge spans separated by < min_silence_ms."""
     spans: list[tuple[float, float]] = []
     start = None
     for i, f in enumerate(flags):
@@ -66,11 +162,9 @@ def speech_segments(
             start = None
     if start is not None:
         spans.append((start, len(flags) * frame_s))
-    # min-speech filter on raw durations
     spans = [
         (s, e) for s, e in spans if (e - s) >= opts.min_speech_ms / 1000.0
     ]
-    # hangover padding + merge
     total = len(flags) * frame_s
     pad = opts.hangover_frames * frame_s
     merged: list[tuple[float, float]] = []
@@ -81,3 +175,19 @@ def speech_segments(
         else:
             merged.append((s, e))
     return merged
+
+
+def speech_segments(
+    audio: np.ndarray, sr: int = 16000, opts: VADOptions | None = None
+) -> list[tuple[float, float]]:
+    """Merged (start_s, end_s) speech spans via the configured backend."""
+    opts = opts or VADOptions()
+    if opts.backend in ("learned", "auto"):
+        flags = learned_vad(audio, sr, opts)
+        if flags is not None:
+            return _spans_from_flags(flags, 0.01, opts)
+        # graceful degradation: fall through to the energy gate
+    flags = energy_vad(audio, sr, opts)
+    if flags.size == 0:
+        return []
+    return _spans_from_flags(flags, opts.frame_ms / 1000.0, opts)

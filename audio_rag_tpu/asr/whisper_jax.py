@@ -206,7 +206,10 @@ class WhisperJaxASR(BaseASR):
         # VAD gate: transcribe only speech spans (batched windows keep
         # absolute offsets so timestamps stay file-relative)
         if self.config.vad_filter:
-            spans = speech_segments(wav, sr, VADOptions())
+            spans = speech_segments(wav, sr, VADOptions(
+                backend=self.config.vad_backend,
+                threshold=self.config.vad_threshold,
+            ))
             if not spans:
                 return []
         else:

@@ -44,6 +44,8 @@ class ASRConfig(BaseModel):
     compute_type: Literal["bfloat16", "float32"] = "bfloat16"
     vad_filter: bool = True
     vad_threshold: float = Field(default=0.5, ge=0.0, le=1.0)
+    #: "auto" = learned conv VAD when its weights are available, else energy
+    vad_backend: Literal["auto", "learned", "energy"] = "auto"
     language: str | None = None
     #: decode strategy for the autoregressive loop
     decode: Literal["greedy", "beam"] = "greedy"
@@ -71,6 +73,8 @@ class DiarizationConfig(BaseModel):
     min_speakers: int | None = None
     max_speakers: int | None = Field(default=8, ge=1)
     min_speech_duration_ms: int = Field(default=250, ge=0)
+    #: VAD gating the speaker windows (reference nemo.py:45-53, marblenet)
+    vad_backend: Literal["auto", "learned", "energy"] = "auto"
     #: speaker-embedding window/shift (seconds), reference nemo.py:54-66
     window_s: float = 1.5
     shift_s: float = 0.75

@@ -30,7 +30,8 @@ from audio_rag_tpu.utils.logging import get_logger
 log = get_logger(__name__)
 
 __all__ = ["load_state_dict", "convert_whisper", "convert_xlmr_encoder",
-           "convert_bgem3", "convert_reranker", "convert_llama"]
+           "convert_bgem3", "convert_reranker", "convert_llama",
+           "convert_vad_torch"]
 
 
 def load_state_dict(model_dir: str | Path) -> dict[str, np.ndarray]:
@@ -265,6 +266,31 @@ def convert_llama(model_dir: str | Path) -> dict[str, Any]:
         "blocks": _stack([block(i) for i in range(n)]),
         "ln_f": {"g": sd[f"{pre}norm.weight"]},
         "lm_head": {"w": np.ascontiguousarray(head.T)},
+    }
+
+
+def convert_vad_torch(sd: dict) -> dict[str, Any]:
+    """Torch conv-VAD state dict → :func:`models.speaker.vad_scores` params.
+
+    Expected module layout (the Silero/marblenet-class shape
+    ``scripts/train_vad.py`` trains): ``c1``/``c2`` = ``nn.Conv1d`` (SAME
+    padding, dilation 1 then 2), ``ln1``/``ln2`` = channel LayerNorm,
+    ``out`` = ``nn.Linear(channels, 1)``. Torch Conv1d weights are
+    (C_out, C_in, K); ours are (K, C_in, C_out).
+    """
+    def conv(prefix: str) -> dict[str, np.ndarray]:
+        w = np.asarray(sd[f"{prefix}.weight"])  # (C_out, C_in, K)
+        return {
+            "w": np.transpose(w, (2, 1, 0)).copy(),
+            "b": np.asarray(sd[f"{prefix}.bias"]),
+        }
+
+    return {
+        "c1": conv("c1"),
+        "ln1": _ln(sd, "ln1"),
+        "c2": conv("c2"),
+        "ln2": _ln(sd, "ln2"),
+        "out": _lin(sd, "out"),
     }
 
 

@@ -86,7 +86,10 @@ class ClusteringDiarizer(BaseDiarizer):
 
         spans = speech_segments(
             wav, sr,
-            VADOptions(min_speech_ms=self.config.min_speech_duration_ms or 250),
+            VADOptions(
+                min_speech_ms=self.config.min_speech_duration_ms or 250,
+                backend=self.config.vad_backend,
+            ),
         )
         if not spans:
             return []

@@ -35,8 +35,15 @@ def wav(tmp_path_factory):
     d = tmp_path_factory.mktemp("grand")
     rng = np.random.default_rng(0)
     sr = 16000
-    audio = (0.2 * np.sin(2 * np.pi * 250 * np.arange(sr * 6) / sr)
-             + 0.05 * rng.standard_normal(sr * 6)).astype(np.float32)
+    # speech-like (harmonic stack + syllabic AM) so the learned VAD — the
+    # default gate since round 2 — keeps it; a bare sine would rightly be
+    # rejected as a steady tone
+    t = np.arange(sr * 6) / sr
+    phase = 2 * np.pi * 170.0 * t
+    voiced = sum(np.sin(h * phase) / h for h in range(1, 7))
+    am = 0.3 + 0.7 * 0.5 * (1 + np.sin(2 * np.pi * 3.5 * t))
+    audio = (0.25 * voiced * am / np.abs(voiced).max()
+             + 0.02 * rng.standard_normal(sr * 6)).astype(np.float32)
     p = d / "grand.wav"
     write_wav(p, audio, sr)
     return str(p)

@@ -111,6 +111,48 @@ class TestXLMRobertaParity:
         )
 
 
+class TestVadConvParity:
+    def test_vad_matches_torch_conv_stack(self):
+        """Pin _conv1d SAME-padding/dilation + LayerNorm semantics against
+        torch, via convert_vad_torch — so a real Silero/marblenet-class
+        checkpoint conversion is a mechanical weight mapping."""
+        import torch.nn as nn
+
+        from audio_rag_tpu.convert import convert_vad_torch
+        from audio_rag_tpu.models.speaker import vad_scores
+
+        n_mels, ch, T = 80, 64, 50
+
+        class TorchVad(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.c1 = nn.Conv1d(n_mels, ch, 5, padding=2)
+                self.ln1 = nn.LayerNorm(ch)
+                self.c2 = nn.Conv1d(ch, ch, 5, padding=4, dilation=2)
+                self.ln2 = nn.LayerNorm(ch)
+                self.out = nn.Linear(ch, 1)
+
+            def forward(self, mel):  # (B, n_mels, T)
+                x = torch.relu(self.ln1(self.c1(mel).transpose(1, 2)))
+                x = torch.relu(
+                    self.ln2(self.c2(x.transpose(1, 2)).transpose(1, 2))
+                )
+                return torch.sigmoid(self.out(x)[..., 0])
+
+        torch.manual_seed(0)
+        model = TorchVad().eval()
+        sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+        params = jax.tree.map(jnp.asarray, convert_vad_torch(sd))
+
+        rng = np.random.default_rng(0)
+        mel = rng.standard_normal((2, n_mels, T)).astype(np.float32)
+        with torch.no_grad():
+            ref = model(torch.from_numpy(mel)).numpy()
+        ours = np.asarray(vad_scores(params, jnp.asarray(mel),
+                                     dtype=jnp.float32))
+        np.testing.assert_allclose(ours, ref, atol=2e-5, rtol=1e-4)
+
+
 class TestLlamaParity:
     def test_causal_lm_logits_match(self, tmp_path):
         from transformers import LlamaConfig, LlamaForCausalLM
