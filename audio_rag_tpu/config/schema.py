@@ -162,8 +162,19 @@ class GenerationConfig(BaseModel):
     checkpoint_path: str | None = None
     #: coalesce concurrent requests into batched decodes (engine/scheduler)
     use_scheduler: bool = True
+    #: "wave" decodes each batch to completion (fewest dispatches — best
+    #: for bulk ingest); "continuous" runs slot-based decode with
+    #: join/leave at segment boundaries so short requests never wait for a
+    #: long generation (engine/continuous.py)
+    scheduler_mode: Literal["wave", "continuous"] = "wave"
     scheduler_max_batch: int = Field(default=16, ge=1)
     scheduler_max_wait_ms: float = Field(default=10.0, ge=0.0)
+    #: continuous mode: decode-slot count and tokens per segment dispatch
+    scheduler_slots: int = Field(default=8, ge=1)
+    scheduler_segment_tokens: int = Field(default=16, ge=1)
+    #: continuous mode: per-slot KV budget (attention cost per step is
+    #: O(ctx); don't pay the model's full max_len for chat-sized requests)
+    scheduler_context_tokens: int = Field(default=2048, ge=64)
 
 
 class TTSConfig(BaseModel):

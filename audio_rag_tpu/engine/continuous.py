@@ -1,0 +1,285 @@
+"""Continuous-batching LLM scheduler: slot-based decode, join/leave between
+segments.
+
+Wave batching (engine/scheduler.py) decodes each batch to completion — a
+request arriving mid-decode waits for the whole wave, so one long
+generation head-of-line-blocks every short one (SURVEY.md "hard parts":
+multiplexing contextual/HyDE/answer traffic without HOL blocking; the
+reference gets this from Ollama's server, reference
+``generation/ollama.py:58-146``).
+
+Here the device keeps a fixed pool of B decode slots — one shared
+(L, B, HKV, C, hd) KV cache — and the loop alternates:
+
+1. **admit**: free slots prefill newly-arrived prompts
+   (:func:`models.llm.llm_prefill_slot` scatters the prompt's KV into the
+   slot; the first token samples host-side from the returned logits);
+2. **decode a segment**: ONE dispatch advances every active slot
+   ``segment_tokens`` steps with per-slot positions and temperatures
+   (:func:`models.llm.llm_decode_slots`).
+
+Per-token admission (vLLM-style) would pay this runtime's flat ~28 ms
+dispatch floor per TOKEN; segments amortize it across ``segment_tokens``
+while bounding a new request's queueing delay to one segment + one
+prefill. Requests finish at EOS or their own max_tokens and leave their
+slot at the next boundary — a long generation never blocks short ones for
+more than a segment.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio_rag_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+__all__ = ["ContinuousBatcher"]
+
+
+@dataclass
+class _Request:
+    prompt: str
+    system: str | None
+    max_tokens: int | None
+    temperature: float | None
+    future: Future = field(default_factory=Future)
+
+
+@dataclass
+class _Slot:
+    request: _Request
+    tokens: list[int]  # generated so far
+    pos: int  # next KV write index (== true sequence length so far)
+    max_new: int
+    last_token: int
+    done: bool = False
+
+
+class ContinuousBatcher:
+    """Future-based API mirroring GenerationScheduler (submit/generate/stop)."""
+
+    def __init__(self, generator, n_slots: int = 8,
+                 segment_tokens: int = 16, context_tokens: int = 2048):
+        self.generator = generator
+        self.n_slots = n_slots
+        self.segment = segment_tokens
+        self.ctx = context_tokens
+        self._queue: "queue.Queue[_Request | None]" = queue.Queue()
+        self._slots: list[_Slot | None] = [None] * n_slots
+        self._cache = None  # (cache_k, cache_v) device arrays
+        self._rng_seed = 0
+        self._stopped = False
+        self.segments_run = 0
+        self.requests_served = 0
+        self._thread = threading.Thread(
+            target=self._run, name="llm-continuous", daemon=True)
+        self._thread.start()
+
+    # -- client API ---------------------------------------------------------
+    def submit(self, prompt: str, system: str | None = None,
+               max_tokens: int | None = None,
+               temperature: float | None = None) -> Future:
+        if self._stopped:
+            raise RuntimeError("scheduler stopped")
+        req = _Request(prompt, system, max_tokens, temperature)
+        self._queue.put(req)
+        return req.future
+
+    def generate(self, prompt: str, **kw) -> str:
+        return self.submit(prompt, **kw).result()
+
+    def stop(self) -> None:
+        self._stopped = True
+        self._queue.put(None)
+        self._thread.join(timeout=10.0)
+
+    # -- device programs ----------------------------------------------------
+    def _prefill_program(self, Pb: int):
+        gen = self.generator
+        from audio_rag_tpu.models.llm import llm_prefill_slot
+
+        def build():
+            @jax.jit
+            def run(params, prompt, n_valid, ck, cv, slot):
+                return llm_prefill_slot(
+                    params, gen.dims, prompt, n_valid, ck, cv, slot)
+
+            return run
+
+        return gen._engine.program(("llm_cont_prefill", Pb), build)
+
+    def _decode_program(self):
+        gen = self.generator
+        from audio_rag_tpu.models.llm import llm_decode_slots
+
+        segment = self.segment
+        eos = gen._tok.eos_id
+
+        def build():
+            @jax.jit
+            def run(params, last, ck, cv, pos, active, temps, rng):
+                return llm_decode_slots(
+                    params, gen.dims, last, ck, cv, pos, active, temps,
+                    rng, n_steps=segment, eos_id=eos)
+
+            return run
+
+        return gen._engine.program(
+            ("llm_cont_decode", self.n_slots, segment), build)
+
+    # -- worker -------------------------------------------------------------
+    def _ensure_cache(self):
+        if self._cache is None:
+            d = self.generator.dims
+            hd = d.d_model // d.n_heads
+            C = min(d.max_len, self.ctx)
+            shape = (d.n_layers, self.n_slots, d.n_kv_heads, C, hd)
+            self._cache = (jnp.zeros(shape, jnp.bfloat16),
+                           jnp.zeros(shape, jnp.bfloat16))
+
+    def _admit(self, req: _Request, slot_idx: int) -> None:
+        gen = self.generator
+        tok = gen._tok
+        C = min(gen.dims.max_len, self.ctx)
+        text = f"{req.system}\n\n{req.prompt}" if req.system else req.prompt
+        seq = tok.encode(text)[-(C - 8):]
+        Pb = 1 << max(len(seq) - 1, 0).bit_length()
+        Pb = min(max(Pb, 8), C - 8)
+        prompt = np.full((1, Pb), tok.eos_id, np.int32)
+        prompt[0, : len(seq)] = seq[:Pb]
+        n_valid = min(len(seq), Pb)
+
+        self._ensure_cache()
+        ck, cv = self._cache
+        run = self._prefill_program(Pb)
+        ck, cv, last_logits = run(
+            gen._params, jnp.asarray(prompt), jnp.asarray(np.int32(n_valid)),
+            ck, cv, jnp.asarray(np.int32(slot_idx)),
+        )
+        self._cache = (ck, cv)
+        logits = np.asarray(last_logits)
+
+        temp = (gen.config.temperature if req.temperature is None
+                else req.temperature)
+        if temp > 0:
+            self._rng_seed += 1
+            r = np.random.default_rng(self._rng_seed)
+            p = np.exp(logits / temp - np.max(logits / temp))
+            first = int(r.choice(logits.size, p=p / p.sum()))
+        else:
+            first = int(np.argmax(logits))
+
+        max_new = min(req.max_tokens or gen.config.max_tokens,
+                      C - n_valid - 1)
+        slot = _Slot(request=req, tokens=[first], pos=n_valid,
+                     max_new=max_new, last_token=first)
+        if first == tok.eos_id or max_new <= 1:
+            self._finish(slot)
+            slot.done = True
+        self._slots[slot_idx] = None if slot.done else slot
+
+    def _finish(self, slot: _Slot) -> None:
+        tok = self.generator._tok
+        ids = slot.tokens
+        if tok.eos_id in ids:
+            ids = ids[: ids.index(tok.eos_id)]
+        ids = ids[: slot.max_new]
+        if not slot.request.future.done():
+            slot.request.future.set_result(tok.decode(ids).strip())
+        self.requests_served += 1
+
+    def _decode_segment(self) -> None:
+        gen = self.generator
+        B = self.n_slots
+        last = np.zeros(B, np.int32)
+        pos = np.zeros(B, np.int32)
+        active = np.zeros(B, bool)
+        temps = np.zeros(B, np.float32)
+        for i, s in enumerate(self._slots):
+            if s is None:
+                continue
+            last[i] = s.last_token
+            pos[i] = s.pos
+            active[i] = True
+            t = s.request.temperature
+            temps[i] = gen.config.temperature if t is None else t
+        ck, cv = self._cache
+        self._rng_seed += 1
+        out = self._decode_program()(
+            gen._params, jnp.asarray(last), ck, cv, jnp.asarray(pos),
+            jnp.asarray(active), jnp.asarray(temps),
+            jax.random.PRNGKey(self._rng_seed),
+        )
+        toks = np.asarray(out[0])  # (B, segment)
+        self._cache = (out[1], out[2])
+        new_pos = np.asarray(out[3])
+        self.segments_run += 1
+
+        eos = gen._tok.eos_id
+        cap = min(gen.dims.max_len, self.ctx) - 2
+        for i, s in enumerate(self._slots):
+            if s is None:
+                continue
+            s.tokens.extend(int(t) for t in toks[i])
+            s.pos = int(new_pos[i])
+            s.last_token = int(toks[i, -1])
+            hit_eos = eos in s.tokens
+            if hit_eos or len(s.tokens) >= s.max_new or s.pos >= cap:
+                self._finish(s)
+                self._slots[i] = None
+
+    def _run(self) -> None:
+        while True:
+            any_active = any(s is not None for s in self._slots)
+            try:
+                # block only when idle; poll when decoding
+                item = self._queue.get(
+                    timeout=0.001 if any_active else None)
+            except queue.Empty:
+                item = False  # nothing new
+            if item is None:
+                for s in self._slots:
+                    if s is not None and not s.request.future.done():
+                        s.request.future.set_exception(
+                            RuntimeError("scheduler stopped"))
+                return
+            # admit as many waiting requests as there are free slots
+            pending = [] if item is False else [item]
+            while True:
+                try:
+                    nxt = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._queue.put(None)  # re-signal stop for next loop
+                    break
+                pending.append(nxt)
+            for req in pending:
+                free = [i for i, s in enumerate(self._slots) if s is None]
+                if not free:
+                    self._queue.put(req)  # joins at the next boundary
+                    continue
+                try:
+                    self._admit(req, free[0])
+                except Exception as exc:  # pragma: no cover
+                    log.error("prefill failed: %s", exc)
+                    if not req.future.done():
+                        req.future.set_exception(exc)
+            if any(s is not None for s in self._slots):
+                try:
+                    self._decode_segment()
+                except Exception as exc:  # pragma: no cover
+                    log.error("decode segment failed: %s", exc)
+                    for i, s in enumerate(self._slots):
+                        if s is not None:
+                            if not s.request.future.done():
+                                s.request.future.set_exception(exc)
+                            self._slots[i] = None

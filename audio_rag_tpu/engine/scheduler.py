@@ -134,10 +134,19 @@ class ScheduledGenerator:
     """
 
     def __init__(self, generator, max_batch: int = 16,
-                 max_wait_ms: float = 10.0):
+                 max_wait_ms: float = 10.0, mode: str = "wave",
+                 n_slots: int = 8, segment_tokens: int = 16,
+                 context_tokens: int = 2048):
         self.inner = generator
-        self.scheduler = GenerationScheduler(generator, max_batch,
-                                             max_wait_ms)
+        if mode == "continuous":
+            from audio_rag_tpu.engine.continuous import ContinuousBatcher
+
+            self.scheduler = ContinuousBatcher(
+                generator, n_slots=n_slots, segment_tokens=segment_tokens,
+                context_tokens=context_tokens)
+        else:
+            self.scheduler = GenerationScheduler(generator, max_batch,
+                                                 max_wait_ms)
 
     @property
     def is_loaded(self) -> bool:

@@ -18,6 +18,10 @@ def create_generator(config: GenerationConfig) -> BaseGenerator | None:
         return ScheduledGenerator(
             gen, max_batch=config.scheduler_max_batch,
             max_wait_ms=config.scheduler_max_wait_ms,
+            mode=config.scheduler_mode,
+            n_slots=config.scheduler_slots,
+            segment_tokens=config.scheduler_segment_tokens,
+            context_tokens=config.scheduler_context_tokens,
         )
     return gen
 

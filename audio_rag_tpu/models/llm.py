@@ -43,6 +43,8 @@ __all__ = [
     "llm_forward",
     "llm_generate",
     "llm_param_spec",
+    "llm_prefill_slot",
+    "llm_decode_slots",
 ]
 
 
@@ -230,6 +232,133 @@ def _rope_tables(dims: LLMDims, head_dim: int):
         )
     cos, sin = _ROPE_CACHE[key]
     return jnp.asarray(cos), jnp.asarray(sin)
+
+
+def llm_prefill_slot(
+    params: Params,
+    dims: LLMDims,
+    prompt: jax.Array,  # (1, Pb) int32, right-padded
+    n_valid,  # scalar int32: true prompt length
+    cache_k: jax.Array,  # (L, B, HKV, C, hd)
+    cache_v: jax.Array,
+    slot,  # scalar int32
+    dtype: jnp.dtype = jnp.bfloat16,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Prefill one request's KV into batch slot ``slot`` (continuous
+    batching admission). Returns (cache_k, cache_v, last-token logits).
+
+    The prompt is RIGHT-padded: garbage KV rows in [n_valid, Pb) are
+    masked out by the decoder's per-slot position mask and are
+    progressively overwritten by generated tokens.
+    """
+    L, B, HKV, C, hd = cache_k.shape
+    Pb = prompt.shape[1]
+    sk = jnp.zeros((L, 1, HKV, Pb, hd), dtype)
+    sv = jnp.zeros_like(sk)
+    kv_valid = (jnp.arange(Pb) < n_valid)[None]
+    logits, (sk, sv) = llm_forward(
+        params, dims, prompt, 0, (sk, sv), dtype, kv_valid=kv_valid
+    )
+    cache_k = jax.lax.dynamic_update_slice(
+        cache_k, sk.astype(cache_k.dtype), (0, slot, 0, 0, 0))
+    cache_v = jax.lax.dynamic_update_slice(
+        cache_v, sv.astype(cache_v.dtype), (0, slot, 0, 0, 0))
+    last = jax.lax.dynamic_index_in_dim(
+        logits[0], n_valid - 1, axis=0, keepdims=False)
+    return cache_k, cache_v, last
+
+
+def llm_decode_slots(
+    params: Params,
+    dims: LLMDims,
+    last_tok: jax.Array,  # (B,) int32 — each slot's most recent token
+    cache_k: jax.Array,  # (L, B, HKV, C, hd)
+    cache_v: jax.Array,
+    pos: jax.Array,  # (B,) int32 — index where last_tok's KV will be written
+    active: jax.Array,  # (B,) bool — slot holds a live request
+    temps: jax.Array,  # (B,) f32 — per-slot temperature (<=0 greedy)
+    rng: jax.Array,
+    n_steps: int,
+    eos_id: int,
+    dtype: jnp.dtype = jnp.bfloat16,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """``n_steps`` decode steps for every slot with PER-SLOT positions —
+    the continuous-batching inner loop. Requests join/leave only at
+    segment boundaries: on this runtime each dispatch carries a flat
+    ~28 ms cost, so per-token admission would pay that floor per token;
+    an n_steps-token segment amortizes it while bounding head-of-line
+    latency to one segment.
+
+    Returns (tokens (B, n_steps), cache_k, cache_v, new_pos, finished).
+    """
+    L, B, HKV, C, hd = cache_k.shape
+    H = dims.n_heads
+    cos_t, sin_t = _rope_tables(dims, hd)
+    b_idx = jnp.arange(B)
+
+    def one_step(carry, _):
+        last, ck_all, cv_all, pos, finished, rng = carry
+        x = params["tok_emb"]["table"].astype(dtype)[last][:, None, :]
+        cos = cos_t[pos][:, None, None, :]  # (B,1,1,hd/2)
+        sin = sin_t[pos][:, None, None, :]
+        mask = (jnp.arange(C)[None, :] <= pos[:, None])[:, None, None, :]
+
+        def block(x, layer):
+            p, ck, cv = layer  # ck/cv: (B, HKV, C, hd)
+            xn = rms_norm(p["ln_attn"], x)
+            q = linear(p["attn"]["q"], xn, dtype).reshape(
+                B, 1, H, hd).transpose(0, 2, 1, 3)
+            k = linear(p["attn"]["k"], xn, dtype).reshape(
+                B, 1, HKV, hd).transpose(0, 2, 1, 3)
+            v = linear(p["attn"]["v"], xn, dtype).reshape(
+                B, 1, HKV, hd).transpose(0, 2, 1, 3)
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+            # per-slot scatter at each slot's own position
+            ck = ck.at[b_idx[:, None], jnp.arange(HKV)[None, :],
+                       pos[:, None], :].set(
+                k[:, :, 0, :].astype(ck.dtype))
+            cv = cv.at[b_idx[:, None], jnp.arange(HKV)[None, :],
+                       pos[:, None], :].set(
+                v[:, :, 0, :].astype(cv.dtype))
+            kk = jnp.repeat(ck, H // HKV, axis=1).astype(dtype)
+            vv = jnp.repeat(cv, H // HKV, axis=1).astype(dtype)
+            logits = jnp.einsum("bhqd,bhkd->bhqk", q * hd ** -0.5, kk,
+                                preferred_element_type=jnp.float32)
+            logits = jnp.where(mask, logits, -1e30)
+            probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+            o = jnp.einsum("bhqk,bhkd->bhqd", probs, vv,
+                           preferred_element_type=jnp.float32).astype(dtype)
+            o = o.transpose(0, 2, 1, 3).reshape(B, 1, dims.d_model)
+            x = x + linear(p["attn"]["o"], o, dtype)
+            x = x + swiglu(p["mlp"], rms_norm(p["ln_mlp"], x), dtype)
+            return x, (ck, cv)
+
+        x, (ck_all, cv_all) = jax.lax.scan(
+            block, x, (params["blocks"], ck_all, cv_all))
+        x = rms_norm(params["ln_f"], x)
+        logits = linear(params["lm_head"], x, dtype)[:, 0].astype(
+            jnp.float32)  # (B, vocab)
+
+        key, rng = jax.random.split(rng)
+        safe_t = jnp.where(temps > 0, temps, 1.0)
+        sampled = jax.random.categorical(key, logits / safe_t[:, None],
+                                         axis=-1).astype(jnp.int32)
+        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(temps > 0, sampled, greedy)
+        run = active & ~finished
+        nxt = jnp.where(run, nxt, eos_id)
+        finished = finished | (run & (nxt == eos_id)) | ~active
+        pos = pos + run.astype(jnp.int32)
+        return (nxt, ck_all, cv_all, pos, finished, rng), nxt
+
+    finished0 = ~active
+    (last, cache_k, cache_v, pos, finished, _), toks = jax.lax.scan(
+        one_step,
+        (last_tok, cache_k, cache_v, pos, finished0, rng),
+        None, length=n_steps,
+    )
+    return toks.T, cache_k, cache_v, pos, finished
 
 
 def llm_generate(
