@@ -43,6 +43,10 @@ class StreamingConfig:
     sample_rate: int = SAMPLE_RATE
     #: drop a chunk's transcript when its average logprob is below this
     min_avg_logprob: float | None = None
+    #: decode budget per chunk: a 5 s chunk holds ~40 tokens of speech, so
+    #: whisper's 224-token window budget wastes ~5× sequential decoder
+    #: steps per chunk — the dominant per-chunk latency term
+    max_decode_tokens: int = 64
 
 
 @dataclass
@@ -141,6 +145,12 @@ class StreamingASR(BaseASR):
         if backend is None:
             from audio_rag_tpu.asr.whisper_jax import WhisperJaxASR
 
+            # cap the per-chunk decode budget (compile-time static, so the
+            # streaming programs are separate cache entries from batch ones)
+            if self.config.max_decode_tokens is None:
+                self.config = self.config.model_copy(update={
+                    "max_decode_tokens": self.streaming.max_decode_tokens,
+                })
             backend = WhisperJaxASR(self.config)
         self.backend = backend
         self.hbm_required_gb = backend.hbm_required_gb
@@ -159,12 +169,15 @@ class StreamingASR(BaseASR):
         # prewarm the chunk-shaped program so the first live chunk doesn't
         # pay the compile (a real-time session can't absorb minutes)
         try:
+            from audio_rag_tpu.audio.synth import speech_like
+
             n = int(self.streaming.chunk_duration
                     * self.streaming.sample_rate)
-            # audible noise: silence would be VAD-gated before compiling
-            warm = (0.1 * np.random.default_rng(0).standard_normal(n)
-                    ).astype(np.float32)
-            self.backend.transcribe(warm, self.streaming.sample_rate)
+            # speech-shaped: noise/silence would be gated by the learned
+            # VAD before ever compiling the decode program
+            warm = speech_like(n, self.streaming.sample_rate, seed=0)
+            self.backend.transcribe(warm, self.streaming.sample_rate,
+                                    word_timestamps=True)
         except Exception as exc:
             log.warning("streaming prewarm skipped: %s", exc)
 

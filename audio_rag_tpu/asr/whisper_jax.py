@@ -133,15 +133,24 @@ class WhisperJaxASR(BaseASR):
         return lambda ids: " ".join(f"tok{int(i)}" for i in ids)
 
     # -- compiled programs -------------------------------------------------
+    def _max_new(self) -> int:
+        cap = MAX_NEW_TOKENS if self.dims.n_text_ctx >= 448 else 8
+        if self.config.max_decode_tokens:
+            cap = min(cap, self.config.max_decode_tokens)
+        return cap
+
     def _program(self, batch: int, temperature: float = 0.0):
         engine = self._engine
         strategy = self.config.decode
         beam = self.config.beam_size
-        max_new = MAX_NEW_TOKENS if self.dims.n_text_ctx >= 448 else 8
+        max_new = self._max_new()
 
         def build():
             @functools.partial(jax.jit, static_argnames=())
             def run(params, mel, prompt):
+                # enc is returned as a DEVICE-RESIDENT output: the word-
+                # timestamp alignment pass consumes it directly, so word
+                # timestamps don't pay a second full encoder pass
                 enc = encode(params, self.dims, mel, dtype=self.dtype)
                 if strategy == "beam" and temperature <= 0.0:
                     toks = beam_decode(
@@ -150,19 +159,21 @@ class WhisperJaxASR(BaseASR):
                     )
                     B = toks.shape[0]
                     return (toks, jnp.zeros((B,), jnp.float32),
-                            jnp.zeros((B,), jnp.float32))
-                return greedy_decode(
+                            jnp.zeros((B,), jnp.float32), enc)
+                toks, lp, nsp = greedy_decode(
                     params, self.dims, enc, prompt, max_new,
                     self.tokens.eot, dtype=self.dtype,
                     temperature=temperature,
                     rng=jax.random.PRNGKey(int(temperature * 100)),
                     no_speech_id=self.tokens.no_speech,
                 )
+                return toks, lp, nsp, enc
 
             return run
 
         return engine.program(
-            ("whisper", "transcribe", strategy, batch, temperature), build
+            ("whisper", "transcribe", strategy, batch, temperature,
+             max_new), build
         )
 
     def _place_batch(self, mel_batch: np.ndarray, prompt: np.ndarray):
@@ -330,6 +341,7 @@ class WhisperJaxASR(BaseASR):
         tokens = np.array(out[0])  # writable copies (fallback ladder mutates)
         avg_lp = np.array(out[1])
         no_speech = np.asarray(out[2])
+        enc_dev = out[3]  # stays on device; only the align pass reads it
 
         # temperature-fallback ladder (faster-whisper semantics,
         # reference asr/whisper.py temperature tuple): a window retries at
@@ -373,7 +385,7 @@ class WhisperJaxASR(BaseASR):
                     [i for i in ids if i < self.tokens.timestamp_base]
                 )
             window_weights = self._collect_cross_weights(
-                mel_batch, prompt, clean_per_window
+                enc_dev, prompt, clean_per_window
             )
 
         out: list[TranscriptSegment] = []
@@ -393,13 +405,15 @@ class WhisperJaxASR(BaseASR):
         return out
 
     def _collect_cross_weights(
-        self, mel_batch: np.ndarray, prompt: np.ndarray,
+        self, enc_dev, prompt: np.ndarray,
         clean_per_window: list[list[int]],
     ) -> np.ndarray | None:
-        """Teacher-forced decoder pass → (B, L, H, T, Ta) fp32 weights."""
+        """Teacher-forced decoder pass over the ALREADY-computed encoder
+        states (device-resident output of the transcribe program — reusing
+        them halves per-chunk encoder work for word-timestamped streaming)
+        → head-averaged (B, T, Ta) fp32 weights."""
         from audio_rag_tpu.models.whisper import (
             decoder_forward,
-            encode,
             precompute_cross_kv,
         )
 
@@ -422,8 +436,7 @@ class WhisperJaxASR(BaseASR):
 
         def build():
             @jax.jit
-            def run(params, mel, toks):
-                enc = encode(params, self.dims, mel, dtype=self.dtype)
+            def run(params, enc, toks):
                 ckv = precompute_cross_kv(params, self.dims, enc, self.dtype)
                 _, _, w = decoder_forward(
                     params, self.dims, toks, ckv, dtype=self.dtype,
@@ -440,7 +453,7 @@ class WhisperJaxASR(BaseASR):
             ("whisper", "align", B, P + max_t), build
         )
         return np.asarray(
-            run(self._params, jnp.asarray(mel_batch), jnp.asarray(tf_tokens))
+            run(self._params, enc_dev, jnp.asarray(tf_tokens))
         )  # (B, T, Ta)
 
     def _apply_word_times(

@@ -63,6 +63,10 @@ class ASRConfig(BaseModel):
     no_speech_threshold: float = Field(default=0.6, ge=0.0, le=1.0)
     #: batch 30s windows together instead of sequential decode
     window_batch_size: int = Field(default=8, ge=1)
+    #: cap on generated tokens per 30s window (None = whisper's 224). A 5s
+    #: streaming chunk holds ~40 tokens of speech — decoding 224 wastes
+    #: 5x sequential decoder steps; the streaming wrapper sets this
+    max_decode_tokens: int | None = Field(default=None, ge=8)
     checkpoint_path: str | None = None
 
 
