@@ -47,6 +47,7 @@ from audio_rag_tpu.ops.mel import (
     HOP_LENGTH,
     N_SAMPLES,
     SAMPLE_RATE,
+    log_mel_batch,
     log_mel_spectrogram,
 )
 from audio_rag_tpu.resources.manager import get_resource_manager
@@ -318,15 +319,13 @@ class WhisperJaxASR(BaseASR):
         n_mel_samples = (
             2 * self.dims.n_audio_ctx * HOP_LENGTH
         )  # 30 s for real models, shorter for the test preset
-        mel_batch = np.zeros(
-            (B, self.dims.n_mels, 2 * self.dims.n_audio_ctx), np.float32
-        )
+        win = np.zeros((B, n_mel_samples), np.float32)
         for j, (_, seg) in enumerate(windows):
-            padded = np.zeros(n_mel_samples, np.float32)
-            padded[: min(len(seg), n_mel_samples)] = seg[:n_mel_samples]
-            mel_batch[j] = np.asarray(
-                log_mel_spectrogram(jnp.asarray(padded), n_mels=self.dims.n_mels)
-            )
+            win[j, : min(len(seg), n_mel_samples)] = seg[:n_mel_samples]
+        # ONE device program for the whole batch's mel; the result stays on
+        # device and feeds the transcribe program directly (the old
+        # per-window loop paid a host↔device round trip per 30 s window)
+        mel_batch = log_mel_batch(jnp.asarray(win), n_mels=self.dims.n_mels)
 
         st = self.tokens
         lang_id = st.lang_base + lang_offset

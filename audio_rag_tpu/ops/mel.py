@@ -29,6 +29,8 @@ __all__ = [
     "N_FRAMES",
     "mel_filterbank",
     "log_mel_spectrogram",
+    "log_mel_batch",
+    "log_mel_sharded",
     "pad_or_trim",
 ]
 
@@ -140,6 +142,100 @@ def log_mel_spectrogram(
         log_spec = jnp.maximum(log_spec, jnp.max(log_spec) - 8.0)
     log_spec = (log_spec + 4.0) / 4.0
     return log_spec.T  # (n_mels, n_frames)
+
+
+@functools.partial(jax.jit, static_argnames=("n_mels",))
+def log_mel_batch(windows: jax.Array, n_mels: int = 128) -> jax.Array:
+    """Per-window log-mel for a batch: (B, n_samples) → (B, n_mels, T).
+
+    One device program for the whole window batch — the per-window host
+    loop paid a host↔device round trip (~28 ms relay floor) per 30 s
+    window, i.e. ~7 s of pure dispatch tax per audio-hour.
+    """
+    return jax.vmap(
+        lambda a: log_mel_spectrogram(a, n_mels=n_mels)
+    )(windows)
+
+
+def _log_mel_unnormalized(padded: jax.Array, n_frames: int,
+                          n_mels: int) -> jax.Array:
+    """(n_frames, n_mels) log10 mel from an already-halo-padded signal."""
+    idx = (
+        jnp.arange(n_frames)[:, None] * HOP_LENGTH
+        + jnp.arange(N_FFT)[None, :]
+    )
+    frames = padded[idx]
+    hp = jax.lax.Precision.HIGHEST
+    cos_b, sin_b = _dft_bases(N_FFT)
+    re = jnp.dot(frames, jnp.asarray(cos_b), precision=hp)
+    im = jnp.dot(frames, jnp.asarray(sin_b), precision=hp)
+    power = re * re + im * im
+    mel = jnp.dot(power, jnp.asarray(mel_filterbank(n_mels).T), precision=hp)
+    return jnp.log10(jnp.maximum(mel, 1e-10))
+
+
+def log_mel_sharded(audio, n_mels: int = 128, mesh=None) -> jax.Array:
+    """Time-axis-parallel log-mel for hour-scale audio: the sample axis
+    shards over the mesh's ``data`` axis, each chip computes its frames
+    shard-local after a halo exchange (SURVEY §2.4 "long audio" row).
+
+    Mechanics: frame i needs samples [i·HOP − N_FFT/2, i·HOP + N_FFT/2),
+    so each shard ppermutes its first/last N_FFT/2 samples to its
+    neighbors; the global edges reflect locally (whisper's center=True
+    padding). Whisper's global max−8 clamp becomes a ``pmax`` across
+    shards — bit-matching the unsharded full-file computation (which the
+    reference applies over the WHOLE padded input, not per window).
+    Output: (n_mels, S/HOP) sharded over frames; per-chip peak memory is
+    S/n_data-proportional, flat in file length for a fixed shard budget.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    if mesh is None:
+        from audio_rag_tpu.parallel.mesh import get_default_mesh
+
+        mesh = get_default_mesh()
+    n_data = int(mesh.shape.get("data", 1))
+    audio = jnp.asarray(audio, jnp.float32)
+    if n_data == 1:
+        return log_mel_spectrogram(audio, n_mels=n_mels)
+
+    S = audio.shape[-1]
+    step = n_data * HOP_LENGTH
+    S_pad = ((S + step - 1) // step) * step
+    if S_pad != S:
+        audio = jnp.pad(audio, (0, S_pad - S))
+    halo = N_FFT // 2
+    frames_local = (S_pad // n_data) // HOP_LENGTH
+
+    def shard_fn(chunk):  # (C,) local samples
+        chunk = chunk.reshape(-1)
+        i = jax.lax.axis_index("data")
+        # receive my LEFT halo (the left neighbor's tail) and RIGHT halo
+        # (the right neighbor's head); edge shards get zeros and replace
+        # them with local reflection (whisper's center padding)
+        from_left = jax.lax.ppermute(
+            chunk[-halo:], "data",
+            [(j, j + 1) for j in range(n_data - 1)])
+        from_right = jax.lax.ppermute(
+            chunk[:halo], "data",
+            [(j, j - 1) for j in range(1, n_data)])
+        left = jnp.where(i == 0, chunk[1: halo + 1][::-1], from_left)
+        right = jnp.where(i == n_data - 1,
+                          chunk[-halo - 1: -1][::-1], from_right)
+        padded = jnp.concatenate([left, chunk, right])
+        log_spec = _log_mel_unnormalized(padded, frames_local, n_mels)
+        gmax = jax.lax.pmax(jnp.max(log_spec), "data")
+        log_spec = jnp.maximum(log_spec, gmax - 8.0)
+        return ((log_spec + 4.0) / 4.0).T  # (n_mels, frames_local)
+
+    fn = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=P("data"),
+        out_specs=P(None, "data"),
+    )
+    sharded = jax.device_put(audio, NamedSharding(mesh, P("data")))
+    return jax.jit(fn)(sharded)
 
 
 def pad_or_trim(audio: np.ndarray, length: int = N_SAMPLES) -> np.ndarray:
