@@ -71,7 +71,7 @@ class ASRConfig(BaseModel):
 
 
 class DiarizationConfig(BaseModel):
-    backend: Literal["clustering", "fake"] = "clustering"
+    backend: Literal["clustering", "ahc", "fake"] = "clustering"
     model: str = "titanet-jax"
     device: Literal["tpu", "cpu", "auto"] = "auto"
     min_speakers: int | None = None
@@ -79,6 +79,11 @@ class DiarizationConfig(BaseModel):
     min_speech_duration_ms: int = Field(default=250, ge=0)
     #: VAD gating the speaker windows (reference nemo.py:45-53, marblenet)
     vad_backend: Literal["auto", "learned", "energy"] = "auto"
+    #: AHC engine: merge clusters while avg cosine distance < threshold
+    ahc_threshold: float = Field(default=0.35, ge=0.0, le=2.0)
+    #: AHC engine: emit a window for its 2nd speaker too when its
+    #: similarity is within this margin of the best (0 = single-label)
+    overlap_margin: float = Field(default=0.0, ge=0.0, le=1.0)
     #: speaker-embedding window/shift (seconds), reference nemo.py:54-66
     window_s: float = 1.5
     shift_s: float = 0.75

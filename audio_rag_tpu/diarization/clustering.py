@@ -38,6 +38,59 @@ log = get_logger(__name__)
 __all__ = ["ClusteringDiarizer"]
 
 
+def window_embeddings(
+    wav: np.ndarray, sr: int, spans: list[tuple[float, float]],
+    config: DiarizationConfig, dims, params,
+) -> tuple[list[float], np.ndarray]:
+    """Window starts + L2-normalized speaker embeddings, ONE device call
+    for every window of the file (shared by both diarization engines)."""
+    win = config.window_s
+    shift = config.shift_s
+    win_n = int(win * sr)
+    starts: list[float] = []
+    for s, e in spans:
+        t = s
+        while t + 0.5 * win <= e:  # windows at least half-filled
+            starts.append(t)
+            t += shift
+    if not starts:
+        # speech shorter than half a window → single window per span
+        starts = [s for s, _ in spans]
+    frames = np.zeros((len(starts), win_n), np.float32)
+    for i, t in enumerate(starts):
+        seg = wav[int(t * sr): int(t * sr) + win_n]
+        frames[i, : len(seg)] = seg
+    mels = jax.vmap(
+        lambda a: log_mel_spectrogram(a, n_mels=dims.n_mels,
+                                      global_norm=False)
+    )(jnp.asarray(frames))
+    emb = np.asarray(
+        speaker_embed(params, dims, mels, dtype=jnp.float32)
+    )
+    return starts, emb
+
+
+def windows_to_segments(
+    starts: list[float], labels: np.ndarray, win: float, shift: float,
+    total_end: float,
+) -> list[TranscriptSegment]:
+    """Labeled windows → merged per-speaker segments (shared)."""
+    segs: list[TranscriptSegment] = []
+    for t, lab in zip(starts, labels):
+        spk = f"SPEAKER_{int(lab):02d}"
+        end = t + win
+        if segs and segs[-1].speaker == spk and t <= segs[-1].end + shift:
+            segs[-1].end = round(end, 3)
+        else:
+            segs.append(
+                TranscriptSegment(text="", start=round(t, 3),
+                                  end=round(end, 3), speaker=spk)
+            )
+    for s in segs:
+        s.end = min(s.end, round(total_end, 3))
+    return segs
+
+
 @DiarizationRegistry.register("clustering")
 class ClusteringDiarizer(BaseDiarizer):
     hbm_required_gb = 0.5
@@ -94,31 +147,8 @@ class ClusteringDiarizer(BaseDiarizer):
         if not spans:
             return []
 
-        win = self.config.window_s
-        shift = self.config.shift_s
-        win_n = int(win * sr)
-        starts: list[float] = []
-        for s, e in spans:
-            t = s
-            while t + 0.5 * win <= e:  # windows at least half-filled
-                starts.append(t)
-                t += shift
-        if not starts:
-            # speech shorter than half a window → single window per span
-            starts = [s for s, _ in spans]
-
-        # batch all windows through the speaker encoder in one device call
-        frames = np.zeros((len(starts), win_n), np.float32)
-        for i, t in enumerate(starts):
-            seg = wav[int(t * sr): int(t * sr) + win_n]
-            frames[i, : len(seg)] = seg
-        mels = jax.vmap(
-            lambda a: log_mel_spectrogram(a, n_mels=self.dims.n_mels,
-                                          global_norm=False)
-        )(jnp.asarray(frames))
-        emb = np.asarray(
-            speaker_embed(self._params, self.dims, mels, dtype=jnp.float32)
-        )
+        starts, emb = window_embeddings(
+            wav, sr, spans, self.config, self.dims, self._params)
 
         labels = spectral_cluster(
             emb,
@@ -126,24 +156,10 @@ class ClusteringDiarizer(BaseDiarizer):
             num_speakers=num_speakers,
             min_speakers=self.config.min_speakers,
         )
-
-        # windows → merged speaker segments (majority by window midpoint)
-        segs: list[TranscriptSegment] = []
-        for t, lab in zip(starts, labels):
-            spk = f"SPEAKER_{int(lab):02d}"
-            end = t + win
-            if segs and segs[-1].speaker == spk and t <= segs[-1].end + shift:
-                segs[-1].end = round(end, 3)
-            else:
-                segs.append(
-                    TranscriptSegment(text="", start=round(t, 3),
-                                      end=round(end, 3), speaker=spk)
-                )
-        # clip final segments to speech span ends
-        total_end = max(e for _, e in spans)
-        for s in segs:
-            s.end = min(s.end, round(total_end, 3))
-        return segs
+        return windows_to_segments(
+            starts, labels, self.config.window_s, self.config.shift_s,
+            max(e for _, e in spans),
+        )
 
     def get_speaker_timeline(
         self, segments: list[TranscriptSegment]

@@ -47,6 +47,9 @@ BERT_PRESETS: dict[str, BertDims] = {
     "xlmr-base": BertDims(250002, 768, 12, 12, 3072, 512),
     # tiny preset for tests
     "test": BertDims(1024, 64, 2, 2, 128, 128),
+    # small preset for the committed trained NLI asset: cross-segment
+    # token matching needs more heads/width than "test" provides
+    "nli-small": BertDims(4096, 128, 4, 4, 512, 128),
 }
 
 

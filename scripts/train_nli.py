@@ -1,0 +1,126 @@
+"""Train the tiny NLI head on synthetic lexical entailment/negation data
+and save the weights as a committed asset.
+
+Real mnli checkpoints can't be downloaded here (zero egress); this gives
+the NLI scorer genuinely-useful behavior on the hash tokenizer: a
+hypothesis whose content words are a subset of the premise is entailed,
+inserting a negation flips it to contradiction, disjoint content words are
+neutral. That's exactly the ordering (entailed > neutral > contradicted)
+the reranker-sigmoid proxy cannot produce — a contradiction has maximal
+lexical overlap and scores HIGH relevance. Real NLI weights drop in via
+``convert_reranker`` (any XLMRobertaForSequenceClassification).
+
+Deterministic (fixed seeds, CPU). Run: python scripts/train_nli.py
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+OUT = REPO / "audio_rag_tpu" / "assets" / "nli_small.npz"
+
+VOCAB_WORDS = [f"word{i}" for i in range(400)] + [
+    "gradient", "descent", "learning", "rate", "model", "training",
+    "kernel", "variance", "bias", "overfitting", "regularization",
+    "is", "the", "a", "very", "large", "small", "fast", "slow",
+]
+
+
+def make_pair(rng: np.random.Generator) -> tuple[str, str, int]:
+    words = rng.choice(VOCAB_WORDS, size=rng.integers(6, 11),
+                       replace=False).tolist()
+    premise = " ".join(words)
+    label = int(rng.integers(0, 3))
+    k = int(rng.integers(3, min(6, len(words))))
+    subset = [words[i] for i in sorted(
+        rng.choice(len(words), size=k, replace=False))]
+    if label == 2:  # entailment: content subset
+        hypothesis = " ".join(subset)
+    elif label == 0:  # contradiction: subset + negation
+        pos = int(rng.integers(0, len(subset)))
+        hypothesis = " ".join(subset[:pos] + ["not"] + subset[pos:])
+    else:  # neutral: disjoint words
+        others = [w for w in VOCAB_WORDS if w not in words]
+        hypothesis = " ".join(
+            rng.choice(others, size=k, replace=False).tolist())
+    return premise, hypothesis, label
+
+
+def main() -> int:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import optax
+
+    from audio_rag_tpu.models.bert import BERT_PRESETS
+    from audio_rag_tpu.models.cross_encoder import (
+        init_cross_encoder,
+        nli_forward,
+    )
+    from audio_rag_tpu.text.tokenizer import HashWordTokenizer, pad_batch
+
+    dims = BERT_PRESETS["nli-small"]
+    tok = HashWordTokenizer(dims.vocab)
+    rng = np.random.default_rng(0)
+    T = 32
+
+    def make_batch(n):
+        ids, labels = [], []
+        for _ in range(n):
+            p, h, y = make_pair(rng)
+            ids.append(tok.encode_pair(p, h, T))
+            labels.append(y)
+        arr, _ = pad_batch(ids, T, -1)
+        return arr, np.asarray(labels, np.int32)
+
+    params = init_cross_encoder(jax.random.PRNGKey(0), dims, n_out=3)
+    opt = optax.adam(optax.cosine_decay_schedule(2e-3, 2500, 0.05))
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, ids, labels):
+        def loss_fn(p):
+            mask = (ids >= 0).astype(jnp.int32)
+            toks = jnp.where(mask.astype(bool), ids, dims.pad_id)
+            logits = nli_forward(p, dims, toks, mask, dtype=jnp.float32)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    for it in range(2500):
+        ids, labels = make_batch(32)
+        params, opt_state, loss = step(
+            params, opt_state, jnp.asarray(ids), jnp.asarray(labels))
+        if it % 400 == 0:
+            print(f"step {it}: ce {float(loss):.4f}")
+
+    ids, labels = make_batch(256)
+    mask = (ids >= 0).astype(np.int32)
+    toks = np.where(mask.astype(bool), ids, dims.pad_id)
+    logits = np.asarray(nli_forward(
+        params, dims, jnp.asarray(toks), jnp.asarray(mask),
+        dtype=jnp.float32))
+    acc = float((logits.argmax(-1) == labels).mean())
+    print(f"held-out accuracy: {acc:.3f}")
+    assert acc > 0.8, "NLI failed to learn; not saving"
+
+    OUT.parent.mkdir(parents=True, exist_ok=True)
+    flat = {}
+    for kp, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        name = "/".join(str(getattr(k, "key", k)) for k in kp)
+        flat[name] = np.asarray(leaf)
+    np.savez(OUT, **flat)
+    print(f"saved {sum(v.size for v in flat.values())} params -> {OUT}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
