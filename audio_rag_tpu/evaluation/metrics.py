@@ -82,14 +82,29 @@ def _is_relevant(text: str, keywords: list[str]) -> bool:
 
 class RAGEvaluator:
     def __init__(self, embedder=None, reranker=None, generator=None,
-                 k: int = 5):
+                 k: int = 5, nli=None):
         #: embedder for semantic similarity (optional)
         self.embedder = embedder
-        #: cross-encoder scoring for entailment-style checks (optional)
+        #: cross-encoder relevance scoring — LAST-RESORT entailment proxy
         self.reranker = reranker
         #: LLM judge for faithfulness (optional)
         self.generator = generator
+        #: real NLI scorer (evaluation/nli.py); built lazily when None
+        self._nli = nli
+        self._nli_tried = nli is not None
         self.k = k
+
+    @property
+    def nli(self):
+        if not self._nli_tried:
+            self._nli_tried = True
+            try:
+                from audio_rag_tpu.evaluation.nli import NLIScorer
+
+                self._nli = NLIScorer()
+            except Exception as exc:
+                log.warning("NLI scorer unavailable: %s", exc)
+        return self._nli
 
     # -- retrieval ---------------------------------------------------------
     def compute_retrieval_metrics(
@@ -164,6 +179,16 @@ class RAGEvaluator:
                 )
             except Exception as exc:
                 log.warning("semantic similarity failed: %s", exc)
+        # real NLI (reference evaluation/metrics.py:132-161): P(entailment)
+        # from a 3-class cross-encoder — relevance is NOT entailment, so
+        # the reranker-sigmoid proxy only applies when no NLI model loads
+        if self.nli is not None:
+            try:
+                m.entailment_score = round(
+                    self.nli.entailment(reference, answer), 4)
+                return m
+            except Exception as exc:
+                log.warning("NLI entailment failed: %s", exc)
         if self.reranker is not None and hasattr(self.reranker,
                                                 "score_pairs"):
             try:

@@ -69,12 +69,22 @@ class NLIScorer:
                 and _ASSET.exists():
             with np.load(_ASSET) as data:
                 self._params = _nest({k: data[k] for k in data.files})
-            preset = "test"
-        self.dims: BertDims = BERT_PRESETS[preset]
+            preset = "nli-small"
         if self._params is None:
-            log.warning("NLI weights unavailable; random init (%s)", preset)
+            if model != "random":
+                # a random-init NLI would emit MEANINGLESS entailment
+                # numbers; callers fall back to the relevance proxy instead
+                raise FileNotFoundError(
+                    "no NLI weights: pass checkpoint_path (convert any "
+                    "XLMRobertaForSequenceClassification mnli model via "
+                    "convert_reranker) or run scripts/train_nli.py"
+                )
+            preset = "test"
+            self.dims = BERT_PRESETS[preset]
             self._params = init_cross_encoder(
                 jax.random.PRNGKey(0), self.dims, n_out=3)
+        else:
+            self.dims = BERT_PRESETS[preset]
         self._params = jax.tree.map(jnp.asarray, self._params)
         self._tok = get_tokenizer(checkpoint_path,
                                   vocab_size=self.dims.vocab)

@@ -79,7 +79,8 @@ def main() -> int:
         return arr, np.asarray(labels, np.int32)
 
     params = init_cross_encoder(jax.random.PRNGKey(0), dims, n_out=3)
-    opt = optax.adam(optax.cosine_decay_schedule(2e-3, 2500, 0.05))
+    opt = optax.adam(optax.warmup_cosine_decay_schedule(
+        0.0, 1e-3, 300, 6000, 1e-5))
     opt_state = opt.init(params)
 
     @jax.jit
@@ -95,11 +96,11 @@ def main() -> int:
         updates, opt_state = opt.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    for it in range(2500):
-        ids, labels = make_batch(32)
+    for it in range(6000):
+        ids, labels = make_batch(64)
         params, opt_state, loss = step(
             params, opt_state, jnp.asarray(ids), jnp.asarray(labels))
-        if it % 400 == 0:
+        if it % 600 == 0:
             print(f"step {it}: ce {float(loss):.4f}")
 
     ids, labels = make_batch(256)
@@ -108,8 +109,14 @@ def main() -> int:
     logits = np.asarray(nli_forward(
         params, dims, jnp.asarray(toks), jnp.asarray(mask),
         dtype=jnp.float32))
-    acc = float((logits.argmax(-1) == labels).mean())
+    pred = logits.argmax(-1)
+    acc = float((pred == labels).mean())
     print(f"held-out accuracy: {acc:.3f}")
+    conf = np.zeros((3, 3), np.int64)
+    for t, p in zip(labels, pred):
+        conf[t, p] += 1
+    print("confusion (rows=true c/n/e):")
+    print(conf)
     assert acc > 0.8, "NLI failed to learn; not saving"
 
     OUT.parent.mkdir(parents=True, exist_ok=True)

@@ -111,6 +111,48 @@ class TestXLMRobertaParity:
         )
 
 
+class TestNliParity:
+    def test_3class_head_matches_hf(self, tmp_path):
+        """A 3-label XLMRobertaForSequenceClassification (the mnli model
+        family) converts via convert_reranker and reproduces HF logits
+        through nli_forward — real NLI checkpoints are a drop-in."""
+        from transformers import (
+            XLMRobertaConfig,
+            XLMRobertaForSequenceClassification,
+        )
+
+        from audio_rag_tpu.convert import convert_reranker
+        from audio_rag_tpu.models.bert import BertDims
+        from audio_rag_tpu.models.cross_encoder import nli_forward
+
+        cfg = XLMRobertaConfig(
+            vocab_size=300, hidden_size=64, num_hidden_layers=2,
+            num_attention_heads=2, intermediate_size=128,
+            max_position_embeddings=40, pad_token_id=1, num_labels=3,
+        )
+        torch.manual_seed(0)
+        model = XLMRobertaForSequenceClassification(cfg).eval()
+        model.save_pretrained(tmp_path, safe_serialization=True)
+        params = convert_reranker(tmp_path)
+
+        ids = np.array([[0, 17, 23, 2, 2, 42, 99, 2]], np.int64)
+        mask = np.ones_like(ids)
+        with torch.no_grad():
+            ref = model(
+                input_ids=torch.from_numpy(ids),
+                attention_mask=torch.from_numpy(mask),
+            ).logits.numpy()
+
+        dims = BertDims(300, 64, 2, 2, 128, 38, pad_id=1)
+        jp = jax.tree.map(jnp.asarray, params)
+        ours = np.asarray(nli_forward(
+            jp, dims, jnp.asarray(ids.astype(np.int32)),
+            jnp.asarray(mask.astype(np.int32)), dtype=jnp.float32,
+        ))
+        assert ours.shape == (1, 3)
+        np.testing.assert_allclose(ours, ref, atol=6e-3, rtol=2e-2)
+
+
 class TestVadConvParity:
     def test_vad_matches_torch_conv_stack(self):
         """Pin _conv1d SAME-padding/dilation + LayerNorm semantics against
