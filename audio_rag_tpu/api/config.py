@@ -50,7 +50,7 @@ class APIConfig(BaseModel):
             ".wav", ".mp3", ".m4a", ".flac", ".ogg", ".opus", ".webm", ".mp4",
         ]
     )
-    max_audio_duration_minutes: int = 180
+    max_audio_duration_minutes: int = 480  # hour-scale is first-class
     request_timeout_s: float = 120.0
     tiers: dict[str, RateLimitTier] = Field(
         default_factory=lambda: dict(DEFAULT_TIERS)

@@ -200,7 +200,10 @@ class ResourceConfig(BaseModel):
     max_hbm_gb: float = Field(default=14.0, ge=1.0)
     max_ram_gb: float = Field(default=16.0, ge=1.0)
     unload_after_idle_seconds: int = Field(default=300, ge=0)
-    max_audio_duration_minutes: int = Field(default=180, ge=1)
+    #: the reference capped at 30/180 min (GPU memory pressure); here
+    #: windows stream through fixed-size device batches and mel can shard
+    #: across the mesh's time axis, so hour-scale files are first-class
+    max_audio_duration_minutes: int = Field(default=480, ge=1)
 
 
 class AudioRAGConfig(BaseModel):

@@ -32,7 +32,7 @@ ALLOWED_EXTENSIONS = {
     ".wav", ".mp3", ".m4a", ".flac", ".ogg", ".opus", ".webm", ".mp4",
 }
 MAX_FILE_BYTES = 500 * 1024 * 1024  # reference api/config.py upload limit
-MAX_DURATION_S = 180 * 60
+MAX_DURATION_S = 480 * 60  # hour-scale first-class (ref capped at 180 min)
 
 STRICT_TENANT_RE = re.compile(
     r"^audio_rag_(?P<university>[a-z0-9]+)_(?P<department>[a-z0-9]+)"
