@@ -51,6 +51,10 @@ class _Request:
     max_tokens: int | None
     temperature: float | None
     future: Future = field(default_factory=Future)
+    #: called with each NEW text delta as segments complete (worker
+    #: thread!) — token-level streaming, reference ollama.py:98-130
+    on_delta: object | None = None
+    emitted: str = ""
 
 
 @dataclass
@@ -86,10 +90,12 @@ class ContinuousBatcher:
     # -- client API ---------------------------------------------------------
     def submit(self, prompt: str, system: str | None = None,
                max_tokens: int | None = None,
-               temperature: float | None = None) -> Future:
+               temperature: float | None = None,
+               on_delta=None) -> Future:
         if self._stopped:
             raise RuntimeError("scheduler stopped")
-        req = _Request(prompt, system, max_tokens, temperature)
+        req = _Request(prompt, system, max_tokens, temperature,
+                       on_delta=on_delta)
         self._queue.put(req)
         return req.future
 
@@ -231,10 +237,27 @@ class ContinuousBatcher:
             s.tokens.extend(int(t) for t in toks[i])
             s.pos = int(new_pos[i])
             s.last_token = int(toks[i, -1])
+            if s.request.on_delta is not None:
+                self._emit_delta(s)
             hit_eos = eos in s.tokens
             if hit_eos or len(s.tokens) >= s.max_new or s.pos >= cap:
                 self._finish(s)
                 self._slots[i] = None
+
+    def _emit_delta(self, slot: _Slot) -> None:
+        """Stream the newly-decoded text since the last segment."""
+        tok = self.generator._tok
+        ids = slot.tokens
+        if tok.eos_id in ids:
+            ids = ids[: ids.index(tok.eos_id)]
+        text = tok.decode(ids[: slot.max_new])
+        delta = text[len(slot.request.emitted):]
+        if delta:
+            slot.request.emitted = text
+            try:
+                slot.request.on_delta(delta)
+            except Exception:  # pragma: no cover - consumer bug
+                slot.request.on_delta = None
 
     def _run(self) -> None:
         while True:

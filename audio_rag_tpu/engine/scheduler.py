@@ -177,6 +177,26 @@ class ScheduledGenerator:
         return [f.result() for f in futures]
 
     def generate_stream(self, prompt: str, **kw: Any):
+        """Token-level streaming when the continuous batcher is active
+        (deltas arrive as decode segments complete — the reference's
+        Ollama NDJSON streaming, ``generation/ollama.py:98-130``); chunked
+        post-hoc streaming under wave batching."""
+        from audio_rag_tpu.engine.continuous import ContinuousBatcher
+
+        if isinstance(self.scheduler, ContinuousBatcher):
+            import queue as _q
+
+            deltas: "_q.Queue[str | None]" = _q.Queue()
+            fut = self.scheduler.submit(
+                prompt, on_delta=deltas.put, **kw)
+            fut.add_done_callback(lambda _: deltas.put(None))
+            while True:
+                d = deltas.get()
+                if d is None:
+                    break
+                yield d
+            fut.result()  # surface errors
+            return
         text = self.generate(prompt, **kw)
         words = text.split()
         for i in range(0, len(words), 8):

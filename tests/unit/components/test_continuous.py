@@ -91,6 +91,22 @@ class TestNoHeadOfLineBlocking:
         assert batcher.requests_served >= 12
 
 
+class TestTokenStreaming:
+    def test_stream_deltas_accumulate_to_full_text(self, generator):
+        from audio_rag_tpu.engine.scheduler import ScheduledGenerator
+
+        sg = ScheduledGenerator(generator, mode="continuous", n_slots=2,
+                                segment_tokens=4)
+        try:
+            full = sg.generate("streaming check one two", max_tokens=16)
+            deltas = list(sg.generate_stream("streaming check one two",
+                                             max_tokens=16))
+            assert len(deltas) >= 2, "expected multiple streamed segments"
+            assert "".join(deltas).strip() == full
+        finally:
+            sg.scheduler.stop()
+
+
 class TestFactoryWiring:
     def test_scheduled_generator_continuous_mode(self, generator):
         from audio_rag_tpu.engine.scheduler import ScheduledGenerator
