@@ -79,6 +79,18 @@ def main() -> int:
         return arr, np.asarray(labels, np.int32)
 
     params = init_cross_encoder(jax.random.PRNGKey(0), dims, n_out=3)
+    # identity-init Q/K: same-token pairs then score q·k ≈ |emb|² >> cross
+    # terms from step 0, so cross-segment token matching — the signal
+    # entailment-vs-neutral hinges on — exists before training instead of
+    # having to be discovered (diagnosed: with random Q/K the model learns
+    # negation and disjointness perfectly but NEVER overlap: entailed was
+    # classified neutral 88/88)
+    eye = jnp.eye(dims.d_model)
+    for name in ("q", "k"):
+        w = params["bert"]["blocks"]["attn"][name]["w"]
+        params["bert"]["blocks"]["attn"][name]["w"] = (
+            jnp.broadcast_to(eye, w.shape) * 1.0
+        ).astype(w.dtype)
     opt = optax.adam(optax.warmup_cosine_decay_schedule(
         0.0, 1e-3, 300, 4000, 1e-5))
     opt_state = opt.init(params)

@@ -18,7 +18,10 @@ def nli():
     return NLIScorer()
 
 
-PREMISE = "gradient descent is very fast and the model training is large"
+# in-distribution for the tiny asset's training curriculum
+# (scripts/train_nli.py VOCAB_WORDS; real mnli checkpoints generalize past
+# this, the tiny asset is a functional stand-in)
+PREMISE = "the gradient descent is very fast model training large"
 ENTAILED = "gradient descent is fast"
 CONTRADICTED = "gradient descent is not fast"
 NEUTRAL_H = "kernel variance overfitting regularization"
