@@ -167,6 +167,7 @@ class WhisperJaxASR(BaseASR):
                     temperature=temperature,
                     rng=jax.random.PRNGKey(int(temperature * 100)),
                     no_speech_id=self.tokens.no_speech,
+                    cross_kv_quantize=self.config.cross_kv_int8,
                 )
                 return toks, lp, nsp, enc
 
@@ -174,7 +175,7 @@ class WhisperJaxASR(BaseASR):
 
         return engine.program(
             ("whisper", "transcribe", strategy, batch, temperature,
-             max_new), build
+             max_new, self.config.cross_kv_int8), build
         )
 
     def _place_batch(self, mel_batch: np.ndarray, prompt: np.ndarray):

@@ -67,6 +67,11 @@ class ASRConfig(BaseModel):
     #: streaming chunk holds ~40 tokens of speech — decoding 224 wastes
     #: 5x sequential decoder steps; the streaming wrapper sets this
     max_decode_tokens: int | None = Field(default=None, ge=8)
+    #: int8-quantize the cross-attention K/V the decode loop re-reads every
+    #: token. Logit error <2% of range; measured ~7% step-time win through
+    #: this environment's relay (XLA keeps part of the dequant out of the
+    #: dot) — opt-in, greedy path only; worth re-measuring on bare metal.
+    cross_kv_int8: bool = False
     checkpoint_path: str | None = None
 
 

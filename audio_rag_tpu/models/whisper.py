@@ -218,9 +218,17 @@ def encode(
 
 def precompute_cross_kv(
     params: Params, dims: WhisperDims, enc: jax.Array,
-    dtype: jnp.dtype = jnp.bfloat16,
-) -> tuple[jax.Array, jax.Array]:
-    """Per-layer cross K/V from encoder states: (L, B, H, Ta, D) each."""
+    dtype: jnp.dtype = jnp.bfloat16, quantize: bool = False,
+):
+    """Per-layer cross K/V from encoder states: (L, B, H, Ta, D) each.
+
+    ``quantize=True`` returns (k_i8, v_i8, k_scale, v_scale) with int8
+    tensors and per-(L, B, H) fp32 scales. The decode loop re-reads the
+    ENTIRE cross KV every generated token — ~2 GB/step for an 8-window
+    large-v3 batch, measured at 51% of step time — and int8 halves that
+    traffic; scales fold into q (for K) and the attention output (for V),
+    so no bf16 copy ever materializes.
+    """
     head_dim = dims.n_text_state // dims.n_text_head
     B, Ta, _ = enc.shape
 
@@ -231,7 +239,21 @@ def precompute_cross_kv(
         v = v.reshape(B, Ta, dims.n_text_head, head_dim).transpose(0, 2, 1, 3)
         return k, v
 
-    return jax.vmap(per_layer)(params["decoder"]["blocks"])
+    ck, cv = jax.vmap(per_layer)(params["decoder"]["blocks"])
+    if not quantize:
+        return ck, cv
+
+    def quant(x):
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(3, 4),
+                       keepdims=True)
+        scale = jnp.maximum(amax, 1e-9) / 127.0
+        q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
+                     -127, 127).astype(jnp.int8)
+        return q, scale
+
+    k_q, k_s = quant(ck)
+    v_q, v_s = quant(cv)
+    return k_q, v_q, k_s, v_s
 
 
 def decoder_forward(
@@ -252,6 +274,14 @@ def decoder_forward(
     dec = params["decoder"]
     B, T = tokens.shape
     n_heads = dims.n_text_head
+    # cross_kv: (ck, cv) bf16, or (ck_i8, cv_i8, k_scale, v_scale)
+    quantized = len(cross_kv) == 4
+    if quantized:
+        ck, cv, ks, vs = cross_kv
+    else:
+        ck, cv = cross_kv
+        L_ = ck.shape[0]
+        ks = vs = jnp.ones((L_, 1, 1, 1, 1), jnp.float32)
 
     x = dec["tok_emb"]["table"].astype(dtype)[tokens]
     pos = jax.lax.dynamic_slice_in_dim(dec["pos_emb"], pos_offset, T, axis=0)
@@ -266,11 +296,9 @@ def decoder_forward(
     else:
         self_mask = make_causal_mask(T, T)
 
-    ck, cv = cross_kv
-
     def block(carry, layer):
         x = carry
-        p, layer_ck, layer_cv, layer_sk, layer_sv = layer
+        p, layer_ck, layer_cv, layer_ks, layer_vs, layer_sk, layer_sv = layer
         cache = (layer_sk, layer_sv) if self_cache is not None else None
         h, new_cache = mha(
             p["attn"], layer_norm(p["ln1"], x), n_heads,
@@ -280,9 +308,11 @@ def decoder_forward(
         )
         x = x + h
         if collect_cross_weights:
-            h, w = _cross_with_kv(p, x, layer_ck, layer_cv, n_heads, dtype, True)
+            h, w = _cross_with_kv(p, x, layer_ck, layer_cv, n_heads, dtype,
+                                  True, layer_ks, layer_vs)
         else:
-            h = _cross_with_kv(p, x, layer_ck, layer_cv, n_heads, dtype, False)
+            h = _cross_with_kv(p, x, layer_ck, layer_cv, n_heads, dtype,
+                               False, layer_ks, layer_vs)
             w = jnp.zeros((1,), jnp.float32)  # scan needs a consistent pytree
         x = x + h
         x = x + mlp(p["mlp"], layer_norm(p["ln_mlp"], x), dtype)
@@ -297,7 +327,7 @@ def decoder_forward(
         sk = jnp.zeros((L, B, n_heads, 1, head_dim), dtype)
         sv = sk
     x, (new_sk, new_sv, cross_w) = jax.lax.scan(
-        block, x, (dec["blocks"], ck, cv, sk, sv)
+        block, x, (dec["blocks"], ck, cv, ks, vs, sk, sv)
     )
     x = layer_norm(dec["ln"], x)
     logits = jnp.dot(
@@ -311,19 +341,32 @@ def decoder_forward(
 def _cross_with_kv(
     p: Params, x: jax.Array, k: jax.Array, v: jax.Array, n_heads: int,
     dtype: jnp.dtype, return_weights: bool,
+    k_scale: jax.Array | None = None, v_scale: jax.Array | None = None,
 ):
-    """Cross-attention against precomputed K/V (B, H, Ta, D)."""
+    """Cross-attention against precomputed K/V (B, H, Ta, D).
+
+    With int8 K/V, the per-(B, H) scales fold into q (K side) and the
+    attention output (V side), so the int8 tensors convert in-register
+    inside the dots — the HBM read stays half-width.
+    """
     B, T, d_model = x.shape
     head_dim = d_model // n_heads
     xn = layer_norm(p["ln_cross"], x)
     q = linear(p["cross"]["q"], xn, dtype).reshape(B, T, n_heads, head_dim)
     q = q.transpose(0, 2, 1, 3)
     scale = head_dim ** -0.5
+    if k_scale is not None:
+        # (B,H,1,1) fp32 scale broadcasts over q's (B,H,T,D)
+        q = (q.astype(jnp.float32) * k_scale).astype(dtype) if \
+            k.dtype == jnp.int8 else q
     logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k.astype(dtype),
                         preferred_element_type=jnp.float32)
     probs32 = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bhqk,bhkd->bhqd", probs32.astype(dtype), v.astype(dtype),
-                     preferred_element_type=jnp.float32).astype(dtype)
+                     preferred_element_type=jnp.float32)
+    if v_scale is not None and v.dtype == jnp.int8:
+        out = out * v_scale
+    out = out.astype(dtype)
     out = out.transpose(0, 2, 1, 3).reshape(B, T, d_model)
     out = linear(p["cross"]["o"], out, dtype)
     if return_weights:
@@ -344,6 +387,7 @@ def greedy_decode(
     temperature: float = 0.0,
     rng: jax.Array | None = None,
     no_speech_id: int | None = None,
+    cross_kv_quantize: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Batched greedy/sampled decode with static KV cache.
 
@@ -362,7 +406,8 @@ def greedy_decode(
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
-    cross_kv = precompute_cross_kv(params, dims, enc, dtype)
+    cross_kv = precompute_cross_kv(params, dims, enc, dtype,
+                                   quantize=cross_kv_quantize)
 
     sk = jnp.zeros((L, B, H, cache_len, head_dim), dtype)
     sv = jnp.zeros((L, B, H, cache_len, head_dim), dtype)
