@@ -374,6 +374,83 @@ def _cross_with_kv(
     return out
 
 
+def decoder_step(
+    params: Params,
+    dims: WhisperDims,
+    tok: jax.Array,  # (B, 1) int32 — the decode loop's current token
+    cross_kv,
+    pos,  # scalar int32 — KV write index / position of ``tok``
+    self_cache: tuple[jax.Array, jax.Array],  # (L, B, H, C, hd) ×2
+    dtype: jnp.dtype = jnp.bfloat16,
+) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
+    """One incremental decode step with the layer loop UNROLLED.
+
+    Inside a ``while_loop``, a ``lax.scan`` over layers was measured at
+    ~2× the unrolled cost (6.1 vs 3.2 ms/step for the bare cross-attention
+    stack on a v5e — the scan's per-layer slicing of the loop-invariant
+    cross KV doesn't stay in place). Unrolling trades one-time compile
+    size for the hot loop running at memory speed; the teacher-forced and
+    prompt-priming paths keep :func:`decoder_forward`'s scan (they run
+    once per window, not per token). Returns (last-token logits (B, vocab)
+    fp32, updated self_cache).
+    """
+    dec = params["decoder"]
+    quantized = len(cross_kv) == 4
+    if quantized:
+        ck, cv, ks, vs = cross_kv
+    else:
+        ck, cv = cross_kv
+        ks = vs = None
+    sk, sv = self_cache
+    B = tok.shape[0]
+    H = dims.n_text_head
+    hd = dims.n_text_state // H
+    C = sk.shape[3]
+
+    x = dec["tok_emb"]["table"].astype(dtype)[tok]  # (B, 1, d)
+    posv = jax.lax.dynamic_slice_in_dim(dec["pos_emb"], pos, 1, axis=0)
+    x = x + posv.astype(dtype)
+    mask = jnp.arange(C)[None, None, None, :] < pos + 1  # (1,1,1,C)
+    scale = hd ** -0.5
+
+    for layer in range(dims.n_text_layer):
+        p = jax.tree.map(lambda a: a[layer], dec["blocks"])
+        xn = layer_norm(p["ln1"], x)
+        q = linear(p["attn"]["q"], xn, dtype).reshape(
+            B, 1, H, hd).transpose(0, 2, 1, 3)
+        k = linear(p["attn"]["k"], xn, dtype).reshape(
+            B, 1, H, hd).transpose(0, 2, 1, 3)
+        v = linear(p["attn"]["v"], xn, dtype).reshape(
+            B, 1, H, hd).transpose(0, 2, 1, 3)
+        # write this step's K/V at (layer, :, :, pos) — static layer index,
+        # dynamic position; XLA keeps the stacked cache in place
+        sk = jax.lax.dynamic_update_slice(
+            sk, k[None].astype(sk.dtype), (layer, 0, 0, pos, 0))
+        sv = jax.lax.dynamic_update_slice(
+            sv, v[None].astype(sv.dtype), (layer, 0, 0, pos, 0))
+        s = jnp.einsum("bhqd,bhkd->bhqk", q * scale, sk[layer],
+                       preferred_element_type=jnp.float32)
+        s = jnp.where(mask, s, -1e30)
+        probs = jax.nn.softmax(s, axis=-1).astype(dtype)
+        o = jnp.einsum("bhqk,bhkd->bhqd", probs, sv[layer],
+                       preferred_element_type=jnp.float32).astype(dtype)
+        o = o.transpose(0, 2, 1, 3).reshape(B, 1, dims.n_text_state)
+        x = x + linear(p["attn"]["o"], o, dtype)
+        x = x + _cross_with_kv(
+            p, x, ck[layer], cv[layer], H, dtype, False,
+            None if ks is None else ks[layer],
+            None if vs is None else vs[layer],
+        )
+        x = x + mlp(p["mlp"], layer_norm(p["ln_mlp"], x), dtype)
+
+    x = layer_norm(dec["ln"], x)
+    logits = jnp.dot(
+        x[:, 0], dec["tok_emb"]["table"].astype(dtype).T,
+        preferred_element_type=jnp.float32,
+    )
+    return logits, (sk, sv)
+
+
 # -- greedy decode ---------------------------------------------------------
 
 def greedy_decode(
@@ -448,13 +525,10 @@ def greedy_decode(
     def body(state):
         i, tokens, sk, sv, finished, sum_lp, n_decoded, rng = state
         cur = jax.lax.dynamic_slice(tokens, (0, i), (B, 1))
-        logits, (sk, sv), _ = decoder_forward(
-            params, dims, cur, cross_kv, pos_offset=i,
-            self_cache=(sk, sv), dtype=dtype,
+        logits, (sk, sv) = decoder_step(
+            params, dims, cur, cross_kv, i, (sk, sv), dtype=dtype,
         )
-        logp = jax.nn.log_softmax(
-            logits[:, -1, :].astype(jnp.float32), axis=-1
-        )
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         key, rng = jax.random.split(rng)
         nxt = pick(logp, key)
         nxt = jnp.where(finished, eot, nxt)
