@@ -94,6 +94,19 @@ class WhisperJaxASR(BaseASR):
         rm = get_resource_manager()
         rm.ensure_hbm(self.hbm_required_gb, for_model="asr")
         params = self._init_or_restore()
+        if self.dtype == jnp.bfloat16:
+            # compute_type="bfloat16" means bf16 STORAGE too (faster-whisper's
+            # compute_type semantics, reference ``asr/whisper.py:58``):
+            # numerically identical to fp32 storage here — every matmul
+            # already casts weights to bf16 at use — but the greedy-decode
+            # loop re-reads the whole decoder every step, and fp32 residency
+            # doubles those bytes (measured: each decode layer ran at ~2×
+            # bf16 memory-theory time before this cast)
+            params = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x,
+                params,
+            )
         self._params = engine.put_params("whisper", params)
         rm.register_model("asr", self.hbm_required_gb, self)
         self._tokenizer = self._make_text_decoder()
