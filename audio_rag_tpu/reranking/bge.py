@@ -16,7 +16,7 @@ import numpy as np
 from audio_rag_tpu.config.schema import RerankingConfig
 from audio_rag_tpu.core.base import BaseReranker
 from audio_rag_tpu.core.types import RetrievalResult
-from audio_rag_tpu.engine.engine import get_engine
+from audio_rag_tpu.engine.engine import bf16_storage, get_engine
 from audio_rag_tpu.models.bert import BERT_PRESETS, BertDims
 from audio_rag_tpu.models.cross_encoder import (
     cross_encoder_forward,
@@ -66,7 +66,7 @@ class BGEReranker(BaseReranker):
             params = restore_params(self.config.checkpoint_path, "reranker")
         if params is None:
             params = init_cross_encoder(jax.random.PRNGKey(0), self.dims)
-        self._params = engine.put_params("reranker", params)
+        self._params = engine.put_params("reranker", bf16_storage(params))
         self._tok = get_tokenizer(self.config.checkpoint_path,
                                   vocab_size=self.dims.vocab)
         rm.register_model("reranking", self.hbm_required_gb, self)
