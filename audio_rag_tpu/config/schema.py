@@ -68,9 +68,11 @@ class ASRConfig(BaseModel):
     #: 5x sequential decoder steps; the streaming wrapper sets this
     max_decode_tokens: int | None = Field(default=None, ge=8)
     #: int8-quantize the cross-attention K/V the decode loop re-reads every
-    #: token. Logit error <2% of range; measured ~7% step-time win through
-    #: this environment's relay (XLA keeps part of the dequant out of the
-    #: dot) — opt-in, greedy path only; worth re-measuring on bare metal.
+    #: token. Logit error <2% of range. Measured (v5e, greedy path):
+    #: ~7% step-time win at window batch 8 with fp32-resident weights, but
+    #: 4.7× SLOWER at batch 16 with bf16 weights (XLA's int8→bf16 dequant
+    #: lowering dominates once the reads it saves are already halved).
+    #: Opt-in and discouraged; kept for bare-metal re-evaluation.
     cross_kv_int8: bool = False
     checkpoint_path: str | None = None
 
@@ -192,9 +194,9 @@ class GenerationConfig(BaseModel):
 
 
 class TTSConfig(BaseModel):
-    backend: Literal["null", "piper", "edge-tts"] = "null"
+    backend: Literal["null", "piper", "edge-tts", "jax"] = "null"
     model: str = "en_US-lessac-medium"
-    fallback_backend: Literal["null", "none"] = "null"
+    fallback_backend: Literal["null", "jax", "none"] = "null"
     output_format: Literal["wav"] = "wav"
     sample_rate: int = Field(default=22050, ge=8000, le=48000)
 

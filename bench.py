@@ -212,28 +212,30 @@ def main() -> None:
 
         asr = WhisperJaxASR(ASRConfig(
             model_size="large-v3", compute_type="bfloat16",
-            vad_filter=False, window_batch_size=8,
+            vad_filter=False, window_batch_size=16,
         ))
         asr.load()
-        n = 120 * 16000  # 2 minutes
+        asr_minutes = 8  # 16 windows = one full window batch
+        n = asr_minutes * 60 * 16000
         audio = (0.1 * rng.standard_normal(n)).astype(np.float32)
         audio *= 0.5 * (1 + np.sin(
             2 * np.pi * 3.0 * np.arange(n) / 16000
         )).astype(np.float32)
-        asr.transcribe(audio[: 16000 * 120], 16000)  # warm/compile
+        asr.transcribe(audio, 16000)  # warm/compile
         t1 = time.perf_counter()
         asr.transcribe(audio, 16000)
         asr_s = time.perf_counter() - t1
-        asr_rtf = round(asr_s / 120.0, 4)
-        # 2 min = 4 windows of 30 s: encoder over 1500 frames each +
-        # batched greedy decode (224 steps x 4 windows)
+        asr_rtf = round(asr_s / (asr_minutes * 60.0), 4)
+        # 8 min = 16 windows of 30 s: encoder over 1500 frames each +
+        # batched greedy decode (224 steps x 16 windows)
+        n_w = asr_minutes * 2
         w_p = matmul_param_count(asr._params)
         enc_p = matmul_param_count({"e": asr._params.get("encoder", {})})
         dec_p = w_p - enc_p
-        g_asr = (forward_gflops(enc_p, 4 * 1500)
-                 + forward_gflops(dec_p, 4 * 224)
+        g_asr = (forward_gflops(enc_p, n_w * 1500)
+                 + forward_gflops(dec_p, n_w * 224)
                  + attention_gflops(asr.dims.n_audio_layer, asr.dims.n_audio_state,
-                                    1500, 1500, batch=4))
+                                    1500, 1500, batch=n_w))
         dev_asr = max(asr_s * 1000 - 3 * floor_ms, 1.0)  # ~3 dispatches
         asr_breakdown = {
             "total_s": round(asr_s, 2),

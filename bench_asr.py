@@ -22,7 +22,8 @@ import numpy as np
 
 BASELINE_RTF = 0.10  # reference ASR stage: 6 min per 60 min of audio
 
-AUDIO_MINUTES = 4.0
+AUDIO_MINUTES = 8.0  # 16 windows = one full window batch
+WINDOW_BATCH = 16
 
 
 def log(msg: str) -> None:
@@ -41,7 +42,8 @@ def main() -> None:
 
     asr = WhisperJaxASR(ASRConfig(
         backend="whisper-jax", model_size="large-v3",
-        compute_type="bfloat16", vad_filter=False, window_batch_size=8,
+        compute_type="bfloat16", vad_filter=False,
+        window_batch_size=WINDOW_BATCH,
     ))
     t0 = time.time()
     asr.load()
@@ -55,9 +57,9 @@ def main() -> None:
     audio *= 0.5 * (1 + np.sin(2 * np.pi * 3.0 *
                                np.arange(n) / sr)).astype(np.float32)
 
-    # warmup: compile the (batch=8) transcribe program on a short prefix
+    # warmup: compile the transcribe program on a one-batch prefix
     t0 = time.time()
-    asr.transcribe(audio[: sr * 240], sr)
+    asr.transcribe(audio[: sr * 30 * WINDOW_BATCH], sr)
     log(f"warmup (compile) {time.time() - t0:.1f}s")
 
     t0 = time.perf_counter()
@@ -76,7 +78,7 @@ def main() -> None:
         "extra": {
             "baseline_rtf": BASELINE_RTF,
             "audio_minutes": AUDIO_MINUTES,
-            "window_batch": 8,
+            "window_batch": WINDOW_BATCH,
             "note": "random-init large-v3 (same FLOPs); full 224-token "
                     "decode per window (no early EOT) — worst case",
         },
