@@ -62,6 +62,10 @@ class QueryResponse(BaseModel):
     answer: str | None = None
     expanded_query: str | None = None
     context: str | None = None
+    #: base64 WAV of the spoken answer when ``speak_answer`` was requested
+    #: and a TTS backend is live (the reference only wrote TTS output to
+    #: server-side files; this exposes it through the API)
+    answer_audio_b64: str | None = None
     elapsed_s: float
     stage_timings: dict[str, float] = Field(default_factory=dict)
     request_id: str | None = None

@@ -58,6 +58,11 @@ def register_query_routes(app: App) -> None:
                 body.query, top_k=body.top_k,
                 search_type=body.search_type, collection=body.collection,
             )
+        audio_b64 = None
+        if body.speak_answer and getattr(result, "audio", None):
+            import base64
+
+            audio_b64 = base64.b64encode(result.audio).decode("ascii")
         payload = QueryResponse(
             query=result.query,
             results=[
@@ -67,6 +72,7 @@ def register_query_routes(app: App) -> None:
             answer=result.answer,
             expanded_query=result.expanded_query,
             context=context,
+            answer_audio_b64=audio_b64,
             elapsed_s=result.elapsed_s,
             stage_timings=result.stage_timings,
             request_id=request.context.get("request_id"),

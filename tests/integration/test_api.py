@@ -139,6 +139,25 @@ class TestQuery:
         )
         assert "fake answer" in r.json()["answer"]
 
+    def test_query_spoken_answer_round_trips_wav(self, seeded):
+        """speak_answer returns the synthesized WAV as base64 (the
+        reference only wrote TTS output server-side)."""
+        import base64
+        import io
+        import wave
+
+        r = httpx.post(
+            f"{BASE}/api/v1/query",
+            json={"query": "word0", "generate_answer": True,
+                  "speak_answer": True},
+            headers=KEY, timeout=60.0,
+        )
+        assert r.status_code == 200
+        b64 = r.json()["answer_audio_b64"]
+        assert b64
+        with wave.open(io.BytesIO(base64.b64decode(b64))) as wf:
+            assert wf.getnframes() > 0
+
     def test_validation_422(self, server):
         r = httpx.post(f"{BASE}/api/v1/query", json={"query": ""},
                        headers=KEY)
