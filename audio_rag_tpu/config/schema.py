@@ -68,11 +68,13 @@ class ASRConfig(BaseModel):
     #: 5x sequential decoder steps; the streaming wrapper sets this
     max_decode_tokens: int | None = Field(default=None, ge=8)
     #: int8-quantize the cross-attention K/V the decode loop re-reads every
-    #: token. Logit error <2% of range. Measured (v5e, greedy path):
-    #: ~7% step-time win at window batch 8 with fp32-resident weights, but
-    #: 4.7× SLOWER at batch 16 with bf16 weights (XLA's int8→bf16 dequant
-    #: lowering dominates once the reads it saves are already halved).
-    #: Opt-in and discouraged; kept for bare-metal re-evaluation.
+    #: token (logit error <2% of range). On TPU this runs a Pallas kernel
+    #: that dequantizes in VMEM (``ops/pallas_kernels.decode_cross_
+    #: attention_q8``) — XLA's own int8 lowering was 4.7× slower. Measured
+    #: at window batch 16 on a v5e: RTF 0.0304 vs 0.0290 bf16 — a wash on
+    #: speed, but it HALVES the decode workspace (≈2 GB at batch 16), so
+    #: use it when HBM, not bandwidth, is the constraint (smaller chips,
+    #: co-resident models, larger window batches).
     cross_kv_int8: bool = False
     checkpoint_path: str | None = None
 

@@ -223,11 +223,13 @@ def precompute_cross_kv(
     """Per-layer cross K/V from encoder states: (L, B, H, Ta, D) each.
 
     ``quantize=True`` returns (k_i8, v_i8, k_scale, v_scale) with int8
-    tensors and per-(L, B, H) fp32 scales. The decode loop re-reads the
-    ENTIRE cross KV every generated token — ~2 GB/step for an 8-window
-    large-v3 batch, measured at 51% of step time — and int8 halves that
-    traffic; scales fold into q (for K) and the attention output (for V),
-    so no bf16 copy ever materializes.
+    tensors TRANSPOSED to (L, B, H, D, Ta) and per-(L, B, H) fp32 scales.
+    The decode loop re-reads the ENTIRE cross KV every generated token —
+    the dominant per-step HBM term with bf16-resident weights — and int8
+    halves that traffic. On TPU the decode path dequantizes in VMEM via
+    the Pallas kernel (``ops/pallas_kernels.decode_cross_attention_q8``);
+    off-TPU the scales fold into q (K side) / the attention output (V
+    side) around einsums, so no bf16 copy ever materializes.
     """
     head_dim = dims.n_text_state // dims.n_text_head
     B, Ta, _ = enc.shape
@@ -249,7 +251,10 @@ def precompute_cross_kv(
         scale = jnp.maximum(amax, 1e-9) / 127.0
         q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
                      -127, 127).astype(jnp.int8)
-        return q, scale
+        # TRANSPOSE to (L, B, H, head_dim, Ta): int8 min tile is (32, 128),
+        # so the long time axis must be the lane dimension for the Pallas
+        # decode kernel (ops/pallas_kernels.decode_cross_attention_q8)
+        return q.transpose(0, 1, 2, 4, 3), scale
 
     k_q, k_s = quant(ck)
     v_q, v_s = quant(cv)
@@ -343,29 +348,51 @@ def _cross_with_kv(
     dtype: jnp.dtype, return_weights: bool,
     k_scale: jax.Array | None = None, v_scale: jax.Array | None = None,
 ):
-    """Cross-attention against precomputed K/V (B, H, Ta, D).
+    """Cross-attention against precomputed K/V.
 
-    With int8 K/V, the per-(B, H) scales fold into q (K side) and the
-    attention output (V side), so the int8 tensors convert in-register
-    inside the dots — the HBM read stays half-width.
+    bf16 K/V arrive as (B, H, Ta, D); int8 K/V arrive TRANSPOSED as
+    (B, H, D, Ta) with per-(B, H) fp32 scales. On TPU the single-query
+    (decode-loop) int8 case runs the Pallas kernel — dequant happens in
+    VMEM, so the HBM read stays half-width (XLA's own int8 lowering
+    measured 4.7× slower); elsewhere the scales fold into q (K side) and
+    the attention output (V side) around plain einsums.
     """
     B, T, d_model = x.shape
     head_dim = d_model // n_heads
+    quantized = k.dtype == jnp.int8
     xn = layer_norm(p["ln_cross"], x)
     q = linear(p["cross"]["q"], xn, dtype).reshape(B, T, n_heads, head_dim)
     q = q.transpose(0, 2, 1, 3)
     scale = head_dim ** -0.5
-    if k_scale is not None:
-        # (B,H,1,1) fp32 scale broadcasts over q's (B,H,T,D)
-        q = (q.astype(jnp.float32) * k_scale).astype(dtype) if \
-            k.dtype == jnp.int8 else q
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k.astype(dtype),
-                        preferred_element_type=jnp.float32)
-    probs32 = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhqk,bhkd->bhqd", probs32.astype(dtype), v.astype(dtype),
-                     preferred_element_type=jnp.float32)
-    if v_scale is not None and v.dtype == jnp.int8:
+
+    if quantized and T == 1 and not return_weights:
+        from audio_rag_tpu.ops.pallas_kernels import (
+            decode_cross_attention_q8,
+            on_tpu,
+        )
+
+        if on_tpu(k):
+            o = decode_cross_attention_q8(q, k, v, k_scale, v_scale)
+            o = o.astype(dtype).transpose(0, 2, 1, 3).reshape(B, T, d_model)
+            return linear(p["cross"]["o"], o, dtype)
+
+    if quantized:
+        # fallback einsums on the transposed layout (CPU, teacher-forced)
+        q = (q.astype(jnp.float32) * k_scale).astype(dtype)
+        logits = jnp.einsum("bhqd,bhdk->bhqk", q * scale, k.astype(dtype),
+                            preferred_element_type=jnp.float32)
+        probs32 = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhqk,bhdk->bhqd", probs32.astype(dtype),
+                         v.astype(dtype),
+                         preferred_element_type=jnp.float32)
         out = out * v_scale
+    else:
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k.astype(dtype),
+                            preferred_element_type=jnp.float32)
+        probs32 = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs32.astype(dtype),
+                         v.astype(dtype),
+                         preferred_element_type=jnp.float32)
     out = out.astype(dtype)
     out = out.transpose(0, 2, 1, 3).reshape(B, T, d_model)
     out = linear(p["cross"]["o"], out, dtype)

@@ -19,7 +19,78 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-__all__ = ["flash_attention", "attend_auto"]
+__all__ = ["flash_attention", "attend_auto", "decode_cross_attention_q8"]
+
+
+def _decode_cross_kernel(q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref, *,
+                         scale: float):
+    """Single-query cross-attention against int8 K/V, dequant in VMEM.
+
+    q_ref (1, hd) f32; k_ref/v_ref (hd, Ta) int8 — TRANSPOSED so the long
+    time axis is the lane dimension (int8 min tile is (32, 128); hd=64,
+    Ta=1536 tile cleanly); ks/vs (1, 1) f32 per-(b, h) scales; o_ref
+    (1, hd) f32. The point is bandwidth: the decode loop re-reads all of
+    K/V every token, and int8 halves those bytes while the dequant happens
+    in VMEM — XLA's own int8 lowering materializes dequantized copies and
+    measured 4.7× SLOWER (docs/PERFORMANCE.md round-2 table). A variant
+    processing all heads per grid step (20× fewer invocations) was tried
+    and crashes the backend on its non-tile-aligned (H, hd)/(H, 1) blocks;
+    this per-(b, h) form is verified on hardware.
+    """
+    q = q_ref[:].astype(jnp.float32) * (scale * ks_ref[0, 0])
+    k = k_ref[:].astype(jnp.float32)  # (hd, Ta)
+    s = jnp.dot(q, k, preferred_element_type=jnp.float32)  # (1, Ta)
+    s = s - jnp.max(s)
+    p = jnp.exp(s)
+    p = p / jnp.sum(p)
+    v = v_ref[:].astype(jnp.float32)  # (hd, Ta)
+    o = jax.lax.dot_general(
+        p, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (1, hd)
+    o_ref[:] = o * vs_ref[0, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def decode_cross_attention_q8(
+    q: jax.Array,   # (B, H, 1, hd) — the decode step's single query
+    k8: jax.Array,  # (B, H, hd, Ta) int8
+    v8: jax.Array,  # (B, H, hd, Ta) int8
+    ks: jax.Array,  # (B, H, 1, 1) f32
+    vs: jax.Array,  # (B, H, 1, 1) f32
+    interpret: bool = False,
+) -> jax.Array:
+    """softmax(q·K/√hd)·V over int8 K/V; returns (B, H, 1, hd) f32."""
+    B, H, _, hd = q.shape
+    Ta = k8.shape[-1]
+    scale = hd ** -0.5
+    qf = q.reshape(B * H, 1, hd).astype(jnp.float32)
+    out = pl.pallas_call(
+        functools.partial(_decode_cross_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((B * H, 1, hd), jnp.float32),
+        grid=(B * H,),
+        in_specs=[
+            pl.BlockSpec((None, 1, hd), lambda b: (b, 0, 0)),
+            pl.BlockSpec((None, hd, Ta), lambda b: (b, 0, 0)),
+            pl.BlockSpec((None, hd, Ta), lambda b: (b, 0, 0)),
+            pl.BlockSpec((None, 1, 1), lambda b: (b, 0, 0)),
+            pl.BlockSpec((None, 1, 1), lambda b: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, 1, hd), lambda b: (b, 0, 0)),
+        interpret=interpret,
+    )(qf, k8.reshape(B * H, hd, Ta), v8.reshape(B * H, hd, Ta),
+      ks.reshape(B * H, 1, 1), vs.reshape(B * H, 1, 1))
+    return out.reshape(B, H, 1, hd)
+
+
+def on_tpu(x: jax.Array) -> bool:
+    """True when ``x`` (or the default backend) lives on a TPU platform."""
+    try:
+        platform = x.devices().pop().platform if hasattr(x, "devices") \
+            else jax.default_backend()
+    except Exception:
+        platform = jax.default_backend()
+    return platform in ("tpu", "axon")
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
