@@ -172,16 +172,27 @@ def llm_forward(
     cache: tuple[jax.Array, jax.Array] | None = None,  # (L, B, HKV, C, hd) ×2
     dtype: jnp.dtype = jnp.bfloat16,
     kv_valid: jax.Array | None = None,  # (B, C or T) bool, False = pad slot
+    pos_ids: jax.Array | None = None,  # (B, T) TRUE rope positions per row
 ) -> tuple[jax.Array, tuple[jax.Array, jax.Array] | None]:
     """Returns (logits (B, T, vocab) fp32, updated cache).
 
     ``kv_valid`` masks left-padded prompt positions out of attention
-    (needed for batched generation over unequal-length prompts)."""
+    (needed for batched generation over unequal-length prompts).
+    ``pos_ids`` gives each row its TRUE positions for rope — HF llama
+    numbers positions from each sequence's first real token, not from the
+    padded frame (transformers derives position_ids from the attention
+    mask); frame-indexed rope is only a uniform phase shift (harmless
+    mathematically) but diverges in bf16 rounding from both HF and the
+    continuous-batching path."""
     B, T = tokens.shape
     hd = dims.d_model // dims.n_heads
     cos_t, sin_t = _rope_tables(dims, hd)
-    cos = jax.lax.dynamic_slice_in_dim(cos_t, pos_offset, T, axis=0)
-    sin = jax.lax.dynamic_slice_in_dim(sin_t, pos_offset, T, axis=0)
+    if pos_ids is not None:
+        cos = cos_t[pos_ids][:, None]  # (B, 1, T, hd/2)
+        sin = sin_t[pos_ids][:, None]
+    else:
+        cos = jax.lax.dynamic_slice_in_dim(cos_t, pos_offset, T, axis=0)
+        sin = jax.lax.dynamic_slice_in_dim(sin_t, pos_offset, T, axis=0)
 
     x = params["tok_emb"]["table"].astype(dtype)[tokens]
 
@@ -232,6 +243,82 @@ def _rope_tables(dims: LLMDims, head_dim: int):
         )
     cos, sin = _ROPE_CACHE[key]
     return jnp.asarray(cos), jnp.asarray(sin)
+
+
+def llm_decode_step(
+    params: Params,
+    dims: LLMDims,
+    tok: jax.Array,  # (B,) int32 — each row's current token
+    pos: jax.Array,  # (B,) int32 — per-row KV write index / mask bound
+    cache_k: jax.Array,  # (L, B, HKV, C, hd)
+    cache_v: jax.Array,
+    kv_valid: jax.Array | None = None,  # (B, C) bool
+    dtype: jnp.dtype = jnp.bfloat16,
+    rope_pos: jax.Array | None = None,  # (B,) TRUE positions (≠ pos when
+    # the cache frame is left-padded); defaults to pos
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """One incremental decode step with the layer loop UNROLLED.
+
+    Same finding as whisper's ``decoder_step``: a ``lax.scan`` over layers
+    inside the decode loop runs ~2× slower than the unrolled form (the
+    scan's per-layer slicing of the stacked KV cache doesn't stay in
+    place). Measured on the LLM: wave decode was 16.7 ms/step for
+    llama-3.2-1b at batch 8 — ~5× off bf16 memory theory — before this.
+
+    Positions are PER ROW so this one function serves both the wave path
+    (all rows share a position) and the continuous-batching slots (each
+    slot at its own position) — sharing the exact step math keeps the two
+    paths bit-identical, which the continuous-vs-wave parity test pins.
+    Returns (last-token logits (B, vocab) fp32, cache_k, cache_v).
+    """
+    L, B, HKV, C, hd = cache_k.shape
+    H = dims.n_heads
+    cos_t, sin_t = _rope_tables(dims, hd)
+    rp = pos if rope_pos is None else rope_pos
+    cos = cos_t[rp][:, None, None, :]  # (B, 1, 1, hd/2)
+    sin = sin_t[rp][:, None, None, :]
+    x = params["tok_emb"]["table"].astype(dtype)[tok][:, None, :]  # (B,1,d)
+    mask = (jnp.arange(C)[None, :] <= pos[:, None])[:, None, None, :]
+    if kv_valid is not None:
+        mask = mask & kv_valid[:, None, None, :]
+    scale = hd ** -0.5
+    b_idx = jnp.arange(B)
+
+    for layer in range(dims.n_layers):
+        p = jax.tree.map(lambda a: a[layer], params["blocks"])
+        xn = rms_norm(p["ln_attn"], x)
+        q = linear(p["attn"]["q"], xn, dtype).reshape(
+            B, 1, H, hd).transpose(0, 2, 1, 3)
+        k = linear(p["attn"]["k"], xn, dtype).reshape(
+            B, 1, HKV, hd).transpose(0, 2, 1, 3)
+        v = linear(p["attn"]["v"], xn, dtype).reshape(
+            B, 1, HKV, hd).transpose(0, 2, 1, 3)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        # static layer index, per-row scatter at each row's own position
+        cache_k = cache_k.at[layer, b_idx[:, None],
+                             jnp.arange(HKV)[None, :],
+                             pos[:, None], :].set(
+            k[:, :, 0, :].astype(cache_k.dtype))
+        cache_v = cache_v.at[layer, b_idx[:, None],
+                             jnp.arange(HKV)[None, :],
+                             pos[:, None], :].set(
+            v[:, :, 0, :].astype(cache_v.dtype))
+        kk = jnp.repeat(cache_k[layer], H // HKV, axis=1).astype(dtype)
+        vv = jnp.repeat(cache_v[layer], H // HKV, axis=1).astype(dtype)
+        s = jnp.einsum("bhqd,bhkd->bhqk", q * scale, kk,
+                       preferred_element_type=jnp.float32)
+        s = jnp.where(mask, s, -1e30)
+        probs = jax.nn.softmax(s, axis=-1).astype(dtype)
+        o = jnp.einsum("bhqk,bhkd->bhqd", probs, vv,
+                       preferred_element_type=jnp.float32).astype(dtype)
+        o = o.transpose(0, 2, 1, 3).reshape(B, 1, dims.d_model)
+        x = x + linear(p["attn"]["o"], o, dtype)
+        x = x + swiglu(p["mlp"], rms_norm(p["ln_mlp"], x), dtype)
+
+    x = rms_norm(params["ln_f"], x)
+    logits = linear(params["lm_head"], x, dtype)[:, 0].astype(jnp.float32)
+    return logits, cache_k, cache_v
 
 
 def llm_prefill_slot(
@@ -291,54 +378,12 @@ def llm_decode_slots(
 
     Returns (tokens (B, n_steps), cache_k, cache_v, new_pos, finished).
     """
-    L, B, HKV, C, hd = cache_k.shape
-    H = dims.n_heads
-    cos_t, sin_t = _rope_tables(dims, hd)
-    b_idx = jnp.arange(B)
-
     def one_step(carry, _):
         last, ck_all, cv_all, pos, finished, rng = carry
-        x = params["tok_emb"]["table"].astype(dtype)[last][:, None, :]
-        cos = cos_t[pos][:, None, None, :]  # (B,1,1,hd/2)
-        sin = sin_t[pos][:, None, None, :]
-        mask = (jnp.arange(C)[None, :] <= pos[:, None])[:, None, None, :]
-
-        def block(x, layer):
-            p, ck, cv = layer  # ck/cv: (B, HKV, C, hd)
-            xn = rms_norm(p["ln_attn"], x)
-            q = linear(p["attn"]["q"], xn, dtype).reshape(
-                B, 1, H, hd).transpose(0, 2, 1, 3)
-            k = linear(p["attn"]["k"], xn, dtype).reshape(
-                B, 1, HKV, hd).transpose(0, 2, 1, 3)
-            v = linear(p["attn"]["v"], xn, dtype).reshape(
-                B, 1, HKV, hd).transpose(0, 2, 1, 3)
-            q = apply_rope(q, cos, sin)
-            k = apply_rope(k, cos, sin)
-            # per-slot scatter at each slot's own position
-            ck = ck.at[b_idx[:, None], jnp.arange(HKV)[None, :],
-                       pos[:, None], :].set(
-                k[:, :, 0, :].astype(ck.dtype))
-            cv = cv.at[b_idx[:, None], jnp.arange(HKV)[None, :],
-                       pos[:, None], :].set(
-                v[:, :, 0, :].astype(cv.dtype))
-            kk = jnp.repeat(ck, H // HKV, axis=1).astype(dtype)
-            vv = jnp.repeat(cv, H // HKV, axis=1).astype(dtype)
-            logits = jnp.einsum("bhqd,bhkd->bhqk", q * hd ** -0.5, kk,
-                                preferred_element_type=jnp.float32)
-            logits = jnp.where(mask, logits, -1e30)
-            probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
-            o = jnp.einsum("bhqk,bhkd->bhqd", probs, vv,
-                           preferred_element_type=jnp.float32).astype(dtype)
-            o = o.transpose(0, 2, 1, 3).reshape(B, 1, dims.d_model)
-            x = x + linear(p["attn"]["o"], o, dtype)
-            x = x + swiglu(p["mlp"], rms_norm(p["ln_mlp"], x), dtype)
-            return x, (ck, cv)
-
-        x, (ck_all, cv_all) = jax.lax.scan(
-            block, x, (params["blocks"], ck_all, cv_all))
-        x = rms_norm(params["ln_f"], x)
-        logits = linear(params["lm_head"], x, dtype)[:, 0].astype(
-            jnp.float32)  # (B, vocab)
+        # the SHARED unrolled decode step (bit-identical to the wave path)
+        logits, ck_all, cv_all = llm_decode_step(
+            params, dims, last, pos, ck_all, cv_all, dtype=dtype,
+        )
 
         key, rng = jax.random.split(rng)
         safe_t = jnp.where(temps > 0, temps, 1.0)
@@ -381,15 +426,26 @@ def llm_generate(
     lv = jnp.zeros_like(lk)
 
     kv_valid = None
+    pos_ids = None
+    row_offset = jnp.zeros((B,), jnp.int32)
     if prompt_mask is not None:
         kv_valid = jnp.concatenate(
             [prompt_mask.astype(bool),
              jnp.ones((B, cache_len - Pl), bool)], axis=1
         )
+        # TRUE positions: rope counts each row's real tokens, not the
+        # left-padded frame (HF llama semantics; also keeps this path
+        # bit-identical to the continuous-batching slots, which the
+        # wave-vs-continuous parity test pins)
+        pos_ids = jnp.maximum(
+            jnp.cumsum(prompt_mask.astype(jnp.int32), axis=1) - 1, 0)
+        row_offset = (Pl - prompt_mask.astype(jnp.int32).sum(axis=1)
+                      ).astype(jnp.int32)
 
     logits, (lk, lv) = llm_forward(
         params, dims, prompt, 0, (lk, lv), dtype,
         kv_valid=kv_valid[:, :cache_len] if kv_valid is not None else None,
+        pos_ids=pos_ids,
     )
     if rng is None:
         rng = jax.random.PRNGKey(0)
@@ -414,12 +470,15 @@ def llm_generate(
 
     def body(state):
         i, tokens, lk, lv, finished, rng = state
-        cur = jax.lax.dynamic_slice(tokens, (0, i), (B, 1))
-        logits, (lk, lv) = llm_forward(
-            params, dims, cur, i, (lk, lv), dtype, kv_valid=kv_valid
+        cur = jax.lax.dynamic_slice(tokens, (0, i), (B, 1))[:, 0]
+        frame_pos = jnp.full((B,), i, jnp.int32)
+        logits, lk, lv = llm_decode_step(
+            params, dims, cur, frame_pos, lk, lv,
+            kv_valid=kv_valid, dtype=dtype,
+            rope_pos=frame_pos - row_offset,
         )
         key, rng = jax.random.split(rng)
-        nxt = pick(logits[:, -1, :], key)
+        nxt = pick(logits, key)
         nxt = jnp.where(finished, eos_id, nxt)
         tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, i + 1))
         return i + 1, tokens, lk, lv, finished | (nxt == eos_id), rng

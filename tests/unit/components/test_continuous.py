@@ -35,16 +35,97 @@ def batcher(generator):
     b.stop()
 
 
+def _next_token_logits(generator, prompt: str, prefix_ids: list[int]):
+    """Teacher-forced next-token logits after prompt+prefix (no KV cache) —
+    the ground-truth arbiter when the two decode paths disagree."""
+    import jax.numpy as jnp
+
+    from audio_rag_tpu.models.llm import llm_forward
+
+    ids = generator._tok.encode(prompt) + list(prefix_ids)
+    logits, _ = llm_forward(
+        generator._params, generator.dims,
+        jnp.asarray(np.asarray(ids, np.int32)[None]), 0, None,
+    )
+    return np.asarray(logits[0, -1])
+
+
+def _wave_ids(generator, prompt: str, max_tokens: int) -> list[int]:
+    """Raw generated token ids from the one-shot (wave) decode path."""
+    import audio_rag_tpu.generation.llm_jax as llm_jax_mod
+
+    captured = {}
+    orig = llm_jax_mod.llm_generate
+
+    def spy(*a, **k):
+        out = orig(*a, **k)
+        captured["out"] = np.asarray(out)
+        return out
+
+    llm_jax_mod.llm_generate = spy
+    try:
+        generator.generate_batch([prompt], max_tokens=max_tokens)
+    finally:
+        llm_jax_mod.llm_generate = orig
+    row = captured["out"][0]
+    gen = row[row.shape[0] - max_tokens:]
+    eos = np.nonzero(gen == generator._tok.eos_id)[0]
+    return gen[: eos[0]].tolist() if eos.size else gen.tolist()
+
+
 class TestCorrectness:
     def test_matches_wave_decode_greedy(self, generator, batcher):
-        """Greedy continuous decode reproduces the one-shot decode exactly:
-        per-slot positions + right-padded prefill must be math-identical
-        to the left-padded batch program."""
-        expected = [generator.generate_batch([p], max_tokens=24)[0]
-                    for p in PROMPTS]
-        futures = [batcher.submit(p, max_tokens=24) for p in PROMPTS]
-        got = [f.result(timeout=120) for f in futures]
-        assert got == expected
+        """Greedy continuous decode reproduces the one-shot decode at the
+        TOKEN level: per-slot positions + right-padded prefill are
+        math-identical to the left-padded batch program. XLA does NOT
+        guarantee bit-identical fusion across the two compiled programs
+        (nor across cached vs fresh compiles), so when the model puts two
+        logits within rounding of each other the greedy argmax may
+        legitimately differ — the paths must agree up to the first step
+        where teacher-forced logits confirm such a near-tie."""
+        from audio_rag_tpu.engine.continuous import ContinuousBatcher
+
+        recorded: dict[str, list[int]] = {}
+        orig_finish = ContinuousBatcher._finish
+
+        def record(self, slot):
+            recorded[slot.request.prompt] = list(slot.tokens)
+            orig_finish(self, slot)
+
+        ContinuousBatcher._finish = record
+        try:
+            expected = {p: _wave_ids(generator, p, 24) for p in PROMPTS}
+            futures = [batcher.submit(p, max_tokens=24) for p in PROMPTS]
+            for f in futures:
+                f.result(timeout=120)
+        finally:
+            ContinuousBatcher._finish = orig_finish
+
+        eos = generator._tok.eos_id
+        for prompt in PROMPTS:
+            got = recorded[prompt]
+            if eos in got:
+                got = got[: got.index(eos)]
+            got = got[:24]
+            exp = expected[prompt]
+            if got == exp:
+                continue
+            n = min(len(got), len(exp))
+            first = next(
+                (i for i in range(n) if got[i] != exp[i]), n)
+            logits = _next_token_logits(generator, prompt, exp[:first])
+            top2 = np.partition(logits, -2)[-2:]
+            near = logits.max() - 0.05
+            assert float(top2[1] - top2[0]) < 0.05, (
+                f"real divergence on {prompt!r} at token {first}: "
+                f"top-2 gap {float(top2[1] - top2[0]):.4f}")
+            if first < n:
+                assert logits[got[first]] >= near, (
+                    f"continuous path picked a non-near-max token on "
+                    f"{prompt!r} at {first}")
+                assert logits[exp[first]] >= near, (
+                    f"wave path picked a non-near-max token on "
+                    f"{prompt!r} at {first}")
 
     def test_temperature_zero_deterministic(self, batcher):
         a = batcher.generate("november oscar papa", max_tokens=12)
