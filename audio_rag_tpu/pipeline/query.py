@@ -192,6 +192,21 @@ class QueryPipeline:
                 except Exception as exc:
                     log.warning("TTS backend failed to load: %s", exc)
                     self._tts = None
+            if self._tts is None and self.config.tts.backend not in (
+                "none", self.config.tts.fallback_backend
+            ) and self.config.tts.fallback_backend != "none":
+                # reference behavior: degrade to the fallback engine
+                # (reference ``tts/base.py`` fallback chain)
+                fb_cfg = self.config.tts.model_copy(
+                    update={"backend": self.config.tts.fallback_backend}
+                )
+                try:
+                    self._tts = create_tts(fb_cfg)
+                    if self._tts is not None:
+                        self._tts.load()
+                except Exception as exc:  # pragma: no cover - defensive
+                    log.warning("TTS fallback failed to load: %s", exc)
+                    self._tts = None
             self._tts_built = True
         return self._tts
 

@@ -1,0 +1,208 @@
+"""TPU-native neural TTS backend — the runnable first-party replacement for
+the reference's external engines (piper at ``tts/piper.py:16-143``, edge-tts
+at ``tts/edge.py:33-108``), which need binaries/network this environment
+lacks.
+
+Uses the FastSpeech-class acoustic model + Griffin-Lim vocoder from
+:mod:`audio_rag_tpu.models.tts`. Ships working out of the box via the
+committed trained asset (``assets/tts_small.npz``, trained by
+``scripts/train_tts.py`` on the deterministic synthetic charvoice);
+FastSpeech/VITS-class weights of the same shape can replace the asset
+through the npz format.
+
+TPU-first behavior:
+* text is split at sentence/word boundaries into segments, bucketed to
+  pow-2 symbol lengths, and each bucket synthesizes as ONE batched device
+  program (text→mel→waveform, vocoder included) — the reference's engines
+  synthesize serially per request;
+* all shapes are static (symbol buckets × a fixed frames-per-symbol cap),
+  so every bucket compiles once, ever, under the persistent cache.
+"""
+
+from __future__ import annotations
+
+import io
+import wave
+from pathlib import Path
+
+import numpy as np
+
+from audio_rag_tpu.config.schema import TTSConfig
+from audio_rag_tpu.core.base import BaseTTS
+from audio_rag_tpu.core.exceptions import TTSError
+from audio_rag_tpu.tts.base import TTSRegistry
+from audio_rag_tpu.utils.decorators import timed
+from audio_rag_tpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+__all__ = ["JaxTTS"]
+
+_SR = 16_000  # the model's native rate (matches the repo's audio stack)
+_BUCKETS = (32, 64, 128, 256)  # symbol-length buckets (pow-2, compile-once)
+_MAX_BATCH = 16
+_GAP_S = 0.12  # silence between segments
+
+
+def _nest(flat: dict) -> dict:
+    tree: dict = {}
+    for key, value in flat.items():
+        node = tree
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+    return tree
+
+
+def _split_segments(text: str, max_len: int) -> list[str]:
+    """Sentence-first split into segments of at most ``max_len`` symbols."""
+    import re
+
+    out: list[str] = []
+    for sent in re.split(r"(?<=[.!?])\s+", text.strip()):
+        sent = sent.strip()
+        while len(sent) > max_len:
+            cut = sent.rfind(" ", 0, max_len)
+            if cut <= 0:
+                cut = max_len
+            out.append(sent[:cut].strip())
+            sent = sent[cut:].strip()
+        if sent:
+            out.append(sent)
+    return out or [" "]
+
+
+@TTSRegistry.register("jax")
+class JaxTTS(BaseTTS):
+    """Neural text→speech on the TPU mesh (registry backend ``jax``)."""
+
+    hbm_required_gb = 0.05
+
+    def __init__(self, config: TTSConfig | None = None):
+        super().__init__()
+        self.config = config or TTSConfig()
+        self._params = None
+        self._dims = None
+        self._programs: dict[int, object] = {}
+        self._loaded = False
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def load(self) -> None:
+        if self._loaded:
+            return
+        import jax
+        import jax.numpy as jnp
+
+        from audio_rag_tpu.models.tts import TTS_PRESETS, init_tts
+
+        self._dims = TTS_PRESETS["small"]
+        asset = Path(__file__).resolve().parents[1] / "assets" / "tts_small.npz"
+        if asset.exists():
+            with np.load(asset) as data:
+                self._params = _nest({
+                    k: jnp.asarray(data[k], jnp.float32) for k in data.files
+                })
+            logger.info("JaxTTS: loaded trained asset %s", asset.name)
+        else:  # still functional (audible, untrained) — same policy as the
+            # other model families under random init
+            self._params = init_tts(jax.random.PRNGKey(0), self._dims)
+            logger.warning("JaxTTS: asset missing, using random init")
+        self._loaded = True
+
+    def unload(self) -> None:
+        self._params = None
+        self._programs.clear()
+        self._loaded = False
+
+    @property
+    def is_loaded(self) -> bool:
+        return self._loaded
+
+    # -- synthesis ----------------------------------------------------------
+
+    def _program(self, bucket: int):
+        """Jitted (tokens (B, bucket)) → (audio (B, F·hop), n_frames (B,))."""
+        if bucket in self._programs:
+            return self._programs[bucket]
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        from audio_rag_tpu.models.tts import apply_tts, mel_to_audio
+
+        # frames cap: every symbol can hold at most max_dur frames, but the
+        # trained voice tops out ~12 — 16/symbol keeps shapes tight while
+        # never truncating
+        frames = min(16 * bucket, 4096)
+        dims = dataclasses.replace(
+            self._dims, max_text=bucket, max_frames=frames
+        )
+
+        @jax.jit
+        def run(params, tokens):
+            mel, valid, _ = apply_tts(params, dims, tokens)
+            audio = jax.vmap(lambda m: mel_to_audio(m, n_iter=32))(mel)
+            return audio, jnp.sum(valid, axis=1).astype(jnp.int32)
+
+        self._programs[bucket] = run
+        return run
+
+    def _synthesize_pcm(self, text: str) -> np.ndarray:
+        """text → float32 PCM at the model's native 16 kHz."""
+        import jax.numpy as jnp
+
+        from audio_rag_tpu.models.tts import HOP_LENGTH, text_to_ids
+
+        segments = _split_segments(text, _BUCKETS[-1])
+        bucket = _BUCKETS[-1]
+        longest = max(len(s) for s in segments)
+        for b in _BUCKETS:
+            if longest <= b:
+                bucket = b
+                break
+        run = self._program(bucket)
+        gap = np.zeros(int(_GAP_S * _SR), np.float32)
+        pieces: list[np.ndarray] = []
+        for base in range(0, len(segments), _MAX_BATCH):
+            chunk = segments[base: base + _MAX_BATCH]
+            toks = np.stack([text_to_ids(s, bucket) for s in chunk])
+            audio, n_frames = run(self._params, jnp.asarray(toks))
+            audio = np.asarray(audio)
+            n_frames = np.asarray(n_frames)
+            for row in range(len(chunk)):
+                n = int(n_frames[row]) * HOP_LENGTH
+                pieces.append(audio[row, :n])
+                pieces.append(gap)
+        return np.concatenate(pieces[:-1]) if pieces else gap
+
+    @timed
+    def synthesize(self, text: str, output_path: str | None = None) -> bytes:
+        if not self._loaded:
+            self.load()
+        if not text.strip():
+            raise TTSError("empty text")
+        pcm = self._synthesize_pcm(text)
+        sr = self.config.sample_rate
+        if sr != _SR:
+            from audio_rag_tpu.audio.io import resample
+
+            pcm = resample(pcm, _SR, sr)
+        data = _wav_bytes(pcm, sr)
+        if output_path:
+            with open(output_path, "wb") as f:
+                f.write(data)
+        return data
+
+
+def _wav_bytes(pcm: np.ndarray, sr: int) -> bytes:
+    ints = np.clip(pcm * 32767.0, -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        wf.writeframes(ints.tobytes())
+    return buf.getvalue()
