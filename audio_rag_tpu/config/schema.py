@@ -70,11 +70,13 @@ class ASRConfig(BaseModel):
     #: int8-quantize the cross-attention K/V the decode loop re-reads every
     #: token (logit error <2% of range). On TPU this runs a Pallas kernel
     #: that dequantizes in VMEM (``ops/pallas_kernels.decode_cross_
-    #: attention_q8``) — XLA's own int8 lowering was 4.7× slower. Measured
-    #: at window batch 16 on a v5e: RTF 0.0304 vs 0.0290 bf16 — a wash on
-    #: speed, but it HALVES the decode workspace (≈2 GB at batch 16), so
-    #: use it when HBM, not bandwidth, is the constraint (smaller chips,
-    #: co-resident models, larger window batches).
+    #: attention_q8``) — XLA's own int8 lowering was 4.7× slower, and the
+    #: kernel's batched-dot form measured 2.7× FASTER than the bf16 einsum
+    #: per layer-step (v5e, large-v3 shapes): clip RTF 0.0254 vs 0.0289
+    #: bf16 at window batch 16, while also halving the ≈4 GB decode
+    #: workspace. Off by default only because quantization error on real
+    #: checkpoints is unvalidated in this zero-egress image; bench.py
+    #: runs with it on.
     cross_kv_int8: bool = False
     checkpoint_path: str | None = None
 

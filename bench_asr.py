@@ -22,8 +22,13 @@ import numpy as np
 
 BASELINE_RTF = 0.10  # reference ASR stage: 6 min per 60 min of audio
 
-AUDIO_MINUTES = 8.0  # 16 windows = one full window batch
-WINDOW_BATCH = 16
+# defaults measure the production configuration; env overrides support
+# A/B experiments (docs/PERFORMANCE.md records the sweeps)
+import os
+
+AUDIO_MINUTES = float(os.environ.get("BENCH_AUDIO_MINUTES", 8.0))
+WINDOW_BATCH = int(os.environ.get("BENCH_WINDOW_BATCH", 16))
+CROSS_KV_INT8 = os.environ.get("BENCH_CROSS_KV_INT8", "0") == "1"
 
 
 def log(msg: str) -> None:
@@ -44,6 +49,7 @@ def main() -> None:
         backend="whisper-jax", model_size="large-v3",
         compute_type="bfloat16", vad_filter=False,
         window_batch_size=WINDOW_BATCH,
+        cross_kv_int8=CROSS_KV_INT8,
     ))
     t0 = time.time()
     asr.load()

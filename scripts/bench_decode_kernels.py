@@ -1,0 +1,114 @@
+"""On-chip microbenchmark: whisper decode cross-attention, bf16 vs int8.
+
+The decode loop's dominant HBM term is re-reading the full cross K/V every
+token (docs/PERFORMANCE.md). This times both paths at large-v3 shapes
+(B=16, H=20, hd=64, Ta=1536, one layer, looped in-program to amortize the
+relay's ~30 ms dispatch floor).
+
+Measured lineage (v5e), ms per layer-step:
+
+  bf16 einsum                        0.157   (803 GB/s — HBM speed-of-light)
+  q8, per-(b, h) grid                0.198   (fixed invocation cost > savings)
+  q8, per-row grid + per-head dots   0.140   (M=1 dot latency x 40)
+  q8, per-row grid + batched dots    0.058   (production kernel; 2.7x)
+
+Run: python scripts/bench_decode_kernels.py
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+B, H, HD, TA = 16, 20, 64, 1536
+LOOPS = 64
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from audio_rag_tpu.ops.pallas_kernels import decode_cross_attention_q8
+    from audio_rag_tpu.utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    print("devices:", jax.devices(), flush=True)
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((B, H, 1, HD)).astype(np.float32))
+    kb = jnp.asarray(
+        rng.standard_normal((B, H, TA, HD)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    vb = jnp.asarray(
+        rng.standard_normal((B, H, TA, HD)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    k8 = jnp.asarray(rng.integers(-127, 128, (B, H, HD, TA), dtype=np.int8))
+    v8 = jnp.asarray(rng.integers(-127, 128, (B, H, HD, TA), dtype=np.int8))
+    ks = jnp.asarray(rng.uniform(0.01, 0.1, (B, H, 1, 1)).astype(np.float32))
+    vs = jnp.asarray(rng.uniform(0.01, 0.1, (B, H, 1, 1)).astype(np.float32))
+
+    scale = HD ** -0.5
+
+    def bf16_attn(q, k, v):
+        s = jnp.einsum("bhqd,bhkd->bhqk", (q * scale).astype(jnp.bfloat16),
+                       k, preferred_element_type=jnp.float32)
+        p = jax.nn.softmax(s, axis=-1).astype(jnp.bfloat16)
+        return jnp.einsum("bhqk,bhkd->bhqd", p, v,
+                          preferred_element_type=jnp.float32)
+
+    # loop the op in-program; fold the iteration into q so XLA can't hoist
+    def looped(fn, *operands):
+        @jax.jit
+        def run(q0, *ops):
+            def body(i, acc):
+                out = fn(q0 + acc * 1e-20, *ops)
+                return acc + jnp.sum(out)
+            return jax.lax.fori_loop(0, LOOPS, body, jnp.float32(0.0))
+        return run
+
+    cases = {
+        "bf16": (looped(bf16_attn, kb, vb), (q, kb, vb)),
+        "q8": (looped(
+            lambda q, k, v: decode_cross_attention_q8(q, k, v, ks, vs),
+            k8, v8), (q, k8, v8)),
+    }
+
+    # dispatch floor
+    @jax.jit
+    def _noop(x):
+        return x + 1.0
+    np.asarray(_noop(jnp.float32(0.0)))
+    floors = []
+    for _ in range(8):
+        t = time.perf_counter()
+        np.asarray(_noop(jnp.float32(1.0)))
+        floors.append(time.perf_counter() - t)
+    floor = float(np.percentile(floors[2:], 50))
+    print(f"dispatch floor {floor * 1e3:.1f} ms", flush=True)
+
+    bytes_bf16 = 2 * B * H * TA * HD * 2
+    bytes_int8 = 2 * B * H * TA * HD
+    for name, (run, ops) in cases.items():
+        t0 = time.time()
+        np.asarray(run(*ops))  # compile + first run
+        print(f"{name}: compile+first {time.time() - t0:.1f}s", flush=True)
+        times = []
+        for _ in range(5):
+            t = time.perf_counter()
+            np.asarray(run(*ops))
+            times.append(time.perf_counter() - t)
+        per = (float(np.median(times)) - floor) / LOOPS
+        nbytes = bytes_bf16 if name == "bf16" else bytes_int8
+        bw = nbytes / per / 1e9
+        print(f"{name}: {per * 1e3:.3f} ms/layer-step  "
+              f"({bw:.0f} GB/s effective)", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

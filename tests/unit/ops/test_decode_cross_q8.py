@@ -42,6 +42,24 @@ def test_kernel_matches_reference(B, H, hd, Ta):
     np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
 
 
+def test_kernel_head_lane_roundtrip_nonsquare():
+    """B≠H and H<128 exercise the padded (hd, 128) head-lane carry —
+    every head must land back in its own output row."""
+    rng = np.random.default_rng(1)
+    B, H, hd, Ta = 3, 5, 64, 128
+    q = rng.standard_normal((B, H, 1, hd)).astype(np.float32)
+    k8 = rng.integers(-127, 128, (B, H, hd, Ta)).astype(np.int8)
+    v8 = rng.integers(-127, 128, (B, H, hd, Ta)).astype(np.int8)
+    ks = rng.uniform(0.005, 0.02, (B, H, 1, 1)).astype(np.float32)
+    vs = rng.uniform(0.005, 0.02, (B, H, 1, 1)).astype(np.float32)
+    got = np.asarray(decode_cross_attention_q8(
+        jnp.asarray(q), jnp.asarray(k8), jnp.asarray(v8),
+        jnp.asarray(ks), jnp.asarray(vs), interpret=True,
+    ))
+    ref = _reference(q, k8, v8, ks, vs)
+    np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
+
+
 def test_whisper_decode_uses_quantized_path_end_to_end():
     """greedy_decode with cross_kv_quantize picks identical argmax tokens
     (test dims; the einsum fallback runs on CPU, the Pallas kernel on TPU —
