@@ -19,7 +19,12 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-__all__ = ["flash_attention", "attend_auto", "decode_cross_attention_q8"]
+__all__ = [
+    "flash_attention",
+    "attend_auto",
+    "decode_cross_attention_q8",
+    "matmul_q8w",
+]
 
 
 def _decode_cross_kernel(q_ref, k_ref, v_ref, o_ref, *, n_heads: int):
@@ -111,6 +116,73 @@ def decode_cross_attention_q8(
     )(qf, k8, v8)
     o = out[:, :, :H].transpose(0, 2, 1)[:, :, None, :]  # (B, H, 1, hd)
     return o * vs
+
+
+def _largest_tile(n: int, cap: int) -> int | None:
+    """Largest multiple of 128 that divides ``n`` and is ≤ ``cap``."""
+    best = None
+    for t in range(128, min(n, cap) + 1, 128):
+        if n % t == 0:
+            best = t
+    return best
+
+
+def _matmul_q8w_kernel(x_ref, w_ref, o_ref, *, n_din_tiles: int):
+    """One (dout-tile, din-tile) step of x @ W8: dequant the weight tile to
+    bf16 in VMEM (ints ≤127 are exact in bf16) and accumulate the partial
+    product in the revisited f32 output block. The din grid dim is
+    innermost so the output block stays resident across the reduction."""
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    w = w_ref[:].astype(jnp.bfloat16)
+    o_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def matmul_q8w(
+    x: jax.Array,      # (B, din) bf16/f32 — B padded to ≥16 by the caller
+    w8: jax.Array,     # (din, dout) int8, per-out-channel symmetric quant
+    scale: jax.Array,  # (dout,) f32 — folded into the output here
+    interpret: bool = False,
+) -> jax.Array:
+    """x @ (w8 * scale) with in-VMEM dequant; returns (B, dout) f32.
+
+    The decode loops are weight-read-bound: every generated token re-reads
+    the full decoder weight stack from HBM (≈1.6 GB/step bf16 on whisper
+    large-v3). int8 weights halve those bytes; as with the cross-KV kernel,
+    XLA's own int8 lowering materializes dequantized copies, so the
+    dequant must happen in VMEM. Integers in [-127, 127] are exactly
+    representable in bf16, so dequant-to-bf16 + f32-accumulate matches the
+    f32-dequant einsum bit-for-bit on the MXU.
+
+    Tiles: din splits at 2048 (keeps the W2 = (5120, d) block + its bf16
+    copy inside VMEM), dout at 2048 (bounds the logits head's
+    (d, 52k) row). Callers pad B below 16 (bf16 sublane tile).
+    """
+    B, din = x.shape
+    dout = w8.shape[1]
+    din_t = _largest_tile(din, cap=2048)
+    dout_t = _largest_tile(dout, cap=2048)
+    if din_t is None or dout_t is None or B % 16:
+        raise ValueError(f"matmul_q8w needs tile-aligned shapes "
+                         f"(dims multiples of 128, B of 16), got "
+                         f"({B}, {din}) @ ({din}, {dout})")
+    out = pl.pallas_call(
+        functools.partial(_matmul_q8w_kernel, n_din_tiles=din // din_t),
+        out_shape=jax.ShapeDtypeStruct((B, dout), jnp.float32),
+        grid=(dout // dout_t, din // din_t),  # din innermost (reduction)
+        in_specs=[
+            pl.BlockSpec((B, din_t), lambda j, i: (0, i)),
+            pl.BlockSpec((din_t, dout_t), lambda j, i: (i, j)),
+        ],
+        out_specs=pl.BlockSpec((B, dout_t), lambda j, i: (0, j)),
+        interpret=interpret,
+    )(x.astype(jnp.bfloat16), w8)
+    return out * scale[None, :]
 
 
 def on_tpu(x: jax.Array) -> bool:

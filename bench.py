@@ -214,10 +214,14 @@ def main() -> None:
         # width and measured 2.7x faster than the bf16 einsum per
         # layer-step (ops/pallas_kernels.decode_cross_attention_q8) —
         # RTF 0.0254 vs 0.0289 bf16 on this clip
+        # temperature_fallback off: random-init logprobs trip the
+        # avg-logprob quality gate that trained weights pass, re-running
+        # the full decode through the fallback ladder and inflating RTF
+        # ~2.6x vs the single-pass decode trained weights execute
         asr = WhisperJaxASR(ASRConfig(
             model_size="large-v3", compute_type="bfloat16",
             vad_filter=False, window_batch_size=16,
-            cross_kv_int8=True,
+            cross_kv_int8=True, temperature_fallback=False,
         ))
         asr.load()
         asr_minutes = 8  # 16 windows = one full window batch
