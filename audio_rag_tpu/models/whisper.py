@@ -516,12 +516,40 @@ def greedy_decode(
     sk = jnp.zeros((L, B, H, cache_len, head_dim), dtype)
     sv = jnp.zeros((L, B, H, cache_len, head_dim), dtype)
 
-    # prime the cache with the prompt (teacher-forced)
-    logits, (sk, sv), _ = decoder_forward(
-        params, dims, prompt, cross_kv, pos_offset=0,
-        self_cache=(sk, sv), dtype=dtype,
-    )
-    step0 = jax.nn.log_softmax(logits[:, -1, :].astype(jnp.float32), axis=-1)
+    if cross_kv_quantize:
+        # HOIST the per-layer split out of the decode loop AND pin it with
+        # an optimization barrier: the Pallas kernel needs materialized
+        # operands, XLA's cost model treats a slice-of-array as free and
+        # re-sinks it into the loop body, and Mosaic then copies the
+        # sliced (B, H, hd, Ta) int8 operand on EVERY call — measured
+        # +5.5 ms/step, more than the kernel saves. The barrier forces the
+        # 32 per-layer materializations to happen once, before the loop
+        # (decoder_step is unchanged: Python lists index per layer exactly
+        # like the stacked arrays do). With it: 8.7 ms/step int8 vs 11.6
+        # bf16 at window batch 16.
+        cross_kv = jax.lax.optimization_barrier(tuple(
+            [part[layer] for layer in range(L)] for part in cross_kv
+        ))
+        # prime the cache with unrolled single-token steps over the SPLIT
+        # lists: the split is then the stacked int8's only consumer, so it
+        # dies there instead of coexisting with its per-layer copies
+        # (stacked + copies + the priming pass OOM'd a 16 GB chip at
+        # window batch 16)
+        logits = None
+        for t in range(P):
+            logits, (sk, sv) = decoder_step(
+                params, dims, prompt[:, t:t + 1], cross_kv, t, (sk, sv),
+                dtype=dtype,
+            )
+        step0 = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    else:
+        # prime the cache with the prompt (teacher-forced)
+        logits, (sk, sv), _ = decoder_forward(
+            params, dims, prompt, cross_kv, pos_offset=0,
+            self_cache=(sk, sv), dtype=dtype,
+        )
+        step0 = jax.nn.log_softmax(
+            logits[:, -1, :].astype(jnp.float32), axis=-1)
     no_speech_prob = (
         jnp.exp(step0[:, no_speech_id]) if no_speech_id is not None
         else jnp.zeros((B,), jnp.float32)
