@@ -85,6 +85,7 @@ class WhisperJaxASR(BaseASR):
             else jnp.float32
         )
         self._params = None
+        self._params_q8 = None
         self._tokenizer = None
 
     # -- lifecycle ---------------------------------------------------------
@@ -101,6 +102,15 @@ class WhisperJaxASR(BaseASR):
             # fp32 residency doubled those bytes (measured 1.7× RTF)
             params = bf16_storage(params)
         self._params = engine.put_params("whisper", params)
+        self._params_q8 = None
+        if self.config.decoder_int8:
+            from audio_rag_tpu.models.whisper import quantize_decoder_weights
+
+            # one-time per-out-channel int8 of the decode-loop weight
+            # matmuls (per-layer buffers; see quantize_decoder_weights)
+            self._params_q8 = jax.jit(
+                lambda p: quantize_decoder_weights(p, self.dims)
+            )(self._params)
         rm.register_model("asr", self.hbm_required_gb, self)
         self._tokenizer = self._make_text_decoder()
 
@@ -121,6 +131,7 @@ class WhisperJaxASR(BaseASR):
         if self._engine is not None:
             self._engine.drop_params("whisper")
         self._params = None
+        self._params_q8 = None
         get_resource_manager().unregister("asr")
 
     def _make_text_decoder(self):
@@ -154,7 +165,7 @@ class WhisperJaxASR(BaseASR):
 
         def build():
             @functools.partial(jax.jit, static_argnames=())
-            def run(params, mel, prompt):
+            def run(params, q8, mel, prompt):
                 # enc is returned as a DEVICE-RESIDENT output: the word-
                 # timestamp alignment pass consumes it directly, so word
                 # timestamps don't pay a second full encoder pass
@@ -174,14 +185,22 @@ class WhisperJaxASR(BaseASR):
                     rng=jax.random.PRNGKey(int(temperature * 100)),
                     no_speech_id=self.tokens.no_speech,
                     cross_kv_quantize=self.config.cross_kv_int8,
+                    decoder_q8=q8,
                 )
                 return toks, lp, nsp, enc
 
-            return run
+            def wrapped(params, mel, prompt):
+                # q8 rides along as an explicit program argument (a live
+                # array captured in a jit closure degrades every later
+                # dispatch — CLAUDE.md)
+                return run(params, self._params_q8, mel, prompt)
+
+            return wrapped
 
         return engine.program(
             ("whisper", "transcribe", strategy, batch, temperature,
-             max_new, self.config.cross_kv_int8), build
+             max_new, self.config.cross_kv_int8,
+             self.config.decoder_int8), build
         )
 
     def _place_batch(self, mel_batch: np.ndarray, prompt: np.ndarray):

@@ -78,6 +78,12 @@ class ASRConfig(BaseModel):
     #: checkpoints is unvalidated in this zero-egress image; bench.py
     #: runs with it on.
     cross_kv_int8: bool = False
+    #: int8-quantize the decode loop's WEIGHT matmuls (attention/cross/MLP
+    #: linears + logits head, per-out-channel scales) — the other half of
+    #: the per-step HBM bytes. Same Pallas in-VMEM dequant pattern
+    #: (``ops/pallas_kernels.matmul_q8w``); measured 1.3–1.7× per matmul
+    #: on a v5e. Off by default for the same reason as ``cross_kv_int8``.
+    decoder_int8: bool = False
     checkpoint_path: str | None = None
 
 

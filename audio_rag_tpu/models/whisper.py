@@ -36,11 +36,13 @@ from audio_rag_tpu.models.layers import (
     layer_norm_init,
     linear,
     linear_init,
+    linear_q8,
     make_causal_mask,
     mha,
     mha_init,
     mlp,
     mlp_init,
+    quantize_linear,
     sinusoid_positions,
 )
 
@@ -347,6 +349,7 @@ def _cross_with_kv(
     p: Params, x: jax.Array, k: jax.Array, v: jax.Array, n_heads: int,
     dtype: jnp.dtype, return_weights: bool,
     k_scale: jax.Array | None = None, v_scale: jax.Array | None = None,
+    q8: Params | None = None,  # per-layer int8 weights (cross_q/cross_o)
 ):
     """Cross-attention against precomputed K/V.
 
@@ -361,9 +364,17 @@ def _cross_with_kv(
     head_dim = d_model // n_heads
     quantized = k.dtype == jnp.int8
     xn = layer_norm(p["ln_cross"], x)
-    q = linear(p["cross"]["q"], xn, dtype).reshape(B, T, n_heads, head_dim)
-    q = q.transpose(0, 2, 1, 3)
+    if q8 is None:
+        q = linear(p["cross"]["q"], xn, dtype)
+    else:
+        q = linear_q8(p["cross"]["q"], q8["cross_q"], xn, dtype)
+    q = q.reshape(B, T, n_heads, head_dim).transpose(0, 2, 1, 3)
     scale = head_dim ** -0.5
+
+    def out_proj(o):
+        if q8 is None:
+            return linear(p["cross"]["o"], o, dtype)
+        return linear_q8(p["cross"]["o"], q8["cross_o"], o, dtype)
 
     if quantized and T == 1 and not return_weights:
         from audio_rag_tpu.ops.pallas_kernels import (
@@ -374,7 +385,7 @@ def _cross_with_kv(
         if on_tpu(k):
             o = decode_cross_attention_q8(q, k, v, k_scale, v_scale)
             o = o.astype(dtype).transpose(0, 2, 1, 3).reshape(B, T, d_model)
-            return linear(p["cross"]["o"], o, dtype)
+            return out_proj(o)
 
     if quantized:
         # fallback einsums on the transposed layout (CPU, teacher-forced)
@@ -395,10 +406,47 @@ def _cross_with_kv(
                          preferred_element_type=jnp.float32)
     out = out.astype(dtype)
     out = out.transpose(0, 2, 1, 3).reshape(B, T, d_model)
-    out = linear(p["cross"]["o"], out, dtype)
+    out = out_proj(out)
     if return_weights:
         return out, probs32
     return out
+
+
+def quantize_decoder_weights(params: Params, dims: WhisperDims) -> Params:
+    """Per-out-channel int8 of every weight matrix the decode loop re-reads
+    each token (attention/cross/MLP linears + the logits head).
+
+    The decode loop's weight term is ≈1.6 GB/step bf16 on large-v3; int8
+    halves it and :func:`linear_q8`'s Pallas kernel dequantizes in VMEM.
+    Returned as PER-LAYER lists (not stacked) so the jitted decode
+    programs receive each layer's matrices as separate buffers — XLA
+    re-sinks "free" slices of stacked arrays into the loop body, which
+    made Mosaic re-materialize Pallas operands every token (see
+    greedy_decode's cross-KV barrier note). The logits head (tok_emb
+    transposed) pads the vocab axis to a lane multiple; pad columns carry
+    scale 1 and decode as real (garbage) logits, so callers must slice
+    ``[:, :n_vocab]`` — :func:`decoder_step` does.
+    """
+    dec = params["decoder"]
+
+    def q(p):
+        return quantize_linear(p["w"])
+
+    blocks = []
+    for layer in range(dims.n_text_layer):
+        p = jax.tree.map(lambda a: a[layer], dec["blocks"])
+        blocks.append({
+            "attn_q": q(p["attn"]["q"]), "attn_k": q(p["attn"]["k"]),
+            "attn_v": q(p["attn"]["v"]), "attn_o": q(p["attn"]["o"]),
+            "cross_q": q(p["cross"]["q"]), "cross_o": q(p["cross"]["o"]),
+            "mlp_up": q(p["mlp"]["up"]), "mlp_down": q(p["mlp"]["down"]),
+        })
+    table = dec["tok_emb"]["table"]
+    vocab = table.shape[0]
+    vocab_pad = -(-vocab // 128) * 128
+    wt = jnp.pad(table.astype(jnp.float32).T,
+                 ((0, 0), (0, vocab_pad - vocab)))
+    return {"blocks": blocks, "logits": quantize_linear(wt)}
 
 
 def decoder_step(
@@ -409,6 +457,7 @@ def decoder_step(
     pos,  # scalar int32 — KV write index / position of ``tok``
     self_cache: tuple[jax.Array, jax.Array],  # (L, B, H, C, hd) ×2
     dtype: jnp.dtype = jnp.bfloat16,
+    q8: Params | None = None,  # quantize_decoder_weights output
 ) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
     """One incremental decode step with the layer loop UNROLLED.
 
@@ -418,7 +467,9 @@ def decoder_step(
     cross KV doesn't stay in place). Unrolling trades one-time compile
     size for the hot loop running at memory speed; the teacher-forced and
     prompt-priming paths keep :func:`decoder_forward`'s scan (they run
-    once per window, not per token). Returns (last-token logits (B, vocab)
+    once per window, not per token). With ``q8`` the weight matmuls read
+    int8 weights through the Pallas dequant-in-VMEM kernel (the decode
+    loop's weight bytes halve). Returns (last-token logits (B, vocab)
     fp32, updated self_cache).
     """
     dec = params["decoder"]
@@ -442,12 +493,19 @@ def decoder_step(
 
     for layer in range(dims.n_text_layer):
         p = jax.tree.map(lambda a: a[layer], dec["blocks"])
+        p8 = None if q8 is None else q8["blocks"][layer]
+
+        def lin(pp, key8, xx):
+            if p8 is None:
+                return linear(pp, xx, dtype)
+            return linear_q8(pp, p8[key8], xx, dtype)
+
         xn = layer_norm(p["ln1"], x)
-        q = linear(p["attn"]["q"], xn, dtype).reshape(
+        q = lin(p["attn"]["q"], "attn_q", xn).reshape(
             B, 1, H, hd).transpose(0, 2, 1, 3)
-        k = linear(p["attn"]["k"], xn, dtype).reshape(
+        k = lin(p["attn"]["k"], "attn_k", xn).reshape(
             B, 1, H, hd).transpose(0, 2, 1, 3)
-        v = linear(p["attn"]["v"], xn, dtype).reshape(
+        v = lin(p["attn"]["v"], "attn_v", xn).reshape(
             B, 1, H, hd).transpose(0, 2, 1, 3)
         # write this step's K/V at (layer, :, :, pos) — static layer index,
         # dynamic position; XLA keeps the stacked cache in place
@@ -462,19 +520,30 @@ def decoder_step(
         o = jnp.einsum("bhqk,bhkd->bhqd", probs, sv[layer],
                        preferred_element_type=jnp.float32).astype(dtype)
         o = o.transpose(0, 2, 1, 3).reshape(B, 1, dims.n_text_state)
-        x = x + linear(p["attn"]["o"], o, dtype)
+        x = x + lin(p["attn"]["o"], "attn_o", o)
         x = x + _cross_with_kv(
             p, x, ck[layer], cv[layer], H, dtype, False,
             None if ks is None else ks[layer],
             None if vs is None else vs[layer],
+            q8=p8,
         )
-        x = x + mlp(p["mlp"], layer_norm(p["ln_mlp"], x), dtype)
+        if p8 is None:
+            x = x + mlp(p["mlp"], layer_norm(p["ln_mlp"], x), dtype)
+        else:
+            h = jax.nn.gelu(
+                lin(p["mlp"]["up"], "mlp_up", layer_norm(p["ln_mlp"], x)),
+                approximate=False)
+            x = x + lin(p["mlp"]["down"], "mlp_down", h)
 
     x = layer_norm(dec["ln"], x)
-    logits = jnp.dot(
-        x[:, 0], dec["tok_emb"]["table"].astype(dtype).T,
-        preferred_element_type=jnp.float32,
-    )
+    if q8 is None:
+        logits = jnp.dot(
+            x[:, 0], dec["tok_emb"]["table"].astype(dtype).T,
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        logits = linear_q8({}, q8["logits"], x[:, 0],
+                           dtype=jnp.float32)[:, :dims.n_vocab]
     return logits, (sk, sv)
 
 
@@ -492,6 +561,7 @@ def greedy_decode(
     rng: jax.Array | None = None,
     no_speech_id: int | None = None,
     cross_kv_quantize: bool = False,
+    decoder_q8: Params | None = None,  # quantize_decoder_weights output
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Batched greedy/sampled decode with static KV cache.
 
@@ -499,7 +569,9 @@ def greedy_decode(
     Positions past EOT are filled with ``eot``; ``avg_logprob`` is the mean
     chosen-token log-probability (the quality signal faster-whisper uses
     for its temperature-fallback ladder); ``no_speech_prob`` is read from
-    the first decode step, as Whisper defines it.
+    the first decode step, as Whisper defines it. ``decoder_q8`` switches
+    the decode loop's weight matmuls to int8 (the teacher-forced priming
+    keeps full precision unless the cross KV is also quantized).
     """
     B, P = prompt.shape
     L = dims.n_text_layer
@@ -539,7 +611,7 @@ def greedy_decode(
         for t in range(P):
             logits, (sk, sv) = decoder_step(
                 params, dims, prompt[:, t:t + 1], cross_kv, t, (sk, sv),
-                dtype=dtype,
+                dtype=dtype, q8=decoder_q8,
             )
         step0 = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     else:
@@ -582,6 +654,7 @@ def greedy_decode(
         cur = jax.lax.dynamic_slice(tokens, (0, i), (B, 1))
         logits, (sk, sv) = decoder_step(
             params, dims, cur, cross_kv, i, (sk, sv), dtype=dtype,
+            q8=decoder_q8,
         )
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         key, rng = jax.random.split(rng)

@@ -221,7 +221,8 @@ def main() -> None:
         asr = WhisperJaxASR(ASRConfig(
             model_size="large-v3", compute_type="bfloat16",
             vad_filter=False, window_batch_size=16,
-            cross_kv_int8=True, temperature_fallback=False,
+            cross_kv_int8=True, decoder_int8=True,
+            temperature_fallback=False,
         ))
         asr.load()
         asr_minutes = 8  # 16 windows = one full window batch

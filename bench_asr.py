@@ -29,6 +29,7 @@ import os
 AUDIO_MINUTES = float(os.environ.get("BENCH_AUDIO_MINUTES", 8.0))
 WINDOW_BATCH = int(os.environ.get("BENCH_WINDOW_BATCH", 16))
 CROSS_KV_INT8 = os.environ.get("BENCH_CROSS_KV_INT8", "0") == "1"
+DECODER_INT8 = os.environ.get("BENCH_DECODER_INT8", "0") == "1"
 
 
 def log(msg: str) -> None:
@@ -50,6 +51,7 @@ def main() -> None:
         compute_type="bfloat16", vad_filter=False,
         window_batch_size=WINDOW_BATCH,
         cross_kv_int8=CROSS_KV_INT8,
+        decoder_int8=DECODER_INT8,
         # random-init logprobs (~ -10.8) trip the avg-logprob quality gate
         # that trained weights pass, so the temperature-fallback ladder
         # reran the FULL decode 6x and inflated RTF ~6x vs what trained

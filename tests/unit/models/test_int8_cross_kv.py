@@ -14,6 +14,7 @@ from audio_rag_tpu.models.whisper import (
     greedy_decode,
     init_whisper,
     precompute_cross_kv,
+    quantize_decoder_weights,
 )
 
 DIMS = WHISPER_PRESETS["test"]
@@ -60,3 +61,25 @@ def test_greedy_decode_tokens_match():
     np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(got[0]))
     np.testing.assert_allclose(np.asarray(ref[1]), np.asarray(got[1]),
                                atol=0.05)
+
+
+def test_greedy_decode_int8_decoder_weights_match():
+    """decoder_int8 (int8 weight matmuls in the decode loop) stays within
+    quantization tolerance of the full-precision decode: same greedy
+    tokens, avg logprob close."""
+    params, enc = _setup()
+    q8 = quantize_decoder_weights(params, DIMS)
+    assert q8["blocks"][0]["mlp_up"]["w8"].dtype == jnp.int8
+    assert len(q8["blocks"]) == DIMS.n_text_layer
+    prompt = jnp.asarray(np.tile(
+        [[ST.sot, ST.lang_base, ST.transcribe, ST.no_timestamps]], (2, 1)
+    ).astype(np.int32))
+    ref = greedy_decode(params, DIMS, enc, prompt, 8, ST.eot,
+                        dtype=jnp.float32, no_speech_id=ST.no_speech,
+                        cross_kv_quantize=True)
+    got = greedy_decode(params, DIMS, enc, prompt, 8, ST.eot,
+                        dtype=jnp.float32, no_speech_id=ST.no_speech,
+                        cross_kv_quantize=True, decoder_q8=q8)
+    np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(got[0]))
+    np.testing.assert_allclose(np.asarray(ref[1]), np.asarray(got[1]),
+                               atol=0.1)
