@@ -186,6 +186,12 @@ class GenerationConfig(BaseModel):
     max_tokens: int = Field(default=1024, ge=1, le=8192)
     timeout: float = Field(default=60.0, ge=1.0)
     checkpoint_path: str | None = None
+    #: int8-quantize the decode loop's weight matmuls (attention/swiglu
+    #: linears + the 128k-vocab lm_head — the dominant per-token HBM term
+    #: for small-batch generation). Same Pallas in-VMEM dequant as
+    #: ``ASRConfig.decoder_int8``; per-out-channel scales. Off by default
+    #: until quantization error is validated on real checkpoints.
+    decoder_int8: bool = False
     #: coalesce concurrent requests into batched decodes (engine/scheduler)
     use_scheduler: bool = True
     #: "wave" decodes each batch to completion (fewest dispatches — best

@@ -131,15 +131,22 @@ class ContinuousBatcher:
 
         def build():
             @jax.jit
-            def run(params, last, ck, cv, pos, active, temps, rng):
+            def run(params, q8, last, ck, cv, pos, active, temps, rng):
                 return llm_decode_slots(
                     params, gen.dims, last, ck, cv, pos, active, temps,
-                    rng, n_steps=segment, eos_id=eos)
+                    rng, n_steps=segment, eos_id=eos, q8=q8)
 
-            return run
+            def wrapped(params, last, ck, cv, pos, active, temps, rng):
+                # q8 rides along as an explicit program argument (a live
+                # array captured in a jit closure degrades dispatches)
+                return run(params, getattr(gen, "_params_q8", None),
+                           last, ck, cv, pos, active, temps, rng)
+
+            return wrapped
 
         return gen._engine.program(
-            ("llm_cont_decode", self.n_slots, segment), build)
+            ("llm_cont_decode", self.n_slots, segment,
+             getattr(gen, "_params_q8", None) is not None), build)
 
     # -- worker -------------------------------------------------------------
     def _ensure_cache(self):

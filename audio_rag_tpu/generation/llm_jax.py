@@ -45,6 +45,7 @@ class LLMGenerator(BaseGenerator):
         self.dims: LLMDims = LLM_PRESETS[name]
         self.hbm_required_gb = HBM_BY_MODEL.get(name, 7.0)
         self._params = None
+        self._params_q8 = None
         self._tok = None
 
     def _load(self) -> None:
@@ -68,6 +69,15 @@ class LLMGenerator(BaseGenerator):
             and engine.mesh.shape["model"] > 1
         ) else None
         self._params = engine.put_params("llm", params, spec)
+        self._params_q8 = None
+        if self.config.decoder_int8:
+            from audio_rag_tpu.models.llm import quantize_llm_weights
+
+            # one-time per-out-channel int8 of the decode-loop matmuls
+            # (per-layer buffers; see quantize_llm_weights)
+            self._params_q8 = jax.jit(
+                lambda p: quantize_llm_weights(p, self.dims)
+            )(self._params)
         self._tok = get_tokenizer(self.config.checkpoint_path,
                                   vocab_size=self.dims.vocab)
         rm.register_model("generation", self.hbm_required_gb, self)
@@ -76,6 +86,7 @@ class LLMGenerator(BaseGenerator):
         if self._engine is not None:
             self._engine.drop_params("llm")
         self._params = None
+        self._params_q8 = None
         get_resource_manager().unregister("generation")
 
     def check_availability(self) -> bool:
@@ -146,6 +157,7 @@ class LLMGenerator(BaseGenerator):
             max_new, eos_id=pad_id, temperature=temp,
             rng=jax.random.PRNGKey(abs(hash(tuple(texts))) % (2 ** 31)),
             prompt_mask=jnp.asarray(mask),
+            decoder_q8=self._params_q8,
         )
         out = np.asarray(out)
         results = []

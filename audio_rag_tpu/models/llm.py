@@ -27,8 +27,10 @@ from audio_rag_tpu.models.layers import (
     embedding_init,
     linear,
     linear_init,
+    linear_q8,
     make_causal_mask,
     mha_init,
+    quantize_linear,
     rms_norm,
     rms_norm_init,
     rope_frequencies,
@@ -245,6 +247,31 @@ def _rope_tables(dims: LLMDims, head_dim: int):
     return jnp.asarray(cos), jnp.asarray(sin)
 
 
+def quantize_llm_weights(params: Params, dims: LLMDims) -> Params:
+    """Per-out-channel int8 of every weight matrix the decode loop re-reads
+    each token (attention + swiglu linears and the lm_head — ≈2.5 GB/step
+    bf16 on llama-3.2-1b, with the 128k-vocab head alone 0.5 GB).
+
+    Per-layer lists, not stacked: XLA re-sinks "free" slices of stacked
+    arrays into the loop body and Mosaic then re-materializes the Pallas
+    operand every token (see whisper's greedy_decode barrier note).
+    :func:`linear_q8` dequantizes tiles to bf16 in VMEM.
+    """
+    def q(p):
+        return quantize_linear(p["w"])
+
+    blocks = []
+    for layer in range(dims.n_layers):
+        p = jax.tree.map(lambda a: a[layer], params["blocks"])
+        blocks.append({
+            "attn_q": q(p["attn"]["q"]), "attn_k": q(p["attn"]["k"]),
+            "attn_v": q(p["attn"]["v"]), "attn_o": q(p["attn"]["o"]),
+            "mlp_gate": q(p["mlp"]["gate"]), "mlp_up": q(p["mlp"]["up"]),
+            "mlp_down": q(p["mlp"]["down"]),
+        })
+    return {"blocks": blocks, "lm_head": q(params["lm_head"])}
+
+
 def llm_decode_step(
     params: Params,
     dims: LLMDims,
@@ -256,6 +283,7 @@ def llm_decode_step(
     dtype: jnp.dtype = jnp.bfloat16,
     rope_pos: jax.Array | None = None,  # (B,) TRUE positions (≠ pos when
     # the cache frame is left-padded); defaults to pos
+    q8: Params | None = None,  # quantize_llm_weights output
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """One incremental decode step with the layer loop UNROLLED.
 
@@ -286,12 +314,19 @@ def llm_decode_step(
 
     for layer in range(dims.n_layers):
         p = jax.tree.map(lambda a: a[layer], params["blocks"])
+        p8 = None if q8 is None else q8["blocks"][layer]
+
+        def lin(pp, key8, xx):
+            if p8 is None:
+                return linear(pp, xx, dtype)
+            return linear_q8(pp, p8[key8], xx, dtype)
+
         xn = rms_norm(p["ln_attn"], x)
-        q = linear(p["attn"]["q"], xn, dtype).reshape(
+        q = lin(p["attn"]["q"], "attn_q", xn).reshape(
             B, 1, H, hd).transpose(0, 2, 1, 3)
-        k = linear(p["attn"]["k"], xn, dtype).reshape(
+        k = lin(p["attn"]["k"], "attn_k", xn).reshape(
             B, 1, HKV, hd).transpose(0, 2, 1, 3)
-        v = linear(p["attn"]["v"], xn, dtype).reshape(
+        v = lin(p["attn"]["v"], "attn_v", xn).reshape(
             B, 1, HKV, hd).transpose(0, 2, 1, 3)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
@@ -313,11 +348,22 @@ def llm_decode_step(
         o = jnp.einsum("bhqk,bhkd->bhqd", probs, vv,
                        preferred_element_type=jnp.float32).astype(dtype)
         o = o.transpose(0, 2, 1, 3).reshape(B, 1, dims.d_model)
-        x = x + linear(p["attn"]["o"], o, dtype)
-        x = x + swiglu(p["mlp"], rms_norm(p["ln_mlp"], x), dtype)
+        x = x + lin(p["attn"]["o"], "attn_o", o)
+        xm = rms_norm(p["ln_mlp"], x)
+        if p8 is None:
+            x = x + swiglu(p["mlp"], xm, dtype)
+        else:
+            gate = jax.nn.silu(lin(p["mlp"]["gate"], "mlp_gate", xm))
+            x = x + lin(p["mlp"]["down"], "mlp_down",
+                        gate * lin(p["mlp"]["up"], "mlp_up", xm))
 
     x = rms_norm(params["ln_f"], x)
-    logits = linear(params["lm_head"], x, dtype)[:, 0].astype(jnp.float32)
+    if q8 is None:
+        logits = linear(params["lm_head"], x, dtype)[:, 0].astype(
+            jnp.float32)
+    else:
+        logits = linear_q8(params["lm_head"], q8["lm_head"], x,
+                           dtype=jnp.float32)[:, 0]
     return logits, cache_k, cache_v
 
 
@@ -368,6 +414,7 @@ def llm_decode_slots(
     n_steps: int,
     eos_id: int,
     dtype: jnp.dtype = jnp.bfloat16,
+    q8: Params | None = None,  # quantize_llm_weights output
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """``n_steps`` decode steps for every slot with PER-SLOT positions —
     the continuous-batching inner loop. Requests join/leave only at
@@ -382,7 +429,7 @@ def llm_decode_slots(
         last, ck_all, cv_all, pos, finished, rng = carry
         # the SHARED unrolled decode step (bit-identical to the wave path)
         logits, ck_all, cv_all = llm_decode_step(
-            params, dims, last, pos, ck_all, cv_all, dtype=dtype,
+            params, dims, last, pos, ck_all, cv_all, dtype=dtype, q8=q8,
         )
 
         key, rng = jax.random.split(rng)
@@ -416,6 +463,7 @@ def llm_generate(
     rng: jax.Array | None = None,
     dtype: jnp.dtype = jnp.bfloat16,
     prompt_mask: jax.Array | None = None,  # (B, P) bool, False = left-pad
+    decoder_q8: Params | None = None,  # quantize_llm_weights output
 ) -> jax.Array:
     """Batched sampling with static KV cache; returns (B, P+max_new)."""
     B, Pl = prompt.shape
@@ -476,6 +524,7 @@ def llm_generate(
             params, dims, cur, frame_pos, lk, lv,
             kv_valid=kv_valid, dtype=dtype,
             rope_pos=frame_pos - row_offset,
+            q8=decoder_q8,
         )
         key, rng = jax.random.split(rng)
         nxt = pick(logits, key)

@@ -33,8 +33,12 @@ def main() -> None:
     from audio_rag_tpu.utils.jax_cache import enable_compilation_cache
 
     enable_compilation_cache()
+    import os
+
+    decoder_int8 = os.environ.get("BENCH_DECODER_INT8", "0") == "1"
     gen = LLMGenerator(GenerationConfig(
         model=model, temperature=0.0, use_scheduler=False,
+        decoder_int8=decoder_int8,
     ))
     gen.load()
     tok = gen._tok

@@ -118,6 +118,37 @@ class TestLLM:
         # different RNG keys should (overwhelmingly) differ
         assert not np.array_equal(np.asarray(a), np.asarray(b))
 
+    def test_int8_decoder_weights_logits_close(self, params):
+        """decoder_q8 (int8 weight matmuls in the decode loop) stays
+        within quantization tolerance of the full-precision step: the
+        teacher-forced per-step logits must track within a few percent of
+        the logit range (greedy tokens can legitimately differ at
+        random-init near-ties, so exact token equality over-pins)."""
+        from audio_rag_tpu.models.llm import (
+            llm_decode_step, quantize_llm_weights)
+
+        q8 = quantize_llm_weights(params, LD)
+        assert q8["blocks"][0]["mlp_gate"]["w8"].dtype == jnp.int8
+        assert len(q8["blocks"]) == LD.n_layers
+        B, hd = 2, LD.d_model // LD.n_heads
+        C = 16
+        ck = jnp.zeros((LD.n_layers, B, LD.n_kv_heads, C, hd), jnp.float32)
+        cv = jnp.zeros_like(ck)
+        ck8, cv8 = ck, cv
+        forced = np.array([[1, 2, 3, 7, 9, 11], [4, 5, 6, 8, 10, 12]],
+                          np.int32)
+        for t in range(forced.shape[1]):
+            tok = jnp.asarray(forced[:, t])
+            pos = jnp.full((B,), t, jnp.int32)
+            ref, ck, cv = llm_decode_step(
+                params, LD, tok, pos, ck, cv, dtype=jnp.float32)
+            got, ck8, cv8 = llm_decode_step(
+                params, LD, tok, pos, ck8, cv8, dtype=jnp.float32, q8=q8)
+            denom = float(np.abs(np.asarray(ref)).max()) + 1e-9
+            err = float(np.abs(np.asarray(got) - np.asarray(ref)).max())
+            assert err / denom < 0.05, (
+                f"int8-weight logit error {err / denom:.3f} at step {t}")
+
 
 class TestSpeaker:
     def test_embed_normalized(self):
