@@ -155,12 +155,22 @@ def get_duration(path: str | Path) -> float:
     return len(audio) / sr
 
 
-def write_wav(path: str | Path, audio: np.ndarray, sr: int = TARGET_SR) -> None:
-    """Write mono float32 [-1,1] as 16-bit PCM WAV."""
+def wav_bytes(audio: np.ndarray, sr: int = TARGET_SR) -> bytes:
+    """Encode mono float32 [-1, 1] as a 16-bit PCM WAV byte string (the
+    single WAV encoder — the TTS backends and file writer all share it)."""
+    import io
+
     pcm = np.clip(audio, -1.0, 1.0)
     pcm = (pcm * 32767.0).astype("<i2")
-    with wave.open(str(path), "wb") as wf:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
         wf.setnchannels(1)
         wf.setsampwidth(2)
         wf.setframerate(sr)
         wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def write_wav(path: str | Path, audio: np.ndarray, sr: int = TARGET_SR) -> None:
+    """Write mono float32 [-1,1] as 16-bit PCM WAV."""
+    Path(path).write_bytes(wav_bytes(audio, sr))

@@ -423,9 +423,11 @@ def quantize_decoder_weights(params: Params, dims: WhisperDims) -> Params:
     re-sinks "free" slices of stacked arrays into the loop body, which
     made Mosaic re-materialize Pallas operands every token (see
     greedy_decode's cross-KV barrier note). The logits head (tok_emb
-    transposed) pads the vocab axis to a lane multiple; pad columns carry
-    scale 1 and decode as real (garbage) logits, so callers must slice
-    ``[:, :n_vocab]`` — :func:`decoder_step` does.
+    transposed) pads the vocab axis to a lane multiple; the all-zero pad
+    columns quantize to weight 0 (tiny scale) and decode as exactly-0
+    logits — which would still beat real logits when every real logit is
+    negative, so callers must slice ``[:, :n_vocab]`` —
+    :func:`decoder_step` does.
     """
     dec = params["decoder"]
 

@@ -97,7 +97,7 @@ def decode_cross_attention_q8(
     B, H, _, hd = q.shape
     Ta = k8.shape[-1]
     scale = hd ** -0.5
-    lanes = max(128, H)
+    lanes = -(-H // 128) * 128  # lane tile: round H UP to a multiple of 128
     # fold the K-side scales and 1/sqrt(hd) into q; pad/transpose to the
     # tile-aligned (B, hd, lanes) carry layout (head h lives in lane h)
     qf = (q.astype(jnp.float32) * (scale * ks))[:, :, 0, :]  # (B, H, hd)
@@ -127,7 +127,7 @@ def _largest_tile(n: int, cap: int) -> int | None:
     return best
 
 
-def _matmul_q8w_kernel(x_ref, w_ref, o_ref, *, n_din_tiles: int):
+def _matmul_q8w_kernel(x_ref, w_ref, o_ref):
     """One (dout-tile, din-tile) step of x @ W8: dequant the weight tile to
     bf16 in VMEM (ints ≤127 are exact in bf16) and accumulate the partial
     product in the revisited f32 output block. The din grid dim is
@@ -172,7 +172,7 @@ def matmul_q8w(
                          f"(dims multiples of 128, B of 16), got "
                          f"({B}, {din}) @ ({din}, {dout})")
     out = pl.pallas_call(
-        functools.partial(_matmul_q8w_kernel, n_din_tiles=din // din_t),
+        _matmul_q8w_kernel,
         out_shape=jax.ShapeDtypeStruct((B, dout), jnp.float32),
         grid=(dout // dout_t, din // din_t),  # din innermost (reduction)
         in_specs=[

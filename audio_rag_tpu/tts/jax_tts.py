@@ -21,8 +21,6 @@ TPU-first behavior:
 
 from __future__ import annotations
 
-import io
-import wave
 from pathlib import Path
 
 import numpy as np
@@ -123,7 +121,14 @@ class JaxTTS(BaseTTS):
     # -- synthesis ----------------------------------------------------------
 
     def _program(self, bucket: int):
-        """Jitted (tokens (B, bucket)) → (audio (B, F·hop), n_frames (B,))."""
+        """Jitted (tokens (_MAX_BATCH, bucket)) → (audio, n_frames).
+
+        The batch dim is FIXED at ``_MAX_BATCH`` (callers pad with empty
+        rows): a per-chunk-count batch shape would compile a fresh program
+        for every distinct segment count — minutes each through this
+        environment's remote-compile relay — so each bucket compiles
+        exactly once, ever.
+        """
         if bucket in self._programs:
             return self._programs[bucket]
         import dataclasses
@@ -133,12 +138,15 @@ class JaxTTS(BaseTTS):
 
         from audio_rag_tpu.models.tts import apply_tts, mel_to_audio
 
-        # frames cap: every symbol can hold at most max_dur frames, but the
-        # trained voice tops out ~12 — 16/symbol keeps shapes tight while
-        # never truncating
+        # frames cap: 16/symbol keeps shapes tight (the trained voice tops
+        # out ~12 frames/symbol); max_dur clamps predicted durations to
+        # frames/bucket so the total can NEVER exceed max_frames — without
+        # the clamp, out-of-distribution predictions up to the model's
+        # max_dur=32 could silently truncate the tail of the utterance
         frames = min(16 * bucket, 4096)
         dims = dataclasses.replace(
-            self._dims, max_text=bucket, max_frames=frames
+            self._dims, max_text=bucket, max_frames=frames,
+            max_dur=min(self._dims.max_dur, frames // bucket),
         )
 
         @jax.jit
@@ -152,9 +160,10 @@ class JaxTTS(BaseTTS):
 
     def _synthesize_pcm(self, text: str) -> np.ndarray:
         """text → float32 PCM at the model's native 16 kHz."""
+        import jax
         import jax.numpy as jnp
 
-        from audio_rag_tpu.models.tts import HOP_LENGTH, text_to_ids
+        from audio_rag_tpu.models.tts import HOP_LENGTH, PAD_ID, text_to_ids
 
         segments = _split_segments(text, _BUCKETS[-1])
         bucket = _BUCKETS[-1]
@@ -168,10 +177,13 @@ class JaxTTS(BaseTTS):
         pieces: list[np.ndarray] = []
         for base in range(0, len(segments), _MAX_BATCH):
             chunk = segments[base: base + _MAX_BATCH]
-            toks = np.stack([text_to_ids(s, bucket) for s in chunk])
-            audio, n_frames = run(self._params, jnp.asarray(toks))
-            audio = np.asarray(audio)
-            n_frames = np.asarray(n_frames)
+            toks = np.full((_MAX_BATCH, bucket), PAD_ID, np.int32)
+            for i, s in enumerate(chunk):
+                toks[i] = text_to_ids(s, bucket)
+            # ONE device interaction for both outputs (the relay charges
+            # a flat ~28 ms per host<->device transfer)
+            audio, n_frames = jax.device_get(
+                run(self._params, jnp.asarray(toks)))
             for row in range(len(chunk)):
                 n = int(n_frames[row]) * HOP_LENGTH
                 pieces.append(audio[row, :n])
@@ -190,19 +202,10 @@ class JaxTTS(BaseTTS):
             from audio_rag_tpu.audio.io import resample
 
             pcm = resample(pcm, _SR, sr)
-        data = _wav_bytes(pcm, sr)
+        from audio_rag_tpu.audio.io import wav_bytes
+
+        data = wav_bytes(pcm, sr)
         if output_path:
             with open(output_path, "wb") as f:
                 f.write(data)
         return data
-
-
-def _wav_bytes(pcm: np.ndarray, sr: int) -> bytes:
-    ints = np.clip(pcm * 32767.0, -32768, 32767).astype("<i2")
-    buf = io.BytesIO()
-    with wave.open(buf, "wb") as wf:
-        wf.setnchannels(1)
-        wf.setsampwidth(2)
-        wf.setframerate(sr)
-        wf.writeframes(ints.tobytes())
-    return buf.getvalue()

@@ -8,11 +8,9 @@ API's audio-response path are exercised end-to-end.
 
 from __future__ import annotations
 
-import io
-import wave
-
 import numpy as np
 
+from audio_rag_tpu.audio.io import wav_bytes
 from audio_rag_tpu.config.schema import TTSConfig
 from audio_rag_tpu.core.base import BaseTTS
 from audio_rag_tpu.tts.base import TTSRegistry
@@ -37,14 +35,7 @@ class NullTTS(BaseTTS):
         # soft word-rate amplitude modulation so output is audibly "speechy"
         tone = 0.05 * np.sin(2 * np.pi * 220.0 * t)
         env = 0.5 * (1 + np.sin(2 * np.pi * 4.0 * t))
-        pcm = (tone * env * 32767).astype("<i2")
-        buf = io.BytesIO()
-        with wave.open(buf, "wb") as wf:
-            wf.setnchannels(1)
-            wf.setsampwidth(2)
-            wf.setframerate(sr)
-            wf.writeframes(pcm.tobytes())
-        data = buf.getvalue()
+        data = wav_bytes((tone * env).astype(np.float32), sr)
         if output_path:
             with open(output_path, "wb") as f:
                 f.write(data)

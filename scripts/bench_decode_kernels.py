@@ -62,7 +62,7 @@ def main() -> int:
                           preferred_element_type=jnp.float32)
 
     # loop the op in-program; fold the iteration into q so XLA can't hoist
-    def looped(fn, *operands):
+    def looped(fn):
         @jax.jit
         def run(q0, *ops):
             def body(i, acc):
@@ -71,11 +71,12 @@ def main() -> int:
             return jax.lax.fori_loop(0, LOOPS, body, jnp.float32(0.0))
         return run
 
+    # ks/vs ride as operands, NOT jit-closure constants (a live jax.Array
+    # captured in a jit closure degrades all subsequent dispatches —
+    # CLAUDE.md; in a microbenchmark that skews the numbers themselves)
     cases = {
-        "bf16": (looped(bf16_attn, kb, vb), (q, kb, vb)),
-        "q8": (looped(
-            lambda q, k, v: decode_cross_attention_q8(q, k, v, ks, vs),
-            k8, v8), (q, k8, v8)),
+        "bf16": (looped(bf16_attn), (q, kb, vb)),
+        "q8": (looped(decode_cross_attention_q8), (q, k8, v8, ks, vs)),
     }
 
     # dispatch floor
