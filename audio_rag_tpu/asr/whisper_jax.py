@@ -174,6 +174,7 @@ class WhisperJaxASR(BaseASR):
                     toks = beam_decode(
                         params, self.dims, enc, prompt, max_new,
                         self.tokens.eot, beam_size=beam, dtype=self.dtype,
+                        decoder_q8=q8,
                     )
                     B = toks.shape[0]
                     return (toks, jnp.zeros((B,), jnp.float32),

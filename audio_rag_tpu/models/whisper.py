@@ -741,12 +741,16 @@ def beam_decode(
     beam_size: int = 5,
     length_penalty: float = 1.0,
     dtype: jnp.dtype = jnp.bfloat16,
+    decoder_q8: Params | None = None,  # quantize_decoder_weights output
 ) -> jax.Array:
     """Beam search (faster-whisper's default strategy, beam_size=5).
 
     Hypotheses live as an extra batch dimension (B·K sequences decode as
-    one batched program); caches reorder by gather each step. Returns the
-    best hypothesis per batch item, (B, P+max_new), EOT-padded.
+    one batched program); caches reorder by gather each step; the inner
+    step is the same UNROLLED :func:`decoder_step` as greedy decode (the
+    scan-over-layers form measured ~2× slower in a decode loop), with
+    optional int8 weight matmuls. Returns the best hypothesis per batch
+    item, (B, P+max_new), EOT-padded.
     """
     B, P = prompt.shape
     K = beam_size
@@ -782,12 +786,11 @@ def beam_decode(
         cur = jax.lax.dynamic_slice(
             tokens.reshape(B * K, total), (0, i), (B * K, 1)
         )
-        logits, (sk_n, sv_n), _ = decoder_forward(
-            params, dims, cur, cross_kv, i, (sk, sv), dtype
+        logits, (sk_n, sv_n) = decoder_step(
+            params, dims, cur, cross_kv, i, (sk, sv), dtype=dtype,
+            q8=decoder_q8,
         )
-        logp = jax.nn.log_softmax(
-            logits[:, -1, :], axis=-1
-        ).reshape(B, K, V)
+        logp = jax.nn.log_softmax(logits, axis=-1).reshape(B, K, V)
         # finished beams may only extend with EOT at no cost
         eot_only = jnp.full((V,), -jnp.inf).at[eot].set(0.0)
         logp = jnp.where(finished[:, :, None], eot_only[None, None, :], logp)
