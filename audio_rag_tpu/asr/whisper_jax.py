@@ -458,20 +458,21 @@ class WhisperJaxASR(BaseASR):
             c = c[:max_t]
             tf_tokens[j, P: P + len(c)] = c
 
-        L = self.dims.n_text_layer
-
         def build():
             @jax.jit
             def run(params, enc, toks):
                 ckv = precompute_cross_kv(params, self.dims, enc, self.dtype)
+                # "alignment_mean" accumulates the upper-half-layer,
+                # head-averaged statistic IN the layer scan → (B, T, Ta).
+                # Stacking the raw (L, B, H, T, Ta) tensor and reducing
+                # after (the previous form) is ~70 GB at window batch 16
+                # and crashed the compile backend; per-window it was
+                # ~1 GB and froze streaming when transferred.
                 _, _, w = decoder_forward(
                     params, self.dims, toks, ckv, dtype=self.dtype,
-                    collect_cross_weights=True,
+                    collect_cross_weights="alignment_mean",
                 )
-                # reduce ON DEVICE: upper-half layers, head-averaged →
-                # (B, T, Ta). The raw (L,B,H,T,Ta) tensor is ~1 GB for a
-                # large-v3 window — transferring it froze streaming.
-                return jnp.mean(w[L // 2:], axis=(0, 2))
+                return w
 
             return run
 

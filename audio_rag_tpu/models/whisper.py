@@ -271,12 +271,18 @@ def decoder_forward(
     pos_offset: jax.Array | int = 0,
     self_cache: tuple[jax.Array, jax.Array] | None = None,  # (L,B,H,Tc,D)
     dtype: jnp.dtype = jnp.bfloat16,
-    collect_cross_weights: bool = False,
+    collect_cross_weights: bool | str = False,
 ) -> tuple[jax.Array, tuple[jax.Array, jax.Array] | None, jax.Array | None]:
     """Decoder pass (teacher-forced when T>1, incremental when cached).
 
-    Returns (logits (B,T,vocab), updated self_cache, cross_weights or None
-    with shape (L, B, H, T, Ta)).
+    Returns (logits (B,T,vocab), updated self_cache, cross_weights or
+    None). ``collect_cross_weights=True`` stacks the raw per-layer
+    weights (L, B, H, T, Ta) — fine for tiny test dims, but on large-v3
+    at window batch 16 that tensor is ~70 GB and its compile crashes the
+    backend. ``"alignment_mean"`` instead accumulates the DTW alignment
+    statistic (mean over the upper half of layers and all heads) in the
+    scan carry, returning (B, T, Ta) fp32 with a flat ~(B·T·Ta) footprint
+    — the form the word-timestamp pass consumes.
     """
     dec = params["decoder"]
     B, T = tokens.shape
@@ -303,9 +309,16 @@ def decoder_forward(
     else:
         self_mask = make_causal_mask(T, T)
 
+    L_total = ck.shape[0]
+    reduce_mode = collect_cross_weights == "alignment_mean"
+
     def block(carry, layer):
-        x = carry
-        p, layer_ck, layer_cv, layer_ks, layer_vs, layer_sk, layer_sv = layer
+        if reduce_mode:
+            x, acc = carry
+        else:
+            x = carry
+        p, layer_ck, layer_cv, layer_ks, layer_vs, layer_sk, layer_sv, \
+            layer_idx = layer
         cache = (layer_sk, layer_sv) if self_cache is not None else None
         h, new_cache = mha(
             p["attn"], layer_norm(p["ln1"], x), n_heads,
@@ -324,18 +337,29 @@ def decoder_forward(
         x = x + h
         x = x + mlp(p["mlp"], layer_norm(p["ln_mlp"], x), dtype)
         out_cache = new_cache if new_cache is not None else (layer_sk, layer_sv)
+        if reduce_mode:
+            # accumulate the upper-half-layer, head-averaged alignment
+            # statistic in the CARRY: the stacked (L, B, H, T, Ta) weight
+            # tensor never materializes
+            upper = (layer_idx >= L_total // 2).astype(jnp.float32)
+            acc = acc + upper * jnp.mean(w, axis=1)
+            return (x, acc), (out_cache[0], out_cache[1])
         return x, (out_cache[0], out_cache[1], w)
 
     if self_cache is not None:
         sk, sv = self_cache
     else:
-        L = ck.shape[0]
         head_dim = dims.n_text_state // n_heads
-        sk = jnp.zeros((L, B, n_heads, 1, head_dim), dtype)
+        sk = jnp.zeros((L_total, B, n_heads, 1, head_dim), dtype)
         sv = sk
-    x, (new_sk, new_sv, cross_w) = jax.lax.scan(
-        block, x, (dec["blocks"], ck, cv, ks, vs, sk, sv)
-    )
+    xs = (dec["blocks"], ck, cv, ks, vs, sk, sv, jnp.arange(L_total))
+    if reduce_mode:
+        Ta = ck.shape[3] if not quantized else ck.shape[4]
+        acc0 = jnp.zeros((B, T, Ta), jnp.float32)
+        (x, acc), (new_sk, new_sv) = jax.lax.scan(block, (x, acc0), xs)
+        cross_w = acc / float(L_total - L_total // 2)
+    else:
+        x, (new_sk, new_sv, cross_w) = jax.lax.scan(block, x, xs)
     x = layer_norm(dec["ln"], x)
     logits = jnp.dot(
         x, dec["tok_emb"]["table"].astype(dtype).T,

@@ -75,6 +75,16 @@ class TestDecoder:
         np.testing.assert_allclose(
             np.asarray(w.sum(axis=-1)), 1.0, atol=1e-5
         )
+        # the scan-carry "alignment_mean" mode must equal reducing the raw
+        # stack (upper-half layers, head-averaged) — it exists because the
+        # raw (L, B, H, T, Ta) stack is ~70 GB at production window batch
+        _, _, wm = decoder_forward(
+            params, DIMS, tokens, ckv, dtype=jnp.float32,
+            collect_cross_weights="alignment_mean",
+        )
+        L = DIMS.n_text_layer
+        ref = np.asarray(w)[L // 2:].mean(axis=(0, 2))
+        np.testing.assert_allclose(np.asarray(wm), ref, atol=1e-5)
 
     def test_incremental_matches_teacher_forced(self, params, mel):
         """KV-cached step-by-step logits == full forward logits."""
