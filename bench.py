@@ -258,6 +258,37 @@ def main() -> None:
     except Exception as exc:  # pragma: no cover
         log(f"asr bench skipped: {exc}")
 
+    # tertiary: LLM serving throughput (continuous batching, int8 weights
+    # — the production profile; see bench_llm.py for the full matrix)
+    llm_tok_s = None
+    try:
+        from audio_rag_tpu.config.schema import GenerationConfig
+        from audio_rag_tpu.engine.continuous import ContinuousBatcher
+        from audio_rag_tpu.generation.llm_jax import LLMGenerator
+
+        gen = LLMGenerator(GenerationConfig(
+            model="llama-3.2-1b", temperature=0.0, use_scheduler=False,
+            decoder_int8=True,
+        ))
+        gen.load()
+        batcher = ContinuousBatcher(gen, n_slots=8, segment_tokens=16)
+        prompts = [f"prompt {i} about term{i * 7 % 100}" for i in range(8)]
+        # warm (compiles cached across runs by the persistent cache)
+        [f.result(timeout=1200) for f in
+         [batcher.submit(p, max_tokens=8) for p in prompts]]
+        n_tok = 64
+        t1 = time.perf_counter()
+        futs = [batcher.submit(p, max_tokens=n_tok) for p in prompts]
+        for f in futs:
+            f.result(timeout=1200)
+        llm_s = time.perf_counter() - t1
+        llm_tok_s = round(len(prompts) * n_tok / llm_s, 1)
+        log(f"llm continuous {llm_tok_s} tok/s")
+        batcher.stop()
+        gen.unload()
+    except Exception as exc:  # pragma: no cover
+        log(f"llm bench skipped: {exc}")
+
     print(json.dumps({
         "metric": "hybrid_search_rerank_qps",
         "value": round(qps, 1),
@@ -272,6 +303,7 @@ def main() -> None:
             "corpus_size": CORPUS_SIZE,
             "asr_rtf_large_v3": asr_rtf,
             "asr_rtf_baseline": 0.10,
+            "llm_continuous_tokens_per_s": llm_tok_s,
             "device_breakdown": breakdown,
             "asr_breakdown": asr_breakdown,
             "note": "BGE-M3 embed + hybrid RRF + cross-encoder rerank(20→5) "
