@@ -61,49 +61,44 @@ def main() -> int:
         return jnp.einsum("bhqk,bhkd->bhqd", p, v,
                           preferred_element_type=jnp.float32)
 
-    # loop the op in-program; fold the iteration into q so XLA can't hoist
-    def looped(fn):
+    # loop the op in-program; fold the iteration into q so XLA can't
+    # hoist, and consume the full output so it can't DCE (CLAUDE.md
+    # microbenchmark pitfalls)
+    def looped(fn, n):
         @jax.jit
         def run(q0, *ops):
             def body(i, acc):
                 out = fn(q0 + acc * 1e-20, *ops)
                 return acc + jnp.sum(out)
-            return jax.lax.fori_loop(0, LOOPS, body, jnp.float32(0.0))
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
         return run
 
     # ks/vs ride as operands, NOT jit-closure constants (a live jax.Array
     # captured in a jit closure degrades all subsequent dispatches —
     # CLAUDE.md; in a microbenchmark that skews the numbers themselves)
     cases = {
-        "bf16": (looped(bf16_attn), (q, kb, vb)),
-        "q8": (looped(decode_cross_attention_q8), (q, k8, v8, ks, vs)),
+        "bf16": (bf16_attn, (q, kb, vb)),
+        "q8": (decode_cross_attention_q8, (q, k8, v8, ks, vs)),
     }
 
-    # dispatch floor
-    @jax.jit
-    def _noop(x):
-        return x + 1.0
-    np.asarray(_noop(jnp.float32(0.0)))
-    floors = []
-    for _ in range(8):
-        t = time.perf_counter()
-        np.asarray(_noop(jnp.float32(1.0)))
-        floors.append(time.perf_counter() - t)
-    floor = float(np.percentile(floors[2:], 50))
-    print(f"dispatch floor {floor * 1e3:.1f} ms", flush=True)
-
-    bytes_bf16 = 2 * B * H * TA * HD * 2
-    bytes_int8 = 2 * B * H * TA * HD
-    for name, (run, ops) in cases.items():
-        t0 = time.time()
+    def timed(run, ops):
         np.asarray(run(*ops))  # compile + first run
-        print(f"{name}: compile+first {time.time() - t0:.1f}s", flush=True)
         times = []
         for _ in range(5):
             t = time.perf_counter()
             np.asarray(run(*ops))
             times.append(time.perf_counter() - t)
-        per = (float(np.median(times)) - floor) / LOOPS
+        return float(np.median(times))
+
+    bytes_bf16 = 2 * B * H * TA * HD * 2
+    bytes_int8 = 2 * B * H * TA * HD
+    for name, (fn, ops) in cases.items():
+        # two-point difference: (t(2n) - t(n)) / n cancels the relay's
+        # per-dispatch cost entirely (it is VARIABLE, up to seconds under
+        # congestion — subtracting a separately-measured "floor" is wrong)
+        t1 = timed(looped(fn, LOOPS), ops)
+        t2 = timed(looped(fn, 2 * LOOPS), ops)
+        per = (t2 - t1) / LOOPS
         nbytes = bytes_bf16 if name == "bf16" else bytes_int8
         bw = nbytes / per / 1e9
         print(f"{name}: {per * 1e3:.3f} ms/layer-step  "
