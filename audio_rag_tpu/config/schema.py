@@ -201,7 +201,12 @@ class GenerationConfig(BaseModel):
     scheduler_mode: Literal["wave", "continuous"] = "wave"
     scheduler_max_batch: int = Field(default=16, ge=1)
     scheduler_max_wait_ms: float = Field(default=10.0, ge=0.0)
-    #: continuous mode: decode-slot count and tokens per segment dispatch
+    #: continuous mode: decode-slot count and tokens per segment dispatch.
+    #: Segment size trades the relay's per-dispatch cost against join
+    #: latency — measured on a v5e (llama-3.2-1b, int8 weights, 8 slots):
+    #: seg 16 = 433 tok/s @ 596 ms short-request p50; seg 32 = 478 @ 968;
+    #: seg 48 = 490 @ 1325. 16 is the interactive sweet spot (bulk ingest
+    #: uses wave mode, which pays one dispatch per batch).
     scheduler_slots: int = Field(default=8, ge=1)
     scheduler_segment_tokens: int = Field(default=16, ge=1)
     #: continuous mode: per-slot KV budget (attention cost per step is
