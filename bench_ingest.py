@@ -73,7 +73,8 @@ def main() -> None:
     elapsed = time.perf_counter() - t0
     rtf = elapsed / (AUDIO_MINUTES * 60.0)
     log(f"{AUDIO_MINUTES:.0f} min in {elapsed:.1f}s → RTF {rtf:.4f} "
-        f"({res.num_chunks} chunks, {res.num_speakers} speakers)")
+        f"({res.num_chunks} chunks, {res.num_speakers} speakers) "
+        f"stages={res.stage_timings}")
 
     print(json.dumps({
         "metric": "full_ingest_rtf",
@@ -84,6 +85,7 @@ def main() -> None:
             "baseline_full_ingest_rtf": BASELINE_FULL_INGEST_RTF,
             "audio_minutes": AUDIO_MINUTES,
             "num_chunks": res.num_chunks,
+            "stage_timings_s": res.stage_timings,
             "stages": "asr(large-v3 int8 decode) + diarization(clustering)"
                       " + alignment + chunking + embedding(bge-m3) + store",
             "note": "random-init production architectures; one process, "
