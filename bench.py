@@ -225,12 +225,10 @@ def main() -> None:
             temperature_fallback=False,
         ))
         asr.load()
+        from bench_common import make_bench_audio
+
         asr_minutes = 8  # 16 windows = one full window batch
-        n = asr_minutes * 60 * 16000
-        audio = (0.1 * rng.standard_normal(n)).astype(np.float32)
-        audio *= 0.5 * (1 + np.sin(
-            2 * np.pi * 3.0 * np.arange(n) / 16000
-        )).astype(np.float32)
+        audio = make_bench_audio(asr_minutes)
         asr.transcribe(audio, 16000)  # warm/compile
         t1 = time.perf_counter()
         asr.transcribe(audio, 16000)
@@ -279,10 +277,13 @@ def main() -> None:
         n_tok = 64
         t1 = time.perf_counter()
         futs = [batcher.submit(p, max_tokens=n_tok) for p in prompts]
-        for f in futs:
-            f.result(timeout=1200)
+        outs = [f.result(timeout=1200) for f in futs]
         llm_s = time.perf_counter() - t1
-        llm_tok_s = round(len(prompts) * n_tok / llm_s, 1)
+        # count ACTUAL generated tokens (early EOS must not inflate the
+        # metric; same accounting as bench_llm.py)
+        n_gen = sum(len(gen._tok.encode(o, add_special=False))
+                    for o in outs)
+        llm_tok_s = round(n_gen / llm_s, 1)
         log(f"llm continuous {llm_tok_s} tok/s")
         batcher.stop()
         gen.unload()

@@ -63,13 +63,11 @@ def main() -> None:
     asr.load()
     log(f"load+init {time.time() - t0:.1f}s")
 
+    from bench_common import make_bench_audio
+
     sr = 16000
-    rng = np.random.default_rng(0)
     n = int(AUDIO_MINUTES * 60 * sr)
-    # speech-band noise with amplitude modulation (VAD-friendly, nonzero mel)
-    audio = (0.1 * rng.standard_normal(n)).astype(np.float32)
-    audio *= 0.5 * (1 + np.sin(2 * np.pi * 3.0 *
-                               np.arange(n) / sr)).astype(np.float32)
+    audio = make_bench_audio(AUDIO_MINUTES, sr)
 
     # warmup: compile the transcribe program on a one-batch prefix
     t0 = time.time()
