@@ -80,6 +80,13 @@ class WhisperJaxASR(BaseASR):
         self.dims: WhisperDims = WHISPER_PRESETS[size]
         self.tokens = SpecialTokens.for_dims(self.dims)
         self.hbm_required_gb = HBM_ESTIMATES.get(size, 6.5)
+        if self.config.decoder_int8:
+            # the int8 weight copies coexist with the bf16 params — count
+            # them so the ResourceManager can't over-admit co-resident
+            # models past the real budget
+            from audio_rag_tpu.models.whisper import q8_param_bytes
+
+            self.hbm_required_gb += q8_param_bytes(self.dims) / 1e9
         self.dtype = (
             jnp.bfloat16 if self.config.compute_type == "bfloat16"
             else jnp.float32

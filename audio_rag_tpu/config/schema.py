@@ -74,15 +74,20 @@ class ASRConfig(BaseModel):
     #: kernel's batched-dot form measured 2.7× FASTER than the bf16 einsum
     #: per layer-step (v5e, large-v3 shapes): clip RTF 0.0254 vs 0.0289
     #: bf16 at window batch 16, while also halving the ≈4 GB decode
-    #: workspace. Off by default only because quantization error on real
-    #: checkpoints is unvalidated in this zero-egress image; bench.py
-    #: runs with it on.
+    #: workspace. Validation status: exact 12-token greedy parity against a
+    #: released whisper-tiny HF checkpoint (tests/unit/models/
+    #: test_hf_parity.py) plus bounded logit error (<2% of range) under
+    #: random-init large-v3 shapes; large-v3 WER itself is unvalidated in
+    #: this zero-egress image. configs/production.yaml enables it with that
+    #: caveat; disable here if a WER regression is observed on real audio.
     cross_kv_int8: bool = False
     #: int8-quantize the decode loop's WEIGHT matmuls (attention/cross/MLP
     #: linears + logits head, per-out-channel scales) — the other half of
     #: the per-step HBM bytes. Same Pallas in-VMEM dequant pattern
     #: (``ops/pallas_kernels.matmul_q8w``); measured 1.3–1.7× per matmul
-    #: on a v5e. Off by default for the same reason as ``cross_kv_int8``.
+    #: on a v5e. Same validation status and production stance as
+    #: ``cross_kv_int8``. Note the int8 copies cost extra HBM at load time
+    #: (~0.8 GB for large-v3; accounted in the backend's hbm_required_gb).
     decoder_int8: bool = False
     checkpoint_path: str | None = None
 
@@ -189,8 +194,12 @@ class GenerationConfig(BaseModel):
     #: int8-quantize the decode loop's weight matmuls (attention/swiglu
     #: linears + the 128k-vocab lm_head — the dominant per-token HBM term
     #: for small-batch generation). Same Pallas in-VMEM dequant as
-    #: ``ASRConfig.decoder_int8``; per-out-channel scales. Off by default
-    #: until quantization error is validated on real checkpoints.
+    #: ``ASRConfig.decoder_int8``; per-out-channel scales. Validation
+    #: status: per-out-channel quantization is exact-parity-tested at tiny
+    #: scale; no released llama checkpoint is loadable in this zero-egress
+    #: image, so generation quality under int8 is unvalidated on real
+    #: weights. configs/production.yaml enables it with that caveat. The
+    #: int8 copies cost extra HBM (accounted in hbm_required_gb).
     decoder_int8: bool = False
     #: coalesce concurrent requests into batched decodes (engine/scheduler)
     use_scheduler: bool = True

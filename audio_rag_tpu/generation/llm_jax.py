@@ -44,6 +44,12 @@ class LLMGenerator(BaseGenerator):
             else "llama-3.2-3b"
         self.dims: LLMDims = LLM_PRESETS[name]
         self.hbm_required_gb = HBM_BY_MODEL.get(name, 7.0)
+        if self.config.decoder_int8:
+            # int8 weight copies coexist with the bf16 params — account
+            # for them so the ResourceManager HBM budget stays honest
+            from audio_rag_tpu.models.llm import q8_param_bytes
+
+            self.hbm_required_gb += q8_param_bytes(self.dims) / 1e9
         self._params = None
         self._params_q8 = None
         self._tok = None

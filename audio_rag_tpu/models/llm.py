@@ -272,6 +272,20 @@ def quantize_llm_weights(params: Params, dims: LLMDims) -> Params:
     return {"blocks": blocks, "lm_head": q(params["lm_head"])}
 
 
+def q8_param_bytes(dims: LLMDims) -> int:
+    """HBM bytes of the :func:`quantize_llm_weights` copies (int8 weights
+    + fp32 per-out-channel scales). They coexist with the bf16 params, so
+    generator backends add this to hbm_required_gb when ``decoder_int8``
+    is on (~1.2 GB for llama-3.2-1b, ~3.2 GB for 3b)."""
+    d = dims.d_model
+    kv_d = dims.n_kv_heads * (d // dims.n_heads)
+    per_layer = 2 * d * d + 2 * d * kv_d + 3 * d * dims.d_ff
+    w = dims.n_layers * per_layer + d * dims.vocab
+    scales = dims.n_layers * (d + kv_d * 2 + d + 2 * dims.d_ff + d) \
+        + dims.vocab
+    return w + 4 * scales
+
+
 def llm_decode_step(
     params: Params,
     dims: LLMDims,

@@ -475,6 +475,19 @@ def quantize_decoder_weights(params: Params, dims: WhisperDims) -> Params:
     return {"blocks": blocks, "logits": quantize_linear(wt)}
 
 
+def q8_param_bytes(dims: WhisperDims) -> int:
+    """HBM bytes of the :func:`quantize_decoder_weights` copies (int8
+    weights + fp32 per-out-channel scales). The quantized copies coexist
+    with the bf16 params, so backends must add this to their HBM budget
+    when ``decoder_int8`` is enabled (~0.8 GB for large-v3)."""
+    d = dims.n_text_state
+    vocab_pad = -(-dims.n_vocab // 128) * 128
+    # per layer: attn q/k/v/o (4·d²) + cross q/o (2·d²) + mlp up/down (8·d²)
+    w = dims.n_text_layer * 14 * d * d + d * vocab_pad
+    scales = dims.n_text_layer * (6 * d + 2 * 4 * d) + vocab_pad
+    return w + 4 * scales
+
+
 def decoder_step(
     params: Params,
     dims: WhisperDims,
@@ -614,7 +627,27 @@ def greedy_decode(
     sk = jnp.zeros((L, B, H, cache_len, head_dim), dtype)
     sv = jnp.zeros((L, B, H, cache_len, head_dim), dtype)
 
-    if cross_kv_quantize:
+    if cross_kv_quantize and P > 16:
+        # GUARD (latent compile blowup): the unrolled priming below emits
+        # P × n_text_layer fully-unrolled decoder steps — fine for the
+        # 4-token SOT prompt, but a faster-whisper-style 224-token
+        # condition-on-previous-text prompt would be a ~7000-block program
+        # whose compile hangs the minutes-per-program remote relay. Long
+        # prompts prime teacher-forced through decoder_forward's layer
+        # scan on the STACKED quantized KV instead, then split. Caveat:
+        # stacked + split copies briefly coexist (the short-prompt path
+        # avoids that; at window batch 16 on large-v3 the coexistence once
+        # OOM'd a 16 GB chip — long-prompt callers should shrink batch).
+        logits, (sk, sv), _ = decoder_forward(
+            params, dims, prompt, cross_kv, pos_offset=0,
+            self_cache=(sk, sv), dtype=dtype,
+        )
+        cross_kv = jax.lax.optimization_barrier(tuple(
+            [part[layer] for layer in range(L)] for part in cross_kv
+        ))
+        step0 = jax.nn.log_softmax(
+            logits[:, -1, :].astype(jnp.float32), axis=-1)
+    elif cross_kv_quantize:
         # HOIST the per-layer split out of the decode loop AND pin it with
         # an optimization barrier: the Pallas kernel needs materialized
         # operands, XLA's cost model treats a slice-of-array as free and

@@ -84,10 +84,22 @@ class JaxTTS(BaseTTS):
         self._dims = None
         self._programs: dict[int, object] = {}
         self._loaded = False
+        # serializes load/unload/program-build: concurrent API requests
+        # through the query pipeline must not double-load params or
+        # double-compile bucket programs (each compile costs minutes via
+        # the remote-compile relay), and unload() concurrent with
+        # synthesize must not null _params mid-call
+        import threading
+
+        self._lock = threading.RLock()
 
     # -- lifecycle ----------------------------------------------------------
 
     def load(self) -> None:
+        with self._lock:
+            self._load_locked()
+
+    def _load_locked(self) -> None:
         if self._loaded:
             return
         import jax
@@ -110,9 +122,10 @@ class JaxTTS(BaseTTS):
         self._loaded = True
 
     def unload(self) -> None:
-        self._params = None
-        self._programs.clear()
-        self._loaded = False
+        with self._lock:
+            self._params = None
+            self._programs.clear()
+            self._loaded = False
 
     @property
     def is_loaded(self) -> bool:
@@ -129,6 +142,10 @@ class JaxTTS(BaseTTS):
         environment's remote-compile relay — so each bucket compiles
         exactly once, ever.
         """
+        with self._lock:
+            return self._program_locked(bucket)
+
+    def _program_locked(self, bucket: int):
         if bucket in self._programs:
             return self._programs[bucket]
         import dataclasses
@@ -163,6 +180,10 @@ class JaxTTS(BaseTTS):
         import jax
         import jax.numpy as jnp
 
+        with self._lock:
+            self._load_locked()  # lazy load is race-safe under the lock
+            params = self._params  # local ref survives a concurrent unload
+
         from audio_rag_tpu.models.tts import HOP_LENGTH, PAD_ID, text_to_ids
 
         segments = _split_segments(text, _BUCKETS[-1])
@@ -183,7 +204,7 @@ class JaxTTS(BaseTTS):
             # ONE device interaction for both outputs (the relay charges
             # a flat ~28 ms per host<->device transfer)
             audio, n_frames = jax.device_get(
-                run(self._params, jnp.asarray(toks)))
+                run(params, jnp.asarray(toks)))
             for row in range(len(chunk)):
                 n = int(n_frames[row]) * HOP_LENGTH
                 pieces.append(audio[row, :n])
