@@ -109,12 +109,6 @@ class WhisperJaxASR(BaseASR):
             # fp32 residency doubled those bytes (measured 1.7× RTF)
             params = bf16_storage(params)
         self._params = engine.put_params("whisper", params)
-        if self.config.cross_kv_int8 and self.config.decode == "beam":
-            log.warning(
-                "cross_kv_int8 has no effect with decode='beam' (the "
-                "B·beam-row int8 cross KV exceeds single-chip HBM); "
-                "beam still honors decoder_int8"
-            )
         self._params_q8 = None
         if self.config.decoder_int8:
             from audio_rag_tpu.models.whisper import quantize_decoder_weights
@@ -184,14 +178,14 @@ class WhisperJaxASR(BaseASR):
                 # timestamps don't pay a second full encoder pass
                 enc = encode(params, self.dims, mel, dtype=self.dtype)
                 if strategy == "beam" and temperature <= 0.0:
-                    # beam honors decoder_int8 (weights) but NOT
-                    # cross_kv_int8: at B·K rows the split int8 cross KV
-                    # would not fit HBM alongside the stacked form; the
-                    # load path warns when the combination is configured
+                    # beam honors both int8 paths: the cross KV is stored
+                    # per GROUP (B rows, beams ride the dot's M dim), so
+                    # int8 cross KV costs the same HBM as greedy's
                     toks = beam_decode(
                         params, self.dims, enc, prompt, max_new,
                         self.tokens.eot, beam_size=beam, dtype=self.dtype,
                         decoder_q8=q8,
+                        cross_kv_quantize=self.config.cross_kv_int8,
                     )
                     B = toks.shape[0]
                     return (toks, jnp.zeros((B,), jnp.float32),

@@ -400,7 +400,10 @@ def _cross_with_kv(
             return linear(p["cross"]["o"], o, dtype)
         return linear_q8(p["cross"]["o"], q8["cross_o"], o, dtype)
 
-    if quantized and T == 1 and not return_weights:
+    if quantized and T <= 8 and not return_weights:
+        # T==1 is the greedy decode loop; 1<T<=8 is beam search, where the
+        # K beams of a row ride the kernel's M dimension (shared K/V read
+        # once per row). Larger T (teacher-forced) takes the einsum path.
         from audio_rag_tpu.ops.pallas_kernels import (
             decode_cross_attention_q8,
             on_tpu,
@@ -497,8 +500,17 @@ def decoder_step(
     self_cache: tuple[jax.Array, jax.Array],  # (L, B, H, C, hd) ×2
     dtype: jnp.dtype = jnp.bfloat16,
     q8: Params | None = None,  # quantize_decoder_weights output
+    beams: int = 1,  # >1: rows are beam groups sharing cross KV per group
 ) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
     """One incremental decode step with the layer loop UNROLLED.
+
+    ``beams=K``: ``tok``/``self_cache`` carry B·K rows while ``cross_kv``
+    carries only B — the K beams of a group attend to the SAME encoder
+    states, so the cross K/V (the decode loop's dominant HBM term) is
+    stored and re-read once per group instead of once per beam. The K
+    beam queries become the M dimension of the cross-attention dot
+    (cross attention has no causal mask, so M independent queries are
+    exactly M beams).
 
     Inside a ``while_loop``, a ``lax.scan`` over layers was measured at
     ~2× the unrolled cost (6.1 vs 3.2 ms/step for the bare cross-attention
@@ -560,12 +572,24 @@ def decoder_step(
                        preferred_element_type=jnp.float32).astype(dtype)
         o = o.transpose(0, 2, 1, 3).reshape(B, 1, dims.n_text_state)
         x = x + lin(p["attn"]["o"], "attn_o", o)
-        x = x + _cross_with_kv(
-            p, x, ck[layer], cv[layer], H, dtype, False,
-            None if ks is None else ks[layer],
-            None if vs is None else vs[layer],
-            q8=p8,
-        )
+        if beams > 1:
+            # fold the beam dim into the query T axis: (B·K, 1, d) →
+            # (B, K, d) against the group's single cross KV row
+            xc = x.reshape(B // beams, beams, dims.n_text_state)
+            h = _cross_with_kv(
+                p, xc, ck[layer], cv[layer], H, dtype, False,
+                None if ks is None else ks[layer],
+                None if vs is None else vs[layer],
+                q8=p8,
+            )
+            x = x + h.reshape(B, 1, dims.n_text_state)
+        else:
+            x = x + _cross_with_kv(
+                p, x, ck[layer], cv[layer], H, dtype, False,
+                None if ks is None else ks[layer],
+                None if vs is None else vs[layer],
+                q8=p8,
+            )
         if p8 is None:
             x = x + mlp(p["mlp"], layer_norm(p["ln_mlp"], x), dtype)
         else:
@@ -799,15 +823,27 @@ def beam_decode(
     length_penalty: float = 1.0,
     dtype: jnp.dtype = jnp.bfloat16,
     decoder_q8: Params | None = None,  # quantize_decoder_weights output
+    cross_kv_quantize: bool = False,
 ) -> jax.Array:
     """Beam search (faster-whisper's default strategy, beam_size=5).
 
     Hypotheses live as an extra batch dimension (B·K sequences decode as
-    one batched program); caches reorder by gather each step; the inner
-    step is the same UNROLLED :func:`decoder_step` as greedy decode (the
-    scan-over-layers form measured ~2× slower in a decode loop), with
-    optional int8 weight matmuls. Returns the best hypothesis per batch
-    item, (B, P+max_new), EOT-padded.
+    one batched program); self caches reorder by gather each step; the
+    inner step is the same UNROLLED :func:`decoder_step` as greedy decode
+    (the scan-over-layers form measured ~2× slower in a decode loop),
+    with optional int8 weight matmuls and int8 cross KV.
+
+    TPU-first memory/bandwidth design: the cross K/V is computed and
+    stored for B rows, NOT B·K — all beams of a group attend to the same
+    encoder states, so the K queries ride the M dimension of the
+    cross-attention dot (``decoder_step(beams=K)``). This keeps the
+    decode loop's dominant HBM term (re-reading cross KV every step) at
+    GREEDY's cost, makes ``cross_kv_quantize`` fit single-chip HBM at
+    window batch 16 × beam 5 (the old K-times-repeated layout did not),
+    and prompt priming runs once per group instead of once per beam.
+    The loop is a ``while_loop`` with an all-finished early exit, like
+    greedy. Returns the best hypothesis per batch item, (B, P+max_new),
+    EOT-padded.
     """
     B, P = prompt.shape
     K = beam_size
@@ -815,37 +851,68 @@ def beam_decode(
     hd = dims.n_text_state // H
     total = P + max_new_tokens
     cache_len = min(dims.n_text_ctx, total)
-
-    # expand encoder state to B*K
-    enc_k = jnp.repeat(enc, K, axis=0)
-    cross_kv = precompute_cross_kv(params, dims, enc_k, dtype)
-
-    prompt_k = jnp.repeat(prompt, K, axis=0)  # (B*K, P)
-    sk = jnp.zeros((L, B * K, H, cache_len, hd), dtype)
-    sv = jnp.zeros_like(sk)
-    logits, (sk, sv), _ = decoder_forward(
-        params, dims, prompt_k, cross_kv, 0, (sk, sv), dtype
-    )
-    logp0 = jax.nn.log_softmax(logits[:, -1, :], axis=-1)  # (B*K, V)
     V = dims.n_vocab
 
-    # initialize: take top-K distinct first tokens from beam 0 of each item
-    first = logp0.reshape(B, K, V)[:, 0, :]
-    top_lp, top_tok = jax.lax.top_k(first, K)  # (B, K)
+    # cross KV over B rows only — beams share their group's KV
+    cross_kv = precompute_cross_kv(params, dims, enc, dtype,
+                                   quantize=cross_kv_quantize)
+
+    # prime the self cache over B rows (the prompt is identical across
+    # beams), then replicate it K× — priming compute is 1/K of the old
+    # B·K-row teacher-forced pass
+    sk = jnp.zeros((L, B, H, cache_len, hd), dtype)
+    sv = jnp.zeros_like(sk)
+    if cross_kv_quantize and P <= 16:
+        # same split+barrier as greedy_decode: per-layer int8 buffers the
+        # Pallas kernel can consume without Mosaic re-materialization;
+        # unrolled priming keeps the stacked form from coexisting with
+        # its split copies
+        cross_kv = jax.lax.optimization_barrier(tuple(
+            [part[layer] for layer in range(L)] for part in cross_kv
+        ))
+        logits = None
+        for t in range(P):
+            logits, (sk, sv) = decoder_step(
+                params, dims, prompt[:, t:t + 1], cross_kv, t, (sk, sv),
+                dtype=dtype, q8=decoder_q8,
+            )
+        logp0 = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    else:
+        logits, (sk, sv), _ = decoder_forward(
+            params, dims, prompt, cross_kv, 0, (sk, sv), dtype
+        )
+        logp0 = jax.nn.log_softmax(
+            logits[:, -1, :].astype(jnp.float32), axis=-1)
+        if cross_kv_quantize:
+            # long-prompt guard path (see greedy_decode): split after the
+            # teacher-forced priming; stacked + split briefly coexist
+            cross_kv = jax.lax.optimization_barrier(tuple(
+                [part[layer] for layer in range(L)] for part in cross_kv
+            ))
+
+    # initialize: top-K distinct first tokens per batch item
+    top_lp, top_tok = jax.lax.top_k(logp0, K)  # (B, K)
     tokens = jnp.full((B, K, total), eot, jnp.int32)
     tokens = tokens.at[:, :, :P].set(prompt[:, None, :])
     tokens = tokens.at[:, :, P].set(top_tok)
     sum_lp = top_lp  # (B, K)
     finished = top_tok == eot
 
-    def body(i, state):
-        tokens, sum_lp, finished, sk, sv = state
+    sk = jnp.repeat(sk, K, axis=1)  # (L, B*K, H, C, hd)
+    sv = jnp.repeat(sv, K, axis=1)
+
+    def cond(state):
+        i, _, _, finished, _, _ = state
+        return (i < total - 1) & ~jnp.all(finished)
+
+    def body(state):
+        i, tokens, sum_lp, finished, sk, sv = state
         cur = jax.lax.dynamic_slice(
             tokens.reshape(B * K, total), (0, i), (B * K, 1)
         )
         logits, (sk_n, sv_n) = decoder_step(
             params, dims, cur, cross_kv, i, (sk, sv), dtype=dtype,
-            q8=decoder_q8,
+            q8=decoder_q8, beams=K,
         )
         logp = jax.nn.log_softmax(logits, axis=-1).reshape(B, K, V)
         # finished beams may only extend with EOT at no cost
@@ -866,11 +933,11 @@ def beam_decode(
         sv = sv_n[:, gather]
         finished = finished.reshape(B * K)[gather].reshape(B, K)
         finished = finished | (new_tok == eot)
-        return tokens, new_lp, finished, sk, sv
+        return i + 1, tokens, new_lp, finished, sk, sv
 
-    tokens, sum_lp, finished, _, _ = jax.lax.fori_loop(
-        jnp.int32(P), jnp.int32(total - 1), body,
-        (tokens, sum_lp, finished, sk, sv),
+    _, tokens, sum_lp, finished, _, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(P), tokens, sum_lp, finished, sk, sv),
     )
 
     # pick best by length-normalized logprob

@@ -28,8 +28,11 @@ __all__ = [
 
 
 def _decode_cross_kernel(q_ref, k_ref, v_ref, o_ref, *, n_heads: int):
-    """All-heads single-query cross-attention against int8 K/V, dequant in
-    VMEM, one grid step per BATCH row.
+    """All-heads M-query cross-attention against int8 K/V, dequant in
+    VMEM, one grid step per BATCH row. M=1 is the greedy decode loop; M=K
+    is beam search, where all K beams of a batch row attend to the SAME
+    cross K/V — carrying beams as the dot's M dimension means the int8
+    K/V is read once per row per step instead of once per beam.
 
     Design lineage (all measured on a v5e at large-v3 decode shapes
     B=16, H=20, hd=64, Ta=1536, per layer-step, vs the bf16 einsum path
@@ -52,18 +55,18 @@ def _decode_cross_kernel(q_ref, k_ref, v_ref, o_ref, *, n_heads: int):
     into q and the V-side scales applied to the output by the caller, so
     the kernel takes no scalar operands.
 
-    q_ref (hd, 128) f32 with head h in lane h; k_ref/v_ref (H, hd, Ta)
-    int8; o_ref (hd, 128) f32.
+    q_ref (M, hd, 128) f32 with head h in lane h; k_ref/v_ref (H, hd, Ta)
+    int8; o_ref (M, hd, 128) f32.
     """
     H = n_heads
-    q = q_ref[:]  # (hd, 128) f32, scales folded in
-    qt = q[:, :H].T[:, None, :]  # (H, 1, hd)
+    q = q_ref[:]  # (M, hd, 128) f32, scales folded in
+    qt = q[:, :, :H].transpose(2, 0, 1)  # (H, M, hd)
 
     kf = k_ref[:].astype(jnp.float32)  # (H, hd, Ta)
     s = jax.lax.dot_general(
         qt, kf, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )  # (H, 1, Ta)
+    )  # (H, M, Ta)
     s = s - jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s)
     p = p / jnp.sum(p, axis=-1, keepdims=True)
@@ -72,49 +75,52 @@ def _decode_cross_kernel(q_ref, k_ref, v_ref, o_ref, *, n_heads: int):
     o = jax.lax.dot_general(
         p, vf, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )  # (H, 1, hd)
-    o_ref[:] = jnp.pad(o[:, 0, :].T, ((0, 0), (0, o_ref.shape[1] - H)))
+    )  # (H, M, hd)
+    o_ref[:] = jnp.pad(o.transpose(1, 2, 0),
+                       ((0, 0), (0, 0), (0, o_ref.shape[2] - H)))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def decode_cross_attention_q8(
-    q: jax.Array,   # (B, H, 1, hd) — the decode step's single query
+    q: jax.Array,   # (B, H, M, hd) — M decode queries (1 greedy, K beams)
     k8: jax.Array,  # (B, H, hd, Ta) int8
     v8: jax.Array,  # (B, H, hd, Ta) int8
     ks: jax.Array,  # (B, H, 1, 1) f32
     vs: jax.Array,  # (B, H, 1, 1) f32
     interpret: bool = False,
 ) -> jax.Array:
-    """softmax(q.K/sqrt(hd)).V over int8 K/V; returns (B, H, 1, hd) f32.
+    """softmax(q.K/sqrt(hd)).V over int8 K/V; returns (B, H, M, hd) f32.
 
     The whisper decode loop's dominant HBM term is re-reading the full
     cross K/V every generated token. int8 halves those bytes and this
     kernel dequantizes in VMEM (XLA's own int8 lowering materializes
     dequantized copies and measured 4.7x SLOWER than bf16); measured 2.7x
     faster than the bf16 einsum per layer-step — see the kernel docstring
-    for the design lineage.
+    for the design lineage. M>1 serves beam search: the K beams of a
+    batch row share its K/V, so the int8 bytes are read once per row.
     """
-    B, H, _, hd = q.shape
+    B, H, M, hd = q.shape
     Ta = k8.shape[-1]
     scale = hd ** -0.5
     lanes = -(-H // 128) * 128  # lane tile: round H UP to a multiple of 128
     # fold the K-side scales and 1/sqrt(hd) into q; pad/transpose to the
-    # tile-aligned (B, hd, lanes) carry layout (head h lives in lane h)
-    qf = (q.astype(jnp.float32) * (scale * ks))[:, :, 0, :]  # (B, H, hd)
-    qf = jnp.pad(qf.transpose(0, 2, 1), ((0, 0), (0, 0), (0, lanes - H)))
+    # tile-aligned (B, M, hd, lanes) carry layout (head h lives in lane h)
+    qf = (q.astype(jnp.float32) * (scale * ks))  # (B, H, M, hd)
+    qf = jnp.pad(qf.transpose(0, 2, 3, 1),
+                 ((0, 0), (0, 0), (0, 0), (0, lanes - H)))
     out = pl.pallas_call(
         functools.partial(_decode_cross_kernel, n_heads=H),
-        out_shape=jax.ShapeDtypeStruct((B, hd, lanes), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, M, hd, lanes), jnp.float32),
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((None, hd, lanes), lambda b: (b, 0, 0)),
+            pl.BlockSpec((None, M, hd, lanes), lambda b: (b, 0, 0, 0)),
             pl.BlockSpec((None, H, hd, Ta), lambda b: (b, 0, 0, 0)),
             pl.BlockSpec((None, H, hd, Ta), lambda b: (b, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((None, hd, lanes), lambda b: (b, 0, 0)),
+        out_specs=pl.BlockSpec((None, M, hd, lanes), lambda b: (b, 0, 0, 0)),
         interpret=interpret,
     )(qf, k8, v8)
-    o = out[:, :, :H].transpose(0, 2, 1)[:, :, None, :]  # (B, H, 1, hd)
+    o = out[:, :, :, :H].transpose(0, 3, 1, 2)  # (B, H, M, hd)
     return o * vs
 
 

@@ -30,6 +30,10 @@ AUDIO_MINUTES = float(os.environ.get("BENCH_AUDIO_MINUTES", 8.0))
 WINDOW_BATCH = int(os.environ.get("BENCH_WINDOW_BATCH", 16))
 CROSS_KV_INT8 = os.environ.get("BENCH_CROSS_KV_INT8", "0") == "1"
 DECODER_INT8 = os.environ.get("BENCH_DECODER_INT8", "0") == "1"
+#: "greedy" (default) or "beam" — beam is faster-whisper's default
+#: strategy; the shared-cross-KV beam path should stay ≤1.6x greedy cost
+DECODE = os.environ.get("BENCH_DECODE", "greedy")
+BEAM_SIZE = int(os.environ.get("BENCH_BEAM_SIZE", 5))
 
 
 def log(msg: str) -> None:
@@ -52,6 +56,7 @@ def main() -> None:
         window_batch_size=WINDOW_BATCH,
         cross_kv_int8=CROSS_KV_INT8,
         decoder_int8=DECODER_INT8,
+        decode=DECODE, beam_size=BEAM_SIZE,
         # random-init logprobs (~ -10.8) trip the avg-logprob quality gate
         # that trained weights pass, so the temperature-fallback ladder
         # reran the FULL decode 6x and inflated RTF ~6x vs what trained
@@ -91,6 +96,8 @@ def main() -> None:
             "baseline_rtf": BASELINE_RTF,
             "audio_minutes": AUDIO_MINUTES,
             "window_batch": WINDOW_BATCH,
+            "decode": DECODE,
+            "beam_size": BEAM_SIZE if DECODE == "beam" else None,
             "note": "random-init large-v3 (same FLOPs); full 224-token "
                     "decode per window (no early EOT) — worst case",
         },

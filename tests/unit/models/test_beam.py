@@ -53,6 +53,33 @@ class TestBeamDecode:
                                      dtype=jnp.float32)
         np.testing.assert_array_equal(np.asarray(beam), np.asarray(greedy))
 
+    def test_beam_int8_cross_kv_matches_bf16(self, setup):
+        """cross_kv_quantize beam must pick the same tokens as the float
+        path at test dims (int8 logit error ≪ token decision margins)."""
+        params, enc, prompt = setup
+        ref = beam_decode(params, DIMS, enc, prompt, 6, ST.eot,
+                          beam_size=3, dtype=jnp.float32)
+        got = beam_decode(params, DIMS, enc, prompt, 6, ST.eot,
+                          beam_size=3, dtype=jnp.float32,
+                          cross_kv_quantize=True)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+    def test_beam_int8_weights_runs(self, setup):
+        """decoder_q8 beam path (int8 weight matmuls) stays numerically
+        close: token agreement on the winner hypothesis."""
+        from audio_rag_tpu.models.whisper import quantize_decoder_weights
+
+        params, enc, prompt = setup
+        q8 = quantize_decoder_weights(params, DIMS)
+        ref = beam_decode(params, DIMS, enc, prompt, 5, ST.eot,
+                          beam_size=2, dtype=jnp.float32)
+        got = beam_decode(params, DIMS, enc, prompt, 5, ST.eot,
+                          beam_size=2, dtype=jnp.float32, decoder_q8=q8)
+        assert got.shape == ref.shape
+        # int8 weights perturb logits slightly; demand ≥60% token overlap
+        agree = (np.asarray(ref) == np.asarray(got)).mean()
+        assert agree >= 0.6
+
     def test_beam_sequence_logprob_not_worse_than_greedy(self, setup):
         """The beam winner's total logprob must be >= greedy's (that's the
         point of beam search)."""

@@ -42,6 +42,25 @@ def test_kernel_matches_reference(B, H, hd, Ta):
     np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("M", [2, 5])
+def test_kernel_multi_query_beams(M):
+    """M>1 queries per row (beam search: K beams share their group's
+    K/V and ride the dot's M dimension) must match the einsum per query."""
+    rng = np.random.default_rng(2)
+    B, H, hd, Ta = 2, 4, 64, 128
+    q = rng.standard_normal((B, H, M, hd)).astype(np.float32)
+    k8 = rng.integers(-127, 128, (B, H, hd, Ta)).astype(np.int8)
+    v8 = rng.integers(-127, 128, (B, H, hd, Ta)).astype(np.int8)
+    ks = rng.uniform(0.005, 0.02, (B, H, 1, 1)).astype(np.float32)
+    vs = rng.uniform(0.005, 0.02, (B, H, 1, 1)).astype(np.float32)
+    got = np.asarray(decode_cross_attention_q8(
+        jnp.asarray(q), jnp.asarray(k8), jnp.asarray(v8),
+        jnp.asarray(ks), jnp.asarray(vs), interpret=True,
+    ))
+    ref = _reference(q, k8, v8, ks, vs)
+    np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
+
+
 def test_kernel_head_lane_roundtrip_nonsquare():
     """B≠H and H<128 exercise the padded (hd, 128) head-lane carry —
     every head must land back in its own output row."""
