@@ -190,6 +190,23 @@ class WhisperJaxASR(BaseASR):
                     B = toks.shape[0]
                     return (toks, jnp.zeros((B,), jnp.float32),
                             jnp.zeros((B,), jnp.float32), enc)
+                if self.config.speculative_k > 0 and temperature <= 0.0:
+                    # n-gram-drafted block verification: exactly greedy's
+                    # output, ≥1 token per weight/cross-KV read
+                    from audio_rag_tpu.models.whisper import (
+                        speculative_greedy_decode,
+                    )
+
+                    toks, lp, nsp = speculative_greedy_decode(
+                        params, self.dims, enc, prompt, max_new,
+                        self.tokens.eot,
+                        spec_k=self.config.speculative_k,
+                        dtype=self.dtype,
+                        no_speech_id=self.tokens.no_speech,
+                        cross_kv_quantize=self.config.cross_kv_int8,
+                        decoder_q8=q8,
+                    )
+                    return toks, lp, nsp, enc
                 toks, lp, nsp = greedy_decode(
                     params, self.dims, enc, prompt, max_new,
                     self.tokens.eot, dtype=self.dtype,
@@ -212,7 +229,7 @@ class WhisperJaxASR(BaseASR):
         return engine.program(
             ("whisper", "transcribe", strategy, batch, temperature,
              max_new, self.config.cross_kv_int8,
-             self.config.decoder_int8), build
+             self.config.decoder_int8, self.config.speculative_k), build
         )
 
     def _place_batch(self, mel_batch: np.ndarray, prompt: np.ndarray):

@@ -50,6 +50,14 @@ class ASRConfig(BaseModel):
     #: decode strategy for the autoregressive loop
     decode: Literal["greedy", "beam"] = "greedy"
     beam_size: int = Field(default=5, ge=1, le=16)
+    #: speculative multi-token greedy decode: verify blocks of this many
+    #: tokens per device step against the zero-cost n-gram drafter
+    #: (prompt-lookup). 0 disables. Output is EXACTLY greedy's (greedy
+    #: verification), but each accepted run reads the decoder weights and
+    #: cross KV — the memory-bound decode loop's dominant HBM terms —
+    #: once instead of once per token. Applies to greedy at temperature
+    #: 0; the temperature-fallback ladder and beam take their own paths.
+    speculative_k: int = Field(default=0, ge=0, le=8)
     #: faster-whisper quality gates: retry low-confidence windows at higher
     #: temperatures; drop windows Whisper itself flags as non-speech
     temperature_fallback: bool = True

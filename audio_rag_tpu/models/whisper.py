@@ -610,6 +610,283 @@ def decoder_step(
     return logits, (sk, sv)
 
 
+def ngram_draft(
+    tokens: jax.Array,  # (B, total) int32, valid through n_tok per row
+    n_tok: jax.Array,   # (B,) int32 — index of each row's last valid token
+    draft_len: int,
+) -> jax.Array:
+    """Prompt-lookup drafting: propose ``draft_len`` continuation tokens by
+    copying what followed the most recent earlier occurrence of the row's
+    final 2-gram (the vLLM/"prompt lookup decoding" n-gram drafter —
+    public technique, no draft model). Wrong drafts cost nothing but their
+    slot in the verify block; the verifier guarantees exact greedy output.
+    Rows with no match repeat their last token (period-1 loops are the
+    most common repetition mode). All ops are vectorized (B, total)
+    comparisons — VPU noise next to a decoder step.
+    """
+    B, total = tokens.shape
+    b_idx = jnp.arange(B)
+    g1 = tokens[b_idx, n_tok]                      # last token
+    g0 = tokens[b_idx, jnp.maximum(n_tok - 1, 0)]  # one before
+    idx = jnp.arange(total - 1)
+    # match positions s: (tokens[s], tokens[s+1]) == (g0, g1), s+1 < n_tok
+    m = (
+        (tokens[:, :-1] == g0[:, None])
+        & (tokens[:, 1:] == g1[:, None])
+        & (idx[None, :] + 1 < n_tok[:, None])
+    )
+    s = jnp.max(jnp.where(m, idx[None, :], -1), axis=1)  # (B,) latest match
+    src = jnp.clip(s[:, None] + 2 + jnp.arange(draft_len)[None, :],
+                   0, total - 1)
+    drafts = jnp.take_along_axis(tokens, src, axis=1)  # (B, draft_len)
+    return jnp.where(s[:, None] >= 0, drafts, g1[:, None])
+
+
+def decoder_block_verify(
+    params: Params,
+    dims: WhisperDims,
+    block: jax.Array,  # (B, k) int32 — [cur, draft_1..draft_{k-1}]
+    cross_kv,
+    pos: jax.Array,  # (B,) int32 — per-row KV write index of block[:, 0]
+    self_cache: tuple[jax.Array, jax.Array],  # (L, B, H, C, hd) ×2
+    dtype: jnp.dtype = jnp.bfloat16,
+    q8: Params | None = None,
+) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
+    """Teacher-forced k-token step with PER-ROW positions — the verify
+    pass of speculative decoding.
+
+    One invocation consumes a k-token block per row: the decoder weights
+    and (crucially) the cross K/V — the decode loop's dominant HBM term —
+    are read ONCE for k tokens instead of once per token. The k queries
+    ride the cross-attention dot's M dimension (same mechanism as beam
+    search; the int8 Pallas kernel takes M≤8 directly). Per-row positions
+    let each batch row advance by its own acceptance count. Layer loop
+    UNROLLED like :func:`decoder_step` (a scan measured ~2× slower in
+    decode loops). Returns (logits (B, k, vocab) fp32, updated cache).
+    """
+    dec = params["decoder"]
+    quantized = len(cross_kv) == 4
+    if quantized:
+        ck, cv, ks, vs = cross_kv
+    else:
+        ck, cv = cross_kv
+        ks = vs = None
+    sk, sv = self_cache
+    B, k = block.shape
+    H = dims.n_text_head
+    hd = dims.n_text_state // H
+    C = sk.shape[3]
+    b_idx = jnp.arange(B)
+    h_idx = jnp.arange(H)
+
+    x = dec["tok_emb"]["table"].astype(dtype)[block]  # (B, k, d)
+    pe_idx = jnp.clip(pos[:, None] + jnp.arange(k)[None, :],
+                      0, dims.n_text_ctx - 1)
+    x = x + dec["pos_emb"][pe_idx].astype(dtype)
+    # query j (at stream position pos+j) may attend cache slots c ≤ pos+j
+    cpos = jnp.clip(pos[:, None] + jnp.arange(k)[None, :], 0, C - 1)  # (B,k)
+    mask = (jnp.arange(C)[None, None, None, :]
+            <= cpos[:, None, :, None])  # (B, 1, k, C)
+    scale = hd ** -0.5
+
+    for layer in range(dims.n_text_layer):
+        p = jax.tree.map(lambda a: a[layer], dec["blocks"])
+        p8 = None if q8 is None else q8["blocks"][layer]
+
+        def lin(pp, key8, xx):
+            if p8 is None:
+                return linear(pp, xx, dtype)
+            return linear_q8(pp, p8[key8], xx, dtype)
+
+        xn = layer_norm(p["ln1"], x)
+        q = lin(p["attn"]["q"], "attn_q", xn).reshape(
+            B, k, H, hd).transpose(0, 2, 1, 3)
+        kk = lin(p["attn"]["k"], "attn_k", xn).reshape(
+            B, k, H, hd).transpose(0, 2, 1, 3)
+        vv = lin(p["attn"]["v"], "attn_v", xn).reshape(
+            B, k, H, hd).transpose(0, 2, 1, 3)
+        # per-row scatter: row b writes its k fresh K/V at pos_b..pos_b+k-1
+        sk = sk.at[layer, b_idx[:, None, None], h_idx[None, :, None],
+                   cpos[:, None, :], :].set(
+            kk.astype(sk.dtype))
+        sv = sv.at[layer, b_idx[:, None, None], h_idx[None, :, None],
+                   cpos[:, None, :], :].set(
+            vv.astype(sv.dtype))
+        s = jnp.einsum("bhqd,bhkd->bhqk", q * scale, sk[layer],
+                       preferred_element_type=jnp.float32)
+        s = jnp.where(mask, s, -1e30)
+        probs = jax.nn.softmax(s, axis=-1).astype(dtype)
+        o = jnp.einsum("bhqk,bhkd->bhqd", probs, sv[layer],
+                       preferred_element_type=jnp.float32).astype(dtype)
+        o = o.transpose(0, 2, 1, 3).reshape(B, k, dims.n_text_state)
+        x = x + lin(p["attn"]["o"], "attn_o", o)
+        x = x + _cross_with_kv(
+            p, x, ck[layer], cv[layer], H, dtype, False,
+            None if ks is None else ks[layer],
+            None if vs is None else vs[layer],
+            q8=p8,
+        )
+        if p8 is None:
+            x = x + mlp(p["mlp"], layer_norm(p["ln_mlp"], x), dtype)
+        else:
+            h = jax.nn.gelu(
+                lin(p["mlp"]["up"], "mlp_up", layer_norm(p["ln_mlp"], x)),
+                approximate=False)
+            x = x + lin(p["mlp"]["down"], "mlp_down", h)
+
+    x = layer_norm(dec["ln"], x)
+    if q8 is None:
+        logits = jnp.dot(
+            x, dec["tok_emb"]["table"].astype(dtype).T,
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        logits = linear_q8({}, q8["logits"], x,
+                           dtype=jnp.float32)[..., :dims.n_vocab]
+    return logits, (sk, sv)
+
+
+def speculative_greedy_decode(
+    params: Params,
+    dims: WhisperDims,
+    enc: jax.Array,  # (B, Ta, d)
+    prompt: jax.Array,  # (B, P) int32 SOT sequence
+    max_new_tokens: int,
+    eot: int,
+    spec_k: int = 8,
+    dtype: jnp.dtype = jnp.bfloat16,
+    no_speech_id: int | None = None,
+    cross_kv_quantize: bool = False,
+    decoder_q8: Params | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Greedy decode with speculative multi-token steps — output is
+    EXACTLY :func:`greedy_decode`'s (greedy verification accepts a draft
+    token only when it equals the model's own argmax, and the bonus token
+    IS the model's argmax).
+
+    Decode is memory-bound at one token per step (BENCH_r02: 8% MFU,
+    dominated by re-reading the cross KV and weights every token). Each
+    iteration here drafts ``spec_k-1`` tokens with the zero-cost n-gram
+    drafter (:func:`ngram_draft`), then verifies the whole block in ONE
+    :func:`decoder_block_verify` pass: per accepted run of a+1 tokens the
+    weights/cross-KV are read once instead of a+1 times. Worst case
+    (nothing ever accepted) degrades to ≈1 read per token — the status
+    quo. Rows advance independently (per-row positions), so one
+    hard-to-draft window doesn't stall the batch.
+
+    Returns (tokens (B, P+max_new), avg_logprob (B,), no_speech_prob (B,))
+    with positions past EOT filled with ``eot`` — same contract as
+    :func:`greedy_decode`.
+    """
+    B, P = prompt.shape
+    L = dims.n_text_layer
+    H = dims.n_text_head
+    head_dim = dims.n_text_state // H
+    k = spec_k
+    total = P + max_new_tokens
+    # cache headroom: a block write may extend k-1 slots past a row's
+    # last real position
+    cache_len = min(dims.n_text_ctx, total) + k
+
+    cross_kv = precompute_cross_kv(params, dims, enc, dtype,
+                                   quantize=cross_kv_quantize)
+    sk = jnp.zeros((L, B, H, cache_len, head_dim), dtype)
+    sv = jnp.zeros_like(sk)
+
+    if cross_kv_quantize:
+        # same split+barrier as greedy_decode (see its comment): per-layer
+        # int8 buffers for the Pallas kernel, primed unrolled
+        cross_kv = jax.lax.optimization_barrier(tuple(
+            [part[layer] for layer in range(L)] for part in cross_kv
+        ))
+        logits = None
+        for t in range(P):
+            logits, (sk, sv) = decoder_step(
+                params, dims, prompt[:, t:t + 1], cross_kv, t, (sk, sv),
+                dtype=dtype, q8=decoder_q8,
+            )
+        step0 = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    else:
+        logits, (sk, sv), _ = decoder_forward(
+            params, dims, prompt, cross_kv, pos_offset=0,
+            self_cache=(sk, sv), dtype=dtype,
+        )
+        step0 = jax.nn.log_softmax(
+            logits[:, -1, :].astype(jnp.float32), axis=-1)
+    no_speech_prob = (
+        jnp.exp(step0[:, no_speech_id]) if no_speech_id is not None
+        else jnp.zeros((B,), jnp.float32)
+    )
+
+    first = jnp.argmax(step0, axis=-1).astype(jnp.int32)
+    first_lp = step0[jnp.arange(B), first]
+
+    tokens = jnp.full((B, total), eot, jnp.int32)
+    tokens = tokens.at[:, :P].set(prompt)
+    tokens = tokens.at[:, P].set(first)
+    finished = first == eot
+    sum_lp = first_lp
+    n_decoded = jnp.ones((B,), jnp.float32)
+    n_tok = jnp.full((B,), P, jnp.int32)  # index of last valid token
+    b_idx = jnp.arange(B)
+
+    def cond(state):
+        _, _, _, finished, _, _ = state
+        return ~jnp.all(finished)
+
+    def body(state):
+        tokens, n_tok, (sk, sv), finished, sum_lp, n_decoded = state
+        cur = tokens[b_idx, n_tok]  # (B,)
+        drafts = ngram_draft(tokens, n_tok, k - 1)  # (B, k-1)
+        block = jnp.concatenate([cur[:, None], drafts], axis=1)  # (B, k)
+        logits, (sk, sv) = decoder_block_verify(
+            params, dims, block, cross_kv, n_tok, (sk, sv),
+            dtype=dtype, q8=decoder_q8,
+        )
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        f = jnp.argmax(logp, axis=-1).astype(jnp.int32)  # (B, k)
+        f_lp = jnp.take_along_axis(logp, f[..., None], axis=-1)[..., 0]
+
+        # greedy acceptance: draft j+1 survives iff it equals the model's
+        # own argmax f_j given the prefix; emitted tokens are therefore
+        # f[:, 0..a] (accepted drafts ARE the argmaxes, plus the bonus)
+        match = block[:, 1:] == f[:, :-1]  # (B, k-1)
+        a = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
+        # stop at the first emitted EOT, and never write past total-1
+        eot_pos = jnp.argmax(f == eot, axis=1)
+        has_eot = jnp.any(f == eot, axis=1)
+        a = jnp.where(has_eot, jnp.minimum(a, eot_pos), a)
+        a = jnp.minimum(a, total - 2 - n_tok)  # emission bound
+
+        j_grid = jnp.arange(k)[None, :]
+        write = (j_grid <= a[:, None]) & ~finished[:, None]  # (B, k)
+        # UNCLIPPED destinations + mode="drop": clipping to total-1 would
+        # alias several j onto the last slot and the stale duplicate
+        # would win the scatter; out-of-range writes are masked off by
+        # the emission bound on ``a`` anyway
+        dst = n_tok[:, None] + 1 + j_grid
+        old = jnp.take_along_axis(
+            tokens, jnp.clip(dst, 0, total - 1), axis=1)
+        tokens = tokens.at[b_idx[:, None], dst].set(
+            jnp.where(write, f, old), mode="drop")
+
+        sum_lp = sum_lp + jnp.sum(jnp.where(write, f_lp, 0.0), axis=1)
+        n_decoded = n_decoded + jnp.sum(write.astype(jnp.float32), axis=1)
+        n_new = jnp.where(finished, 0, a + 1)
+        n_tok = n_tok + n_new
+        emitted_eot = jnp.any((f == eot) & write, axis=1)
+        finished = finished | emitted_eot | (n_tok >= total - 1)
+        return tokens, n_tok, (sk, sv), finished, sum_lp, n_decoded
+
+    tokens, n_tok, _, finished, sum_lp, n_decoded = jax.lax.while_loop(
+        cond, body, (tokens, n_tok, (sk, sv), finished, sum_lp, n_decoded),
+    )
+    # EOT-fill past each row's end (greedy_decode's contract): positions
+    # after the last emitted token already hold eot by initialization and
+    # the masked writes above, so nothing to clean up
+    return tokens, sum_lp / jnp.maximum(n_decoded, 1.0), no_speech_prob
+
+
 # -- greedy decode ---------------------------------------------------------
 
 def greedy_decode(

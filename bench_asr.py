@@ -34,6 +34,8 @@ DECODER_INT8 = os.environ.get("BENCH_DECODER_INT8", "0") == "1"
 #: strategy; the shared-cross-KV beam path should stay ≤1.6x greedy cost
 DECODE = os.environ.get("BENCH_DECODE", "greedy")
 BEAM_SIZE = int(os.environ.get("BENCH_BEAM_SIZE", 5))
+#: speculative block size (0 = off): n-gram-drafted multi-token greedy
+SPEC_K = int(os.environ.get("BENCH_SPEC_K", 0))
 
 
 def log(msg: str) -> None:
@@ -56,7 +58,7 @@ def main() -> None:
         window_batch_size=WINDOW_BATCH,
         cross_kv_int8=CROSS_KV_INT8,
         decoder_int8=DECODER_INT8,
-        decode=DECODE, beam_size=BEAM_SIZE,
+        decode=DECODE, beam_size=BEAM_SIZE, speculative_k=SPEC_K,
         # random-init logprobs (~ -10.8) trip the avg-logprob quality gate
         # that trained weights pass, so the temperature-fallback ladder
         # reran the FULL decode 6x and inflated RTF ~6x vs what trained
@@ -98,6 +100,7 @@ def main() -> None:
             "window_batch": WINDOW_BATCH,
             "decode": DECODE,
             "beam_size": BEAM_SIZE if DECODE == "beam" else None,
+            "speculative_k": SPEC_K,
             "note": "random-init large-v3 (same FLOPs); full 224-token "
                     "decode per window (no early EOT) — worst case",
         },
