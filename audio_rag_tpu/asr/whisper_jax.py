@@ -232,6 +232,33 @@ class WhisperJaxASR(BaseASR):
              self.config.decoder_int8, self.config.speculative_k), build
         )
 
+    def _mel_for_batch(self, win: np.ndarray, contiguous: bool) -> jax.Array:
+        """Window-batch log-mel → (B, n_mels, T).
+
+        When the mesh has >1 data device and the batch's windows are
+        time-contiguous, the whole span computes as ONE time-axis-sharded
+        program (``ops/mel.log_mel_sharded``: halo exchange + global
+        max−8 clamp) and is sliced into windows on device — the SURVEY
+        §2.4 long-audio path, with per-chip peak memory ∝ span/n_data.
+        It also matches upstream Whisper more closely than per-window
+        mel: openai/whisper computes one full-file mel and slices it, so
+        frames are continuous across window joins and the clamp is
+        global. Otherwise (single data device, VAD-gapped batches) the
+        batched per-window program runs, identical to before.
+        """
+        B, n = win.shape
+        T = n // HOP_LENGTH
+        mesh = getattr(self._engine, "mesh", None)
+        n_data = int(mesh.shape.get("data", 1)) if mesh is not None else 1
+        if (self.config.mel_sharded and contiguous and n_data > 1
+                and (B * T) % n_data == 0):
+            from audio_rag_tpu.ops.mel import log_mel_sharded
+
+            m = log_mel_sharded(win.reshape(-1), n_mels=self.dims.n_mels,
+                                mesh=mesh)  # (n_mels, B*T), frame-sharded
+            return m.reshape(self.dims.n_mels, B, T).transpose(1, 0, 2)
+        return log_mel_batch(jnp.asarray(win), n_mels=self.dims.n_mels)
+
     def _place_batch(self, mel_batch: np.ndarray, prompt: np.ndarray):
         """Shard the window batch over the mesh's data axis when possible.
 
@@ -377,10 +404,20 @@ class WhisperJaxASR(BaseASR):
         win = np.zeros((B, n_mel_samples), np.float32)
         for j, (_, seg) in enumerate(windows):
             win[j, : min(len(seg), n_mel_samples)] = seg[:n_mel_samples]
+        # contiguous ⇔ every non-final window is full-length and starts
+        # exactly one window after its predecessor (rows of `win`
+        # concatenate back to the original span) — the condition for the
+        # time-axis-sharded mel to be exact
+        window_s = n_mel_samples / SAMPLE_RATE
+        contiguous = all(
+            abs((windows[j + 1][0] - windows[j][0]) - window_s) < 1e-3
+            and len(windows[j][1]) >= n_mel_samples
+            for j in range(B - 1)
+        )
         # ONE device program for the whole batch's mel; the result stays on
         # device and feeds the transcribe program directly (the old
         # per-window loop paid a host↔device round trip per 30 s window)
-        mel_batch = log_mel_batch(jnp.asarray(win), n_mels=self.dims.n_mels)
+        mel_batch = self._mel_for_batch(win, contiguous)
 
         st = self.tokens
         lang_id = st.lang_base + lang_offset

@@ -71,6 +71,19 @@ class ASRConfig(BaseModel):
     no_speech_threshold: float = Field(default=0.6, ge=0.0, le=1.0)
     #: batch 30s windows together instead of sequential decode
     window_batch_size: int = Field(default=8, ge=1)
+    #: compute each time-CONTIGUOUS window batch's mel as ONE time-axis-
+    #: sharded program (``ops/mel.log_mel_sharded``: ppermute halo
+    #: exchange + global pmax for the max−8 clamp) when the mesh has >1
+    #: data device. This is the SURVEY §2.4 long-audio path — per-chip
+    #: peak memory scales as span/n_data, so hour-scale files stream
+    #: through the fixed window_batch_size program with flat memory (the
+    #: reference hard-caps files at 30 min, config/schema.py:114). It is
+    #: also closer to upstream Whisper than per-window mel: frames are
+    #: continuous across 30 s window joins and the clamp is global over
+    #: the span (openai/whisper audio.py computes ONE full-file mel and
+    #: slices). Single-data-device meshes and non-contiguous (VAD-gapped)
+    #: batches use the batched per-window mel either way.
+    mel_sharded: bool = True
     #: cap on generated tokens per 30s window (None = whisper's 224). A 5s
     #: streaming chunk holds ~40 tokens of speech — decoding 224 wastes
     #: 5x sequential decoder steps; the streaming wrapper sets this

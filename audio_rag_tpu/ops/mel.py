@@ -174,39 +174,17 @@ def _log_mel_unnormalized(padded: jax.Array, n_frames: int,
     return jnp.log10(jnp.maximum(mel, 1e-10))
 
 
-def log_mel_sharded(audio, n_mels: int = 128, mesh=None) -> jax.Array:
-    """Time-axis-parallel log-mel for hour-scale audio: the sample axis
-    shards over the mesh's ``data`` axis, each chip computes its frames
-    shard-local after a halo exchange (SURVEY §2.4 "long audio" row).
-
-    Mechanics: frame i needs samples [i·HOP − N_FFT/2, i·HOP + N_FFT/2),
-    so each shard ppermutes its first/last N_FFT/2 samples to its
-    neighbors; the global edges reflect locally (whisper's center=True
-    padding). Whisper's global max−8 clamp becomes a ``pmax`` across
-    shards — bit-matching the unsharded full-file computation (which the
-    reference applies over the WHOLE padded input, not per window).
-    Output: (n_mels, S/HOP) sharded over frames; per-chip peak memory is
-    S/n_data-proportional, flat in file length for a fixed shard budget.
-    """
-    from jax.sharding import NamedSharding, PartitionSpec as P
+@functools.lru_cache(maxsize=8)
+def _sharded_mel_program(mesh, n_data: int, n_mels: int, s_pad: int):
+    """Build (and cache) the jitted shard_map program for one
+    (mesh, padded-length) shape — a fresh shard_map closure per call
+    would retrace every invocation, and each trace costs minutes through
+    the remote-compile relay."""
+    from jax.sharding import PartitionSpec as P
     from jax.experimental.shard_map import shard_map
 
-    if mesh is None:
-        from audio_rag_tpu.parallel.mesh import get_default_mesh
-
-        mesh = get_default_mesh()
-    n_data = int(mesh.shape.get("data", 1))
-    audio = jnp.asarray(audio, jnp.float32)
-    if n_data == 1:
-        return log_mel_spectrogram(audio, n_mels=n_mels)
-
-    S = audio.shape[-1]
-    step = n_data * HOP_LENGTH
-    S_pad = ((S + step - 1) // step) * step
-    if S_pad != S:
-        audio = jnp.pad(audio, (0, S_pad - S))
     halo = N_FFT // 2
-    frames_local = (S_pad // n_data) // HOP_LENGTH
+    frames_local = (s_pad // n_data) // HOP_LENGTH
 
     def shard_fn(chunk):  # (C,) local samples
         chunk = chunk.reshape(-1)
@@ -229,13 +207,50 @@ def log_mel_sharded(audio, n_mels: int = 128, mesh=None) -> jax.Array:
         log_spec = jnp.maximum(log_spec, gmax - 8.0)
         return ((log_spec + 4.0) / 4.0).T  # (n_mels, frames_local)
 
-    fn = shard_map(
+    return jax.jit(shard_map(
         shard_fn, mesh=mesh,
         in_specs=P("data"),
         out_specs=P(None, "data"),
-    )
+    ))
+
+
+def log_mel_sharded(audio, n_mels: int = 128, mesh=None) -> jax.Array:
+    """Time-axis-parallel log-mel for hour-scale audio: the sample axis
+    shards over the mesh's ``data`` axis, each chip computes its frames
+    shard-local after a halo exchange (SURVEY §2.4 "long audio" row).
+
+    Mechanics: frame i needs samples [i·HOP − N_FFT/2, i·HOP + N_FFT/2),
+    so each shard ppermutes its first/last N_FFT/2 samples to its
+    neighbors; the global edges reflect locally (whisper's center=True
+    padding). Whisper's global max−8 clamp becomes a ``pmax`` across
+    shards — bit-matching the unsharded full-file computation (which the
+    reference applies over the WHOLE padded input, not per window).
+    Output: (n_mels, S/HOP) sharded over frames; per-chip peak memory is
+    S/n_data-proportional, flat in file length for a fixed shard budget.
+
+    Production callers: ``asr/whisper_jax.py::WhisperJaxASR._mel_for_batch``
+    routes every time-contiguous window batch here when the mesh has >1
+    data device (``ASRConfig.mel_sharded``).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if mesh is None:
+        from audio_rag_tpu.parallel.mesh import get_default_mesh
+
+        mesh = get_default_mesh()
+    n_data = int(mesh.shape.get("data", 1))
+    audio = jnp.asarray(audio, jnp.float32)
+    if n_data == 1:
+        return log_mel_spectrogram(audio, n_mels=n_mels)
+
+    S = audio.shape[-1]
+    step = n_data * HOP_LENGTH
+    S_pad = ((S + step - 1) // step) * step
+    if S_pad != S:
+        audio = jnp.pad(audio, (0, S_pad - S))
+    fn = _sharded_mel_program(mesh, n_data, n_mels, S_pad)
     sharded = jax.device_put(audio, NamedSharding(mesh, P("data")))
-    return jax.jit(fn)(sharded)
+    return fn(sharded)
 
 
 def pad_or_trim(audio: np.ndarray, length: int = N_SAMPLES) -> np.ndarray:

@@ -17,6 +17,7 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", "extra"}.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -24,6 +25,22 @@ import numpy as np
 
 BASELINE_FULL_INGEST_RTF = 0.33  # reference end-to-end ingest
 AUDIO_MINUTES = 8.0
+#: LONG_MINUTES=60 adds an hour-scale ingest pass (the reference hard-caps
+#: files at 30 min, reference config/schema.py:114; this build streams
+#: windows through the fixed batch-16 program with flat memory)
+LONG_MINUTES = float(os.environ.get("LONG_MINUTES", "0") or 0)
+
+
+def _peak_rss_gb() -> float:
+    """Process high-water-mark RSS in GB (host memory flatness evidence)."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmHWM:"):
+                    return round(int(line.split()[1]) / 1e6, 2)
+    except OSError:
+        pass
+    return 0.0
 
 
 def log(msg: str) -> None:
@@ -52,8 +69,26 @@ def main() -> None:
     cfg.diarization.backend = "clustering"
     cfg.embedding.backend = "bge-m3"
     cfg.retrieval.backend = "tpu"
-    cfg.generation.backend = "none"
-    cfg.contextual.enabled = False
+    # contextual chunk headers ON by default: the reference's SLOWEST
+    # ingest stage (10 min/audio-hour — one serial Ollama HTTP call per
+    # chunk, reference contextual/processor.py:114-117 + SALES guide
+    # :582-589) and part of its 0.33× full-ingest baseline. Here headers
+    # decode as batched wave dispatches on the same chip; the
+    # ResourceManager swaps whisper↔llama when both can't co-reside
+    # (llama-3.2-3b int8 + large-v3 int8 exceed the 14 GB budget), and
+    # that swap cost is measured inside the contextualize stage.
+    # CONTEXTUAL=0 reproduces the old ASR+diar+align+chunk+embed+store
+    # number.
+    contextual_on = os.environ.get("CONTEXTUAL", "1") != "0"
+    if contextual_on:
+        cfg.generation.backend = "llm-jax"
+        cfg.generation.model = "llama-3.2-3b"
+        cfg.generation.decoder_int8 = True
+        cfg.generation.use_scheduler = False  # processor batches itself
+        cfg.contextual.enabled = True
+    else:
+        cfg.generation.backend = "none"
+        cfg.contextual.enabled = False
 
     from bench_common import make_bench_audio
 
@@ -76,6 +111,35 @@ def main() -> None:
         f"({res.num_chunks} chunks, {res.num_speakers} speakers) "
         f"stages={res.stage_timings}")
 
+    long_extra = None
+    if LONG_MINUTES >= 30:
+        # hour-scale pass: same programs (every shape already compiled by
+        # the warm run — window batches are fixed at 16), so this measures
+        # pure scale behavior: RTF flat vs the 8-min number, host memory
+        # bounded by the one decoded waveform + per-batch 30 MB buffers
+        rss_before = _peak_rss_gb()
+        laudio = make_bench_audio(LONG_MINUTES, sr)
+        t0 = time.perf_counter()
+        lres = rag.ingest(laudio, sr, collection="bench_long")
+        lelapsed = time.perf_counter() - t0
+        lrtf = lelapsed / (LONG_MINUTES * 60.0)
+        long_extra = {
+            "audio_minutes": LONG_MINUTES,
+            "rtf": round(lrtf, 4),
+            "rtf_vs_8min": round(lrtf / max(rtf, 1e-9), 3),
+            "num_chunks": lres.num_chunks,
+            "stage_timings_s": lres.stage_timings,
+            "peak_rss_gb_before": rss_before,
+            "peak_rss_gb_after": _peak_rss_gb(),
+            "note": "reference caps duration at 30 min "
+                    "(config/schema.py:114); windows stream through the "
+                    "same fixed batch-16 program",
+        }
+        log(f"LONG {LONG_MINUTES:.0f} min in {lelapsed:.1f}s → RTF "
+            f"{lrtf:.4f} ({lres.num_chunks} chunks) "
+            f"rss {rss_before}→{long_extra['peak_rss_gb_after']} GB "
+            f"stages={lres.stage_timings}")
+
     print(json.dumps({
         "metric": "full_ingest_rtf",
         "value": round(rtf, 4),
@@ -87,9 +151,14 @@ def main() -> None:
             "num_chunks": res.num_chunks,
             "stage_timings_s": res.stage_timings,
             "stages": "asr(large-v3 int8 decode) + diarization(clustering)"
-                      " + alignment + chunking + embedding(bge-m3) + store",
+                      " + alignment + chunking"
+                      + (" + contextual(llama-3.2-3b int8 batched headers)"
+                         if contextual_on else "")
+                      + " + embedding(bge-m3) + store",
+            "contextual_enabled": contextual_on,
             "note": "random-init production architectures; one process, "
                     "one chip (reference: five services over HTTP)",
+            **({"long_audio": long_extra} if long_extra else {}),
         },
     }))
 
