@@ -132,6 +132,14 @@ class WhisperJaxASR(BaseASR):
                 "checkpoint %s missing whisper params; random init",
                 self.config.checkpoint_path,
             )
+        if self.dtype == jnp.bfloat16:
+            # jit + storage_dtype: stacked bf16 buffers allocated once,
+            # fp32 randoms one layer at a time — eager init of large-v3
+            # peaks at ~2x fp32 param bytes next to a co-resident LLM
+            return jax.jit(
+                lambda k: init_whisper(
+                    k, self.dims, storage_dtype=jnp.bfloat16)
+            )(jax.random.PRNGKey(0))
         return init_whisper(jax.random.PRNGKey(0), self.dims)
 
     def _unload(self) -> None:

@@ -65,7 +65,14 @@ class LLMGenerator(BaseGenerator):
 
             params = restore_params(self.config.checkpoint_path, "llm")
         if params is None:
-            params = init_llm(jax.random.PRNGKey(0), self.dims)
+            # jit + storage_dtype: the stacked bf16 buffers are allocated
+            # once and the fp32 randoms exist one layer at a time. Eager
+            # fp32 init of llama-3.2-3b peaks ~26 GB (params + stack
+            # transient) and OOMs the 16 GB chip when the ResourceManager
+            # swaps the LLM in mid-ingest for contextual headers.
+            params = jax.jit(
+                lambda k: init_llm(k, self.dims, storage_dtype=jnp.bfloat16)
+            )(jax.random.PRNGKey(0))
         # bf16 STORAGE: halves the bytes the decode loop re-reads per token
         # and the HBM footprint (see engine.bf16_storage)
         params = bf16_storage(params)
@@ -158,6 +165,17 @@ class LLMGenerator(BaseGenerator):
                          "max_len": self.dims.max_len},
             )
         temp = self.config.temperature if temperature is None else temperature
+        # pow-2 BATCH bucket: remainder batches (e.g. the tail of the
+        # contextual header batches) would otherwise compile a fresh
+        # program per distinct size — minutes each through the remote-
+        # compile relay. Filler rows duplicate row 0 (an all-masked row
+        # would softmax over -inf) and their outputs are dropped.
+        B = len(seqs)
+        B_pad = 1 << (B - 1).bit_length()
+        if B_pad != B:
+            batch = np.concatenate(
+                [batch, np.tile(batch[:1], (B_pad - B, 1))])
+            mask = np.concatenate([mask, np.tile(mask[:1], (B_pad - B, 1))])
         out = llm_generate(
             self._params, self.dims, jnp.asarray(batch),
             max_new, eos_id=pad_id, temperature=temp,

@@ -69,27 +69,58 @@ LLM_PRESETS: dict[str, LLMDims] = {
 }
 
 
-def init_llm(key: jax.Array, dims: LLMDims) -> Params:
+def init_llm(
+    key: jax.Array,
+    dims: LLMDims,
+    storage_dtype: jnp.dtype | None = None,
+) -> Params:
+    """Random-init parameter tree (checkpoint loading overwrites in place).
+
+    storage_dtype: when set (e.g. ``jnp.bfloat16``) the per-layer blocks are
+    generated inside a ``lax.scan`` and cast before landing in the
+    pre-allocated stacked output buffer, so fp32 exists one layer at a time.
+    The eager list-then-``jnp.stack`` path peaks at ~2x the fp32 param bytes
+    (~26 GB for llama-3.2-3b) and OOMs a 16 GB chip; the scan path peaks at
+    bf16-total + one fp32 layer. Values match casting the default path's
+    output to within 1 bf16 ULP (same key splits; XLA may fuse scale
+    multiplies into the cast, double-rounding boundary cases).
+    """
     k_emb, k_blocks, k_out = jax.random.split(key, 3)
-    blocks = []
-    for k in jax.random.split(k_blocks, dims.n_layers):
+
+    def one_block(k: jax.Array) -> Params:
         ka, km = jax.random.split(k)
-        blocks.append(
-            {
-                "ln_attn": rms_norm_init(dims.d_model),
-                "attn": mha_init(
-                    ka, dims.d_model, dims.n_heads,
-                    n_kv_heads=dims.n_kv_heads, bias=False,
-                ),
-                "ln_mlp": rms_norm_init(dims.d_model),
-                "mlp": swiglu_init(km, dims.d_model, dims.d_ff),
-            }
+        return {
+            "ln_attn": rms_norm_init(dims.d_model),
+            "attn": mha_init(
+                ka, dims.d_model, dims.n_heads,
+                n_kv_heads=dims.n_kv_heads, bias=False,
+            ),
+            "ln_mlp": rms_norm_init(dims.d_model),
+            "mlp": swiglu_init(km, dims.d_model, dims.d_ff),
+        }
+
+    keys = jax.random.split(k_blocks, dims.n_layers)
+    if storage_dtype is None:
+        cast = lambda t: t  # noqa: E731
+        blocks = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[one_block(k) for k in keys]
+        )
+    else:
+        # mirror engine.bf16_storage: cast fp32 leaves only
+        cast = lambda t: jax.tree.map(  # noqa: E731
+            lambda x: x.astype(storage_dtype)
+            if x.dtype == jnp.float32 else x, t,
+        )
+        _, blocks = jax.lax.scan(
+            lambda _, k: (None, cast(one_block(k))), None, keys
         )
     return {
-        "tok_emb": embedding_init(k_emb, dims.vocab, dims.d_model),
-        "blocks": jax.tree.map(lambda *xs: jnp.stack(xs), *blocks),
-        "ln_f": rms_norm_init(dims.d_model),
-        "lm_head": linear_init(k_out, dims.d_model, dims.vocab, bias=False),
+        "tok_emb": cast(embedding_init(k_emb, dims.vocab, dims.d_model)),
+        "blocks": blocks,
+        "ln_f": cast(rms_norm_init(dims.d_model)),
+        "lm_head": cast(
+            linear_init(k_out, dims.d_model, dims.vocab, bias=False)
+        ),
     }
 
 

@@ -138,41 +138,67 @@ def _block_init(key: jax.Array, d: int, cross: bool) -> Params:
     return p
 
 
-def init_whisper(key: jax.Array, dims: WhisperDims) -> Params:
-    """Random-init parameter tree (checkpoint loading overwrites in place)."""
+def init_whisper(
+    key: jax.Array,
+    dims: WhisperDims,
+    storage_dtype: jnp.dtype | None = None,
+) -> Params:
+    """Random-init parameter tree (checkpoint loading overwrites in place).
+
+    storage_dtype: when set (e.g. ``jnp.bfloat16``) the per-layer blocks are
+    generated inside a ``lax.scan`` with an immediate cast, so fp32 exists
+    one layer at a time instead of all-layers-plus-stack-transient (~2x the
+    fp32 param bytes — the pattern that OOMs a 16 GB chip when co-resident
+    with other models). Matches casting the default path's output to within
+    1 bf16 ULP (XLA may fuse scale multiplies into the cast).
+    """
     k_enc, k_dec, k_c1, k_c2, k_emb = jax.random.split(key, 5)
     d_a, d_t = dims.n_audio_state, dims.n_text_state
 
-    enc_blocks = [
-        _block_init(k, d_a, cross=False)
-        for k in jax.random.split(k_enc, dims.n_audio_layer)
-    ]
-    dec_blocks = [
-        _block_init(k, d_t, cross=True)
-        for k in jax.random.split(k_dec, dims.n_text_layer)
-    ]
+    if storage_dtype is None:
+        cast = lambda t: t  # noqa: E731
+
+        def stack_blocks(keys: jax.Array, d: int, cross: bool) -> Params:
+            return _stack_layers([_block_init(k, d, cross) for k in keys])
+    else:
+        # mirror engine.bf16_storage: cast fp32 leaves only
+        cast = lambda t: jax.tree.map(  # noqa: E731
+            lambda x: x.astype(storage_dtype)
+            if x.dtype == jnp.float32 else x, t,
+        )
+
+        def stack_blocks(keys: jax.Array, d: int, cross: bool) -> Params:
+            return jax.lax.scan(
+                lambda _, k: (None, cast(_block_init(k, d, cross))),
+                None, keys,
+            )[1]
+
     scale = d_a ** -0.5
     return {
         "encoder": {
-            "conv1": {
+            "conv1": cast({
                 "w": jax.random.normal(k_c1, (3, dims.n_mels, d_a)) * scale,
                 "b": jnp.zeros((d_a,)),
-            },
-            "conv2": {
+            }),
+            "conv2": cast({
                 "w": jax.random.normal(k_c2, (3, d_a, d_a)) * scale,
                 "b": jnp.zeros((d_a,)),
-            },
-            "pos": jnp.asarray(sinusoid_positions(dims.n_audio_ctx, d_a)),
-            "blocks": _stack_layers(enc_blocks),
-            "ln_post": layer_norm_init(d_a),
+            }),
+            "pos": cast(jnp.asarray(sinusoid_positions(dims.n_audio_ctx, d_a))),
+            "blocks": stack_blocks(
+                jax.random.split(k_enc, dims.n_audio_layer), d_a, cross=False
+            ),
+            "ln_post": cast(layer_norm_init(d_a)),
         },
         "decoder": {
-            "tok_emb": embedding_init(k_emb, dims.n_vocab, d_t),
-            "pos_emb": jax.random.normal(
+            "tok_emb": cast(embedding_init(k_emb, dims.n_vocab, d_t)),
+            "pos_emb": cast(jax.random.normal(
                 jax.random.fold_in(k_emb, 1), (dims.n_text_ctx, d_t)
-            ) * 0.01,
-            "blocks": _stack_layers(dec_blocks),
-            "ln": layer_norm_init(d_t),
+            ) * 0.01),
+            "blocks": stack_blocks(
+                jax.random.split(k_dec, dims.n_text_layer), d_t, cross=True
+            ),
+            "ln": cast(layer_norm_init(d_t)),
         },
     }
 

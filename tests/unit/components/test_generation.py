@@ -32,6 +32,15 @@ class TestLLMGenerator:
         singles = [gen.generate(p, max_tokens=6) for p in prompts]
         assert batched == singles
 
+    def test_batch_bucket_pads_to_pow2(self, gen):
+        """A 3-prompt batch rides the 4-row program (pow-2 bucket); filler
+        rows must not leak into the returned results."""
+        prompts = ["alpha beta", "one two three", "zeta eta theta iota"]
+        batched = gen.generate_batch(prompts, max_tokens=5)
+        assert len(batched) == 3
+        singles = [gen.generate(p, max_tokens=5) for p in prompts]
+        assert batched == singles
+
     def test_batch_deterministic_at_t0(self, gen):
         a = gen.generate_batch(["x y z"], max_tokens=5)
         b = gen.generate_batch(["x y z"], max_tokens=5)

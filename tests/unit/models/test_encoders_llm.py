@@ -86,6 +86,24 @@ class TestLLM:
         assert logits.shape == (1, 4, LD.vocab)
         assert cache is None
 
+    def test_storage_dtype_init_matches_cast(self, params):
+        """The memory-bounded scan init (storage_dtype=bf16) must equal
+        casting the eager fp32 init up to 1 bf16 ULP (XLA may fuse
+        ``normal * scale`` into the cast under jit, double-rounding
+        boundary cases)."""
+        scanned = jax.jit(
+            lambda k: init_llm(k, LD, storage_dtype=jnp.bfloat16)
+        )(jax.random.PRNGKey(3))
+        ref = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, params)
+        for a, b in zip(jax.tree.leaves(scanned), jax.tree.leaves(ref)):
+            assert a.dtype == b.dtype
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=1e-2, atol=1e-4,
+            )
+
     def test_incremental_matches_full(self, params):
         tok = jnp.array([[7, 11, 13, 17]])
         full, _ = llm_forward(params, LD, tok, dtype=jnp.float32)
