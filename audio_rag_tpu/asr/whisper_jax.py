@@ -235,7 +235,8 @@ class WhisperJaxASR(BaseASR):
             return wrapped
 
         return engine.program(
-            ("whisper", "transcribe", strategy, batch, temperature,
+            ("whisper", "transcribe", self.config.model_size, strategy,
+             batch, temperature,
              max_new, self.config.cross_kv_int8,
              self.config.decoder_int8, self.config.speculative_k), build
         )
@@ -396,7 +397,8 @@ class WhisperJaxASR(BaseASR):
 
             return run
 
-        run = self._engine.program(("whisper", "lang"), build)
+        run = self._engine.program(
+            ("whisper", "lang", self.config.model_size), build)
         lang, prob = run(self._params, mel)
         return int(np.asarray(lang)[0]), float(np.asarray(prob)[0])
 
@@ -550,7 +552,7 @@ class WhisperJaxASR(BaseASR):
             return run
 
         run = self._engine.program(
-            ("whisper", "align", B, P + max_t), build
+            ("whisper", "align", self.config.model_size, B, P + max_t), build
         )
         return np.asarray(
             run(self._params, enc_dev, jnp.asarray(tf_tokens))

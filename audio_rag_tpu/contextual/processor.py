@@ -51,6 +51,12 @@ class ContextualProcessor:
     ) -> str | None:
         if self.generator is None:
             return None
+        if not self.generator.is_loaded:
+            try:
+                self.generator.load()
+            except Exception as exc:
+                log.warning("contextual generator reload failed: %s", exc)
+                return None
         ctx = "\n".join(
             f"- {n.text[:NEIGHBOR_TRUNCATE]}" for n in neighbors
         ) or "(none)"
@@ -95,6 +101,15 @@ class ContextualProcessor:
         """
         if not self.config.enabled or self.generator is None:
             return chunks
+        # the ResourceManager may have evicted the generator since the
+        # last file (whisper↔llama swap under the HBM budget during
+        # ingest); re-load rather than failing the whole stage
+        if not self.generator.is_loaded:
+            try:
+                self.generator.load()
+            except Exception as exc:
+                log.warning("contextual generator reload failed: %s", exc)
+                return chunks
         w = self.config.window_size
         prompts = []
         for i, chunk in enumerate(chunks):

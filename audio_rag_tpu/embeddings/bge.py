@@ -90,7 +90,7 @@ class BGEM3Embedder(BaseEmbedder):
 
             return run
 
-        return self._engine.program(("bgem3", B, T), build)
+        return self._engine.program(("bgem3", self.dims, B, T), build)
 
     @timed
     def embed(self, texts: list[str]) -> list[EmbeddingResult]:

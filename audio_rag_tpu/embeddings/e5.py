@@ -88,7 +88,7 @@ class E5Embedder(BaseEmbedder):
 
             return run
 
-        return self._engine.program(("e5", B, T), build)
+        return self._engine.program(("e5", self.dims, B, T), build)
 
     def _embed_prefixed(self, texts: list[str]) -> list[EmbeddingResult]:
         seqs = [self._tok.encode(t)[: self.config.max_length] for t in texts]

@@ -83,6 +83,10 @@ class ContinuousBatcher:
         self._stopped = False
         self.segments_run = 0
         self.requests_served = 0
+        #: actual generated token ids delivered (pre-EOS, post-cap) — the
+        #: honest tokens/s numerator; decode→re-encode of random-init text
+        #: is lossy and undercounts (bench accounting, VERDICT r2 weak #2)
+        self.tokens_generated = 0
         self._thread = threading.Thread(
             target=self._run, name="llm-continuous", daemon=True)
         self._thread.start()
@@ -120,7 +124,7 @@ class ContinuousBatcher:
 
             return run
 
-        return gen._engine.program(("llm_cont_prefill", Pb), build)
+        return gen._engine.program(("llm_cont_prefill", gen.dims, Pb), build)
 
     def _decode_program(self):
         gen = self.generator
@@ -145,7 +149,7 @@ class ContinuousBatcher:
             return wrapped
 
         return gen._engine.program(
-            ("llm_cont_decode", self.n_slots, segment,
+            ("llm_cont_decode", gen.dims, self.n_slots, segment,
              getattr(gen, "_params_q8", None) is not None), build)
 
     # -- worker -------------------------------------------------------------
@@ -208,6 +212,7 @@ class ContinuousBatcher:
         if not slot.request.future.done():
             slot.request.future.set_result(tok.decode(ids).strip())
         self.requests_served += 1
+        self.tokens_generated += len(ids)
 
     def _decode_segment(self) -> None:
         gen = self.generator

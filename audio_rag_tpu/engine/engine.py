@@ -107,11 +107,23 @@ class InferenceEngine:
         return self.models[name].params
 
     def drop_params(self, name: str) -> None:
+        """Release a model's device buffers. Compiled programs are KEPT:
+        every builder passes params as explicit arguments (no live-array
+        captures), so a program outlives any particular param tree — and
+        re-creating one costs minutes of TRACING, which not even the
+        persistent compilation cache can skip (measured 350 s to rebuild
+        the unrolled whisper decode program on a cache HIT; an evicted-
+        then-reloaded whisper re-paid it every ingest pass)."""
         with self._lock:
             entry = self.models.pop(name, None)
             if entry is not None:
                 # drop python refs; XLA frees buffers when unreferenced
                 del entry
+
+    def drop_programs(self, name: str) -> None:
+        """Explicitly invalidate a model's compiled programs (needed only
+        if a program's SHAPE contract changes, e.g. a dims swap)."""
+        with self._lock:
             self._programs = {
                 k: v for k, v in self._programs.items() if k[0] != name
             }

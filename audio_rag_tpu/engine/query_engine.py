@@ -113,7 +113,7 @@ class QueryEngine:
 
             return run
 
-        key = ("query_fused", B, T, capacity, search_type, k, prefetch)
+        key = ("query_fused", dims, B, T, capacity, search_type, k, prefetch)
         return engine.program(key, build)
 
     def _fused_rerank_program(self, B: int, T: int, Pq: int, capacity: int,
@@ -183,8 +183,8 @@ class QueryEngine:
 
             return run
 
-        key = ("query_fused_rerank", B, T, Pq, capacity, Ld, search_type,
-               K, k_out, prefetch)
+        key = ("query_fused_rerank", e_dims, r_dims, B, T, Pq, capacity,
+               Ld, search_type, K, k_out, prefetch)
         return engine.program(key, build)
 
     # -- rerank token cache ---------------------------------------------------

@@ -53,6 +53,7 @@ class LLMGenerator(BaseGenerator):
         self._params = None
         self._params_q8 = None
         self._tok = None
+        self.last_token_counts: list[int] = []
 
     def _load(self) -> None:
         engine = self._engine or get_engine()
@@ -185,12 +186,18 @@ class LLMGenerator(BaseGenerator):
         )
         out = np.asarray(out)
         results = []
+        counts = []
         for i in range(len(seqs)):
             gen = out[i, P:]
             eos = np.nonzero(gen == pad_id)[0]
             if eos.size:
                 gen = gen[: eos[0]]
+            counts.append(int(gen.size))
             results.append(self._tok.decode(gen.tolist()).strip())
+        #: actual generated ids per prompt (pre-EOS) — honest tokens/s
+        #: numerator for benches (decode→re-encode is lossy under random
+        #: init and undercounts)
+        self.last_token_counts = counts
         return results
 
     def generate_stream(

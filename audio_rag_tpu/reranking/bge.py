@@ -90,7 +90,7 @@ class BGEReranker(BaseReranker):
 
             return run
 
-        return self._engine.program(("reranker", B, T), build)
+        return self._engine.program(("reranker", self.dims, B, T), build)
 
     def score_pairs(self, query: str, texts: list[str]) -> np.ndarray:
         """Cross-encoder scores for (query, text) pairs, one device call."""

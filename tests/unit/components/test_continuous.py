@@ -137,6 +137,14 @@ class TestCorrectness:
         n = len(generator._tok.encode(out, add_special=False))
         assert n <= 5
 
+    def test_tokens_generated_counter(self, batcher):
+        """tokens_generated counts actual delivered ids (the honest
+        tokens/s numerator — re-encoding decoded text is lossy)."""
+        before = batcher.tokens_generated
+        batcher.generate("tango uniform victor", max_tokens=7)
+        delta = batcher.tokens_generated - before
+        assert 1 <= delta <= 7
+
 
 class TestNoHeadOfLineBlocking:
     def test_short_requests_overtake_long_one(self, batcher):
