@@ -318,7 +318,10 @@ class WhisperJaxASR(BaseASR):
         else:
             spans = [(0.0, len(wav) / sr)]
 
-        window_s = N_SAMPLES / SAMPLE_RATE
+        # window span follows the MODEL's audio context (== N_SAMPLES/30 s
+        # for the real sizes; shorter for the test preset, so tests
+        # exercise the same multi-window batching as production)
+        window_s = 2 * self.dims.n_audio_ctx * HOP_LENGTH / SAMPLE_RATE
         windows: list[tuple[float, np.ndarray]] = []
         for s, e in spans:
             t = s
@@ -353,12 +356,22 @@ class WhisperJaxASR(BaseASR):
 
         segments: list[TranscriptSegment] = []
         bs = self.config.window_batch_size
+        # multi-batch files pad the tail batch to the FULL batch size: a
+        # partial-B program is a fresh shape, and the unrolled transcribe
+        # program costs ~350 s of pure trace/lower per process even on a
+        # persistent-cache hit (measured: a 60-min file's 8-window tail
+        # regressed the whole ingest from ~60 s to 455 s). Decoding a few
+        # zero windows is ~free — the decode loop is weight-read bound and
+        # the reads are shared across the batch. Single-batch files (the
+        # streaming path's 1-window chunks) keep their natural shape.
+        pad_to = bs if len(windows) > bs else None
         for i in range(0, len(windows), bs):
             chunk = windows[i: i + bs]
             segments.extend(
                 self._transcribe_batch(chunk, lang,
                                        want_words=word_timestamps,
-                                       lang_offset=lang_offset)
+                                       lang_offset=lang_offset,
+                                       pad_to=pad_to)
             )
 
         if word_timestamps:
@@ -406,23 +419,26 @@ class WhisperJaxASR(BaseASR):
     def _transcribe_batch(
         self, windows: list[tuple[float, np.ndarray]], lang: str,
         want_words: bool = False, lang_offset: int = 0,
+        pad_to: int | None = None,
     ) -> list[TranscriptSegment]:
-        B = len(windows)
+        n_real = len(windows)
+        B = max(pad_to or 0, n_real)  # zero-window rows pad the tail batch
         n_mel_samples = (
             2 * self.dims.n_audio_ctx * HOP_LENGTH
         )  # 30 s for real models, shorter for the test preset
         win = np.zeros((B, n_mel_samples), np.float32)
         for j, (_, seg) in enumerate(windows):
             win[j, : min(len(seg), n_mel_samples)] = seg[:n_mel_samples]
-        # contiguous ⇔ every non-final window is full-length and starts
+        # contiguous ⇔ every non-final REAL window is full-length and starts
         # exactly one window after its predecessor (rows of `win`
         # concatenate back to the original span) — the condition for the
-        # time-axis-sharded mel to be exact
+        # time-axis-sharded mel to be exact. Zero-pad rows extend the span
+        # with silence, which is the file's true continuation at its end.
         window_s = n_mel_samples / SAMPLE_RATE
         contiguous = all(
             abs((windows[j + 1][0] - windows[j][0]) - window_s) < 1e-3
             and len(windows[j][1]) >= n_mel_samples
-            for j in range(B - 1)
+            for j in range(n_real - 1)
         )
         # ONE device program for the whole batch's mel; the result stays on
         # device and feeds the transcribe program directly (the old
@@ -481,7 +497,10 @@ class WhisperJaxASR(BaseASR):
         clean_per_window: list[list[int]] = []
         if want_words:
             for j in range(B):
-                ids = self._strip_special(tokens[j])
+                # pad rows keep an empty token list (length-B lists keep the
+                # align program's shapes, but junk decodes of the silent pad
+                # rows must not inflate the pow-2 token bucket)
+                ids = self._strip_special(tokens[j]) if j < n_real else []
                 clean_per_window.append(
                     [i for i in ids if i < self.tokens.timestamp_base]
                 )

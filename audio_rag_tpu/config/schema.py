@@ -222,6 +222,13 @@ class GenerationConfig(BaseModel):
     #: weights. configs/production.yaml enables it with that caveat. The
     #: int8 copies cost extra HBM (accounted in hbm_required_gb).
     decoder_int8: bool = False
+    #: hard cap on the prompt's pow-2 bucket in batch generation. Prefill
+    #: compile cost/memory grows with the bucket, and one degenerate long
+    #: prompt (an hour-long transcript quoted into a contextual header)
+    #: otherwise compiles a seq-8184 program that OOMs the compile backend.
+    #: Prompts longer than the cap keep their TAIL (instructions sit at the
+    #: end of every prompt template in this package).
+    max_prompt_tokens: int = Field(default=2048, ge=64)
     #: coalesce concurrent requests into batched decodes (engine/scheduler)
     use_scheduler: bool = True
     #: "wave" decodes each batch to completion (fewest dispatches — best

@@ -36,6 +36,21 @@ CONTEXT_PROMPT = (
 
 NEIGHBOR_TRUNCATE = 200  # chars per neighbour, reference processor.py:96
 
+#: chars of chunk text quoted in the header prompt. The reference's chunks
+#: are naturally small (word-window chunker), but a degenerate transcript
+#: can land a whole file in one chunk — unclamped, an hour-long chunk
+#: tokenized to a seq-8184 prefill bucket whose compile OOMed the backend
+#: (measured). Head+tail excerpt keeps the situating signal.
+CHUNK_TRUNCATE = 4000
+
+
+def _clip_chunk_text(text: str) -> str:
+    if len(text) <= CHUNK_TRUNCATE:
+        return text
+    head = (2 * CHUNK_TRUNCATE) // 3
+    tail = CHUNK_TRUNCATE - head
+    return f"{text[:head]}\n[... transcript elided ...]\n{text[-tail:]}"
+
 
 class ContextualProcessor:
     def __init__(
@@ -65,7 +80,7 @@ class ContextualProcessor:
             speaker=chunk.speaker or "unknown",
             start=chunk.start,
             end=chunk.end,
-            chunk=chunk.text,
+            chunk=_clip_chunk_text(chunk.text),
         )
         try:
             out = self.generator.generate(prompt, max_tokens=96,
@@ -86,7 +101,7 @@ class ContextualProcessor:
             speaker=chunk.speaker or "unknown",
             start=chunk.start,
             end=chunk.end,
-            chunk=chunk.text,
+            chunk=_clip_chunk_text(chunk.text),
         )
 
     @timed

@@ -139,12 +139,11 @@ class LLMGenerator(BaseGenerator):
         if not prompts:
             return []
         texts = [f"{system}\n\n{p}" if system else p for p in prompts]
-        seqs = [
-            self._tok.encode(t)[-(self.dims.max_len - 8):] for t in texts
-        ]
+        cap = min(self.config.max_prompt_tokens, self.dims.max_len - 8)
+        seqs = [self._tok.encode(t)[-cap:] for t in texts]
         max_p = max(len(s) for s in seqs)
         P = 1 << (max_p - 1).bit_length()  # pow-2 prompt bucket
-        P = min(P, self.dims.max_len - 8)
+        P = min(P, cap)
         # left-pad so every sequence ends at position P; pads are masked
         # out of attention via prompt_mask
         pad_id = self._tok.eos_id
