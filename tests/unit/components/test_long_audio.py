@@ -27,22 +27,22 @@ def test_many_windows_stream_in_bounded_batches(asr):
     window_s = 2 * asr.dims.n_audio_ctx * 160 / SR
     n_windows = 21  # not a multiple of the batch: exercises the tail batch
     audio = speech_like(int(n_windows * window_s * SR), SR, seed=0)
-    programs_before = len(asr._engine._programs)
+    keys_before = set(asr._engine._programs)
     segs = asr.transcribe(audio, SR)
-    programs_after = len(asr._engine._programs)
+    new_keys = set(asr._engine._programs) - keys_before
     # coverage: segments span (nearly) the whole file duration
     assert segs, "expected transcript segments"
     assert max(s.end for s in segs) > (n_windows - 1) * window_s
     # bounded compile variants: the tail batch PADS to the full batch size
     # (a partial-B shape would cost a fresh ~350 s trace of the unrolled
     # transcribe program per process), so a multi-batch file compiles
-    # exactly ONE transcribe shape
+    # exactly ONE transcribe shape (other suites may have compiled their
+    # own shapes on the shared engine — only THIS call's keys count)
     new_transcribe = [
-        k for k in asr._engine._programs
-        if k[:2] == ("whisper", "transcribe")
+        k for k in new_keys if k[:2] == ("whisper", "transcribe")
     ]
-    assert {k[4] for k in new_transcribe} == {4}, new_transcribe
-    assert programs_after - programs_before <= 2
+    assert {k[4] for k in new_transcribe} <= {4}, new_transcribe
+    assert len(new_keys) <= 2
 
 
 def test_tail_batch_padding_matches_unpadded(asr):
