@@ -265,6 +265,13 @@ class ResourceConfig(BaseModel):
     max_hbm_gb: float = Field(default=14.0, ge=1.0)
     max_ram_gb: float = Field(default=16.0, ge=1.0)
     unload_after_idle_seconds: int = Field(default=300, ge=0)
+    #: mixed-workload serving policy: keep the query path's models
+    #: (embeddings + reranking, ~3.7 GB) exempt from LRU eviction so
+    #: steady query traffic never pays a model reload while ingest swaps
+    #: whisper↔llama around them. Requires the ingest heavyweights to fit
+    #: in the REMAINING budget (they do: llama-3.2-3b int8 10.2 GB +
+    #: 3.7 GB pinned ≤ 14 GB); ensure_hbm fails loudly otherwise.
+    pin_query_models: bool = False
     #: the reference capped at 30/180 min (GPU memory pressure); here
     #: windows stream through fixed-size device batches and mel can shard
     #: across the mesh's time axis, so hour-scale files are first-class

@@ -43,9 +43,10 @@ class BGEM3Embedder(BaseEmbedder):
     def __init__(self, config: EmbeddingConfig | None = None):
         super().__init__()
         self.config = config or EmbeddingConfig()
-        preset = "test" if self.config.model == "test" else "xlmr-large"
+        preset = {"test": "test", "eval-small": "retrieval-small"}.get(
+            self.config.model, "xlmr-large")
         self.dims: BertDims = BERT_PRESETS[preset]
-        if preset == "test":
+        if preset != "xlmr-large":
             self.hbm_required_gb = 0.05
         self._params = None
         self._tok = None
@@ -60,6 +61,17 @@ class BGEM3Embedder(BaseEmbedder):
             from audio_rag_tpu.checkpoint import restore_params
 
             params = restore_params(self.config.checkpoint_path, "bgem3")
+        if params is None and self.config.model == "eval-small":
+            # committed contrastively-trained tiny asset
+            # (scripts/train_retrieval.py) — the discriminating quality
+            # eval's embedder
+            from pathlib import Path
+
+            from audio_rag_tpu.checkpoint import load_npz_asset
+
+            params = load_npz_asset(
+                Path(__file__).resolve().parents[1] / "assets"
+                / "retr_embedder_small.npz")
         if params is None:
             params = init_bgem3(jax.random.PRNGKey(0), self.dims)
         self._params = engine.put_params("bgem3", bf16_storage(params))

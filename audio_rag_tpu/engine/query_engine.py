@@ -72,7 +72,10 @@ def _embed_and_score(params, dims, ids_packed, corpus_dense, doc_tokens,
     d = dense_scores(dense, corpus_dense, corpus_scales)
     s = sparse_scores(q_tok, q_w, doc_tokens, doc_weights)
     # rrf_prefetch(true k): Qdrant Prefetch(2·k), pow-2 bucketed
-    return rrf_fuse([d, s], valid_mask, rrf_k=rrf_k, prefetch=prefetch)
+    # sparse membership floor 0.0: a no-overlap doc is absent from a
+    # Qdrant sparse result list and must add no rank mass (similarity.py)
+    return rrf_fuse([d, s], valid_mask, rrf_k=rrf_k, prefetch=prefetch,
+                    min_scores=(None, 0.0))
 
 
 class QueryEngine:

@@ -50,6 +50,10 @@ BERT_PRESETS: dict[str, BertDims] = {
     # small preset for the committed trained NLI asset: cross-segment
     # token matching needs more heads/width than "test" provides
     "nli-small": BertDims(4096, 128, 4, 4, 512, 128),
+    # small preset for the committed trained retrieval assets (contrastive
+    # embedder + pairwise reranker over the synthetic discriminating
+    # corpus — evaluation/corpus.py, scripts/train_retrieval.py)
+    "retrieval-small": BertDims(4096, 128, 4, 4, 512, 128),
 }
 
 

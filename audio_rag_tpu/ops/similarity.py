@@ -145,6 +145,7 @@ def rrf_fuse(
     valid_mask: jax.Array,  # (N,)
     rrf_k: float = 2.0,
     prefetch: int = 64,
+    min_scores: tuple[float | None, ...] | None = None,
 ) -> jax.Array:
     """Reciprocal Rank Fusion: Σ_lists 1/(rrf_k + rank_list(doc)).
 
@@ -154,13 +155,26 @@ def rrf_fuse(
     full-corpus ranking: two ``top_k(prefetch)`` calls + scatter-adds
     instead of two O(N log N) sorts per list. Docs outside every prefetch
     list contribute 0.
+
+    ``min_scores`` (one per list, None = no floor) marks a list's
+    membership floor: a doc scoring at/below it is NOT IN that result
+    list at all and must contribute zero rank mass. Sparse lexical lists
+    need floor 0.0 — a Qdrant sparse query only returns docs with a
+    matching term, so a no-overlap doc never appears; ranking all N docs
+    on-device would otherwise let arbitrary zero-score tie-order inject
+    rank mass and dilute the dense list (measured on the discriminating
+    eval: paraphrase MRR 0.94 dense vs 0.48 hybrid before this floor).
     """
     B, N = score_lists[0].shape
     prefetch = min(prefetch if prefetch > 0 else 64, N)
     fused = jnp.zeros((B, N), jnp.float32)
     rank_contrib = 1.0 / (rrf_k + jnp.arange(prefetch, dtype=jnp.float32))
-    for scores in score_lists:
-        masked = jnp.where(valid_mask, scores, NEG_INF)
+    for li, scores in enumerate(score_lists):
+        floor = min_scores[li] if min_scores is not None else None
+        member = valid_mask
+        if floor is not None:
+            member = member & (scores > floor)
+        masked = jnp.where(member, scores, NEG_INF)
         top_s, top_i = jax.lax.top_k(masked, prefetch)  # (B, prefetch)
         contrib = jnp.where(top_s > NEG_INF / 2, rank_contrib[None, :], 0.0)
         fused = jax.vmap(
@@ -220,6 +234,7 @@ def hybrid_search(
         scores = rrf_fuse(
             [d, s], valid_mask, rrf_k=rrf_k,
             prefetch=prefetch if prefetch > 0 else 2 * top_k,
+            min_scores=(None, 0.0),  # sparse: no overlap ⇒ not in the list
         )
     else:
         raise ValueError(f"unknown search_type {search_type!r}")

@@ -42,7 +42,12 @@ class AudioRAG:
         from audio_rag_tpu.utils.jax_cache import enable_compilation_cache
 
         enable_compilation_cache()
-        get_resource_manager(self.config.resources.max_hbm_gb)
+        rm = get_resource_manager(self.config.resources.max_hbm_gb)
+        if self.config.resources.pin_query_models:
+            # serving policy: the query path's models never leave HBM —
+            # ingest's whisper↔llama swaps happen around them
+            rm.pin("embeddings")
+            rm.pin("reranking")
 
         # singletons shared by both pipelines (reference orchestrator.py:40-75)
         from audio_rag_tpu.embeddings.base import EmbeddingsRegistry

@@ -47,9 +47,10 @@ class BGEReranker(BaseReranker):
     def __init__(self, config: RerankingConfig | None = None):
         super().__init__()
         self.config = config or RerankingConfig()
-        preset = "test" if self.config.model == "test" else "xlmr-base"
+        preset = {"test": "test", "eval-small": "retrieval-small"}.get(
+            self.config.model, "xlmr-base")
         self.dims: BertDims = BERT_PRESETS[preset]
-        if preset == "test":
+        if preset != "xlmr-base":
             self.hbm_required_gb = 0.05
         self._params = None
         self._tok = None
@@ -64,6 +65,17 @@ class BGEReranker(BaseReranker):
             from audio_rag_tpu.checkpoint import restore_params
 
             params = restore_params(self.config.checkpoint_path, "reranker")
+        if params is None and self.config.model == "eval-small":
+            # committed pairwise-trained tiny asset
+            # (scripts/train_retrieval.py) — the discriminating quality
+            # eval's reranker
+            from pathlib import Path
+
+            from audio_rag_tpu.checkpoint import load_npz_asset
+
+            params = load_npz_asset(
+                Path(__file__).resolve().parents[1] / "assets"
+                / "retr_reranker_small.npz")
         if params is None:
             params = init_cross_encoder(jax.random.PRNGKey(0), self.dims)
         self._params = engine.put_params("reranker", bf16_storage(params))

@@ -31,6 +31,7 @@ class ModelInfo:
     hbm_gb: float
     instance: Any  # object exposing .unload()
     last_used: float = field(default_factory=time.monotonic)
+    pinned: bool = False
 
 
 class ResourceManager:
@@ -40,11 +41,30 @@ class ResourceManager:
         self.max_hbm_gb = max_hbm_gb
         self._models: dict[str, ModelInfo] = {}
         self._lock = threading.RLock()
+        #: registrations with these names are born pinned (never evicted —
+        #: the mixed-workload serving policy: query-path models stay
+        #: resident while ingest swaps its heavyweights around them)
+        self.pinned_names: set[str] = set()
+        #: evictions performed since process start (observability: the
+        #: mixed-workload bench reads this to count swap thrash)
+        self.eviction_count = 0
 
     # -- reference-compatible surface -------------------------------------
     def register_model(self, name: str, hbm_gb: float, instance: Any) -> None:
         with self._lock:
-            self._models[name] = ModelInfo(name, hbm_gb, instance)
+            self._models[name] = ModelInfo(
+                name, hbm_gb, instance, pinned=name in self.pinned_names)
+
+    def pin(self, name: str, pinned: bool = True) -> None:
+        """Exempt (or re-admit) a registered model from LRU eviction.
+        Also applies to FUTURE registrations of ``name`` (reload-safe)."""
+        with self._lock:
+            if pinned:
+                self.pinned_names.add(name)
+            else:
+                self.pinned_names.discard(name)
+            if name in self._models:
+                self._models[name].pinned = pinned
 
     def touch(self, name: str) -> None:
         with self._lock:
@@ -79,17 +99,22 @@ class ResourceManager:
         with self._lock:
             while self.used_gb() + required_gb > self.max_hbm_gb:
                 victims = [
-                    m for m in self._models.values() if m.name != for_model
+                    m for m in self._models.values()
+                    if m.name != for_model and not m.pinned
                 ]
                 if not victims:
                     raise ResourceError(
+                        "cannot free enough HBM (only pinned models "
+                        "remain)" if self._models else
                         "cannot free enough HBM",
                         context={"required_gb": required_gb,
-                                 "used_gb": self.used_gb()},
+                                 "used_gb": self.used_gb(),
+                                 "pinned": sorted(self.pinned_names)},
                     )
                 victim = min(victims, key=lambda m: m.last_used)
                 log.info("evicting %s (%.1f GB) to fit %.1f GB",
                          victim.name, victim.hbm_gb, required_gb)
+                self.eviction_count += 1
                 try:
                     victim.instance.unload()
                 finally:
@@ -107,6 +132,8 @@ class ResourceManager:
         evicted: list[str] = []
         with self._lock:
             for m in list(self._models.values()):
+                if m.pinned:
+                    continue
                 if now - m.last_used > max_idle_s:
                     log.info("idle-evicting %s (%.0fs idle)",
                              m.name, now - m.last_used)
@@ -132,8 +159,10 @@ class ResourceManager:
                 "budget_gb": self.max_hbm_gb,
                 "used_gb": round(self.used_gb(), 3),
                 "models": {
-                    m.name: {"gb": m.hbm_gb} for m in self._models.values()
+                    m.name: {"gb": m.hbm_gb, "pinned": m.pinned}
+                    for m in self._models.values()
                 },
+                "evictions": self.eviction_count,
             }
         try:  # real device memory when the runtime exposes it
             stats = jax.devices()[0].memory_stats()

@@ -1,0 +1,53 @@
+"""Run the discriminating quality sweep and print the metric table.
+
+Measures dense / sparse / hybrid / hybrid+rerank through the production
+fused QueryEngine over the 240-chunk synthetic corpus with the committed
+trained tiny models (see ``scripts/train_retrieval.py``). The table in
+docs/FIDELITY.md is produced by this script; the ordering it demonstrates
+(hybrid > dense overall, rerank > no-rerank on pair queries) is pinned by
+``tests/unit/evaluation/test_quality_separation.py``.
+
+Reference comparison: the reference's published sweep separates the same
+way for the same reasons (P@5 0.425 dense → 0.625 contextual+hybrid →
+0.675 +HyDE, reference README.md:30-31) — this corpus makes each stage's
+mechanism independently measurable in a zero-egress build.
+
+Run on CPU for determinism: ``python scripts/eval_quality.py``
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> int:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from audio_rag_tpu.evaluation.quality import run_quality_sweep
+
+    sweep = run_quality_sweep()
+    hdr = f"{'config':>16} | {'P@5':>6} | {'MRR':>6} | {'NDCG':>6} | " \
+          f"{'hit':>5} | per-type MRR (paraphrase / tag / pair)"
+    print(hdr)
+    print("-" * len(hdr))
+    for cfg, m in sweep.items():
+        bt = m["by_type"]
+        per = " / ".join(
+            f"{bt.get(t, {}).get('mrr', 0.0):.3f}"
+            for t in ("paraphrase", "tag", "pair")
+        )
+        print(f"{cfg:>16} | {m['p_at_5']:6.3f} | {m['mrr']:6.3f} | "
+              f"{m['ndcg']:6.3f} | {m['hit_rate']:5.3f} | {per}")
+    print()
+    print(json.dumps(sweep))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
