@@ -222,6 +222,14 @@ class GenerationConfig(BaseModel):
     #: weights. configs/production.yaml enables it with that caveat. The
     #: int8 copies cost extra HBM (accounted in hbm_required_gb).
     decoder_int8: bool = False
+    #: speculative multi-token greedy decode for the wave path (same
+    #: mechanism as ``ASRConfig.speculative_k``): n-gram prompt-lookup
+    #: drafts verified in one teacher-forced block step — exact greedy
+    #: output. RAG answers and contextual headers copy context spans, the
+    #: regime n-gram drafting accepts well. Temperature>0 requests fall
+    #: back to the step decode (speculative sampling would change the
+    #: sample stream). 0 = off.
+    speculative_k: int = Field(default=0, ge=0, le=8)
     #: hard cap on the prompt's pow-2 bucket in batch generation. Prefill
     #: compile cost/memory grows with the bucket, and one degenerate long
     #: prompt (an hour-long transcript quoted into a contextual header)

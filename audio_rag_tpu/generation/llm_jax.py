@@ -176,13 +176,27 @@ class LLMGenerator(BaseGenerator):
             batch = np.concatenate(
                 [batch, np.tile(batch[:1], (B_pad - B, 1))])
             mask = np.concatenate([mask, np.tile(mask[:1], (B_pad - B, 1))])
-        out = llm_generate(
-            self._params, self.dims, jnp.asarray(batch),
-            max_new, eos_id=pad_id, temperature=temp,
-            rng=jax.random.PRNGKey(abs(hash(tuple(texts))) % (2 ** 31)),
-            prompt_mask=jnp.asarray(mask),
-            decoder_q8=self._params_q8,
-        )
+        if temp <= 0.0 and self.config.speculative_k > 0:
+            # speculative block decode: exact greedy output, fewer
+            # weight-reads per emitted token (models/llm.py
+            # llm_speculative_generate)
+            from audio_rag_tpu.models.llm import llm_speculative_generate
+
+            out = llm_speculative_generate(
+                self._params, self.dims, jnp.asarray(batch),
+                max_new, eos_id=pad_id,
+                spec_k=self.config.speculative_k,
+                prompt_mask=jnp.asarray(mask),
+                decoder_q8=self._params_q8,
+            )
+        else:
+            out = llm_generate(
+                self._params, self.dims, jnp.asarray(batch),
+                max_new, eos_id=pad_id, temperature=temp,
+                rng=jax.random.PRNGKey(abs(hash(tuple(texts))) % (2 ** 31)),
+                prompt_mask=jnp.asarray(mask),
+                decoder_q8=self._params_q8,
+            )
         out = np.asarray(out)
         results = []
         counts = []

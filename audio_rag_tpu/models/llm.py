@@ -47,6 +47,8 @@ __all__ = [
     "llm_param_spec",
     "llm_prefill_slot",
     "llm_decode_slots",
+    "llm_block_verify",
+    "llm_speculative_generate",
 ]
 
 
@@ -496,6 +498,222 @@ def llm_decode_slots(
         None, length=n_steps,
     )
     return toks.T, cache_k, cache_v, pos, finished
+
+
+def llm_block_verify(
+    params: Params,
+    dims: LLMDims,
+    block: jax.Array,  # (B, k) int32 — [cur, draft_1..draft_{k-1}]
+    pos: jax.Array,  # (B,) int32 — per-row KV write index of block[:, 0]
+    cache_k: jax.Array,  # (L, B, HKV, C, hd)
+    cache_v: jax.Array,
+    kv_valid: jax.Array | None = None,  # (B, C) bool, False = pad slot
+    rope_pos: jax.Array | None = None,  # (B,) TRUE position of block[:, 0]
+    dtype: jnp.dtype = jnp.bfloat16,
+    q8: Params | None = None,  # quantize_llm_weights output
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Teacher-forced k-token step with PER-ROW positions — the verify
+    pass of speculative decoding (the LLM twin of whisper's
+    ``decoder_block_verify``, models/whisper.py).
+
+    One invocation consumes a k-token block per row: the decode-loop
+    weights (attention/SwiGLU linears + the 128k-vocab lm_head — the
+    memory-bound term at ≈2.5 GB/step bf16 on llama-3.2-1b) are read ONCE
+    for k tokens instead of once per token; the k queries ride the
+    attention dot's M dimension. Per-row positions let each batch row
+    advance by its own acceptance count. Layer loop UNROLLED like
+    :func:`llm_decode_step` (a scan measured ~2× slower in decode loops).
+    Returns (logits (B, k, vocab) fp32, cache_k, cache_v).
+    """
+    L, B, HKV, C, hd = cache_k.shape
+    H = dims.n_heads
+    k = block.shape[1]
+    cos_t, sin_t = _rope_tables(dims, hd)
+    rp0 = pos if rope_pos is None else rope_pos
+    rp = jnp.clip(rp0[:, None] + jnp.arange(k)[None, :], 0,
+                  dims.max_len - 1)  # (B, k) TRUE positions
+    cos = cos_t[rp][:, None]  # (B, 1, k, hd/2)
+    sin = sin_t[rp][:, None]
+    x = params["tok_emb"]["table"].astype(dtype)[block]  # (B, k, d)
+    # query j (at stream position pos+j) may attend cache slots c ≤ pos+j
+    cpos = jnp.clip(pos[:, None] + jnp.arange(k)[None, :], 0, C - 1)  # (B,k)
+    mask = (jnp.arange(C)[None, None, None, :]
+            <= cpos[:, None, :, None])  # (B, 1, k, C)
+    if kv_valid is not None:
+        mask = mask & kv_valid[:, None, None, :]
+    scale = hd ** -0.5
+    b_idx = jnp.arange(B)
+    kv_idx = jnp.arange(HKV)
+
+    for layer in range(dims.n_layers):
+        p = jax.tree.map(lambda a: a[layer], params["blocks"])
+        p8 = None if q8 is None else q8["blocks"][layer]
+
+        def lin(pp, key8, xx):
+            if p8 is None:
+                return linear(pp, xx, dtype)
+            return linear_q8(pp, p8[key8], xx, dtype)
+
+        xn = rms_norm(p["ln_attn"], x)
+        q = lin(p["attn"]["q"], "attn_q", xn).reshape(
+            B, k, H, hd).transpose(0, 2, 1, 3)
+        kk = lin(p["attn"]["k"], "attn_k", xn).reshape(
+            B, k, HKV, hd).transpose(0, 2, 1, 3)
+        vv = lin(p["attn"]["v"], "attn_v", xn).reshape(
+            B, k, HKV, hd).transpose(0, 2, 1, 3)
+        q = apply_rope(q, cos, sin)
+        kk = apply_rope(kk, cos, sin)
+        # per-row scatter: row b writes its k fresh K/V at pos_b..pos_b+k-1
+        cache_k = cache_k.at[layer, b_idx[:, None, None],
+                             kv_idx[None, :, None],
+                             cpos[:, None, :], :].set(
+            kk.astype(cache_k.dtype))
+        cache_v = cache_v.at[layer, b_idx[:, None, None],
+                             kv_idx[None, :, None],
+                             cpos[:, None, :], :].set(
+            vv.astype(cache_v.dtype))
+        ck = jnp.repeat(cache_k[layer], H // HKV, axis=1).astype(dtype)
+        cv = jnp.repeat(cache_v[layer], H // HKV, axis=1).astype(dtype)
+        s = jnp.einsum("bhqd,bhkd->bhqk", q * scale, ck,
+                       preferred_element_type=jnp.float32)
+        s = jnp.where(mask, s, -1e30)
+        probs = jax.nn.softmax(s, axis=-1).astype(dtype)
+        o = jnp.einsum("bhqk,bhkd->bhqd", probs, cv,
+                       preferred_element_type=jnp.float32).astype(dtype)
+        o = o.transpose(0, 2, 1, 3).reshape(B, k, dims.d_model)
+        x = x + lin(p["attn"]["o"], "attn_o", o)
+        xm = rms_norm(p["ln_mlp"], x)
+        if p8 is None:
+            x = x + swiglu(p["mlp"], xm, dtype)
+        else:
+            gate = jax.nn.silu(lin(p["mlp"]["gate"], "mlp_gate", xm))
+            x = x + lin(p["mlp"]["down"], "mlp_down",
+                        gate * lin(p["mlp"]["up"], "mlp_up", xm))
+
+    x = rms_norm(params["ln_f"], x)
+    if q8 is None:
+        logits = linear(params["lm_head"], x, dtype).astype(jnp.float32)
+    else:
+        logits = linear_q8(params["lm_head"], q8["lm_head"], x,
+                           dtype=jnp.float32)
+    return logits, cache_k, cache_v
+
+
+def llm_speculative_generate(
+    params: Params,
+    dims: LLMDims,
+    prompt: jax.Array,  # (B, P) int32 (left-padded when prompt_mask given)
+    max_new_tokens: int,
+    eos_id: int,
+    spec_k: int = 8,
+    dtype: jnp.dtype = jnp.bfloat16,
+    prompt_mask: jax.Array | None = None,  # (B, P) bool, False = left-pad
+    decoder_q8: Params | None = None,  # quantize_llm_weights output
+) -> jax.Array:
+    """Greedy decode with speculative multi-token steps — output is
+    EXACTLY :func:`llm_generate`'s at ``temperature=0`` (greedy
+    verification accepts a draft token only when it equals the model's own
+    argmax, and the bonus token IS the model's argmax).
+
+    Same mechanism as whisper's ``speculative_greedy_decode``: each
+    iteration drafts ``spec_k-1`` tokens with the zero-cost n-gram drafter
+    (prompt-lookup decoding — RAG answers and contextual headers copy
+    context spans, exactly the regime n-gram drafting accepts well), then
+    verifies the block in ONE :func:`llm_block_verify` pass: per accepted
+    run of a+1 tokens the weights/lm_head are read once instead of a+1
+    times. Worst case degrades to ≈1 weight-read per token — the status
+    quo. Rows advance independently (per-row positions).
+
+    Returns (B, P+max_new) with positions past EOS filled with ``eos_id``
+    — same contract as :func:`llm_generate`.
+    """
+    from audio_rag_tpu.models.whisper import ngram_draft
+
+    B, Pl = prompt.shape
+    hd = dims.d_model // dims.n_heads
+    k = spec_k
+    total = Pl + max_new_tokens
+    # cache headroom: a block write may extend k-1 slots past a row's
+    # last real position
+    cache_len = min(dims.max_len, total) + k
+    lk = jnp.zeros((dims.n_layers, B, dims.n_kv_heads, cache_len, hd), dtype)
+    lv = jnp.zeros_like(lk)
+
+    kv_valid = None
+    pos_ids = None
+    row_offset = jnp.zeros((B,), jnp.int32)
+    if prompt_mask is not None:
+        kv_valid = jnp.concatenate(
+            [prompt_mask.astype(bool),
+             jnp.ones((B, cache_len - Pl), bool)], axis=1
+        )
+        pos_ids = jnp.maximum(
+            jnp.cumsum(prompt_mask.astype(jnp.int32), axis=1) - 1, 0)
+        row_offset = (Pl - prompt_mask.astype(jnp.int32).sum(axis=1)
+                      ).astype(jnp.int32)
+
+    logits, (lk, lv) = llm_forward(
+        params, dims, prompt, 0, (lk, lv), dtype,
+        kv_valid=kv_valid[:, :cache_len] if kv_valid is not None else None,
+        pos_ids=pos_ids,
+    )
+    first = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+
+    tokens = jnp.full((B, total), eos_id, jnp.int32)
+    tokens = tokens.at[:, :Pl].set(prompt)
+    tokens = tokens.at[:, Pl].set(first)
+    finished = first == eos_id
+    n_tok = jnp.full((B,), Pl, jnp.int32)  # index of last valid token
+    b_idx = jnp.arange(B)
+
+    def cond(state):
+        _, _, _, _, finished = state
+        return ~jnp.all(finished)
+
+    def body(state):
+        tokens, n_tok, lk, lv, finished = state
+        cur = tokens[b_idx, n_tok]  # (B,)
+        drafts = ngram_draft(tokens, n_tok, k - 1)  # (B, k-1)
+        block = jnp.concatenate([cur[:, None], drafts], axis=1)  # (B, k)
+        logits, lk, lv = llm_block_verify(
+            params, dims, block, n_tok, lk, lv,
+            kv_valid=kv_valid, rope_pos=n_tok - row_offset,
+            dtype=dtype, q8=decoder_q8,
+        )
+        f = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, k)
+
+        # greedy acceptance: draft j+1 survives iff it equals the model's
+        # own argmax f_j given the prefix; emitted tokens are therefore
+        # f[:, 0..a] (accepted drafts ARE the argmaxes, plus the bonus)
+        match = block[:, 1:] == f[:, :-1]  # (B, k-1)
+        a = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
+        # stop at the first emitted EOS, and never write past total-1
+        eos_pos = jnp.argmax(f == eos_id, axis=1)
+        has_eos = jnp.any(f == eos_id, axis=1)
+        a = jnp.where(has_eos, jnp.minimum(a, eos_pos), a)
+        a = jnp.minimum(a, total - 2 - n_tok)  # emission bound
+
+        j_grid = jnp.arange(k)[None, :]
+        write = (j_grid <= a[:, None]) & ~finished[:, None]  # (B, k)
+        # UNCLIPPED destinations + mode="drop" (see whisper's note:
+        # clipping would alias several j onto the last slot and the stale
+        # duplicate would win the scatter)
+        dst = n_tok[:, None] + 1 + j_grid
+        old = jnp.take_along_axis(
+            tokens, jnp.clip(dst, 0, total - 1), axis=1)
+        tokens = tokens.at[b_idx[:, None], dst].set(
+            jnp.where(write, f, old), mode="drop")
+
+        n_new = jnp.where(finished, 0, a + 1)
+        n_tok = n_tok + n_new
+        emitted_eos = jnp.any((f == eos_id) & write, axis=1)
+        finished = finished | emitted_eos | (n_tok >= total - 1)
+        return tokens, n_tok, lk, lv, finished
+
+    tokens, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (tokens, n_tok, lk, lv, finished),
+    )
+    return tokens
 
 
 def llm_generate(

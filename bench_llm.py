@@ -36,9 +36,15 @@ def main() -> None:
     import os
 
     decoder_int8 = os.environ.get("BENCH_DECODER_INT8", "0") == "1"
+    #: speculative block decode for the wave path (0 = off). Random-init
+    #: greedy decode settles into repetition loops, which the n-gram
+    #: drafter accepts at a high rate — an upper-bound-ish acceptance
+    #: regime; real RAG answers/contextual headers (context-span copying)
+    #: sit between that and the no-accept worst case (= status quo cost).
+    spec_k = int(os.environ.get("BENCH_SPEC_K", 0))
     gen = LLMGenerator(GenerationConfig(
         model=model, temperature=0.0, use_scheduler=False,
-        decoder_int8=decoder_int8,
+        decoder_int8=decoder_int8, speculative_k=spec_k,
     ))
     gen.load()
     prompts = [
@@ -103,6 +109,7 @@ def main() -> None:
             "mixed_short_request_p50_ms": round(short_p50, 1),
             "long_not_blocking_shorts": bool(long_running_at_shorts_done),
             "n_slots": 8, "segment_tokens": 16,
+            "speculative_k": spec_k,
             "note": "random-init weights; single v5e via relay "
                     "(~28ms/dispatch floor; continuous pays it per "
                     "16-token segment, wave once per batch)",
