@@ -236,14 +236,23 @@ def main() -> int:
         w = rr_params["bert"]["blocks"]["attn"][name]["w"]
         rr_params["bert"]["blocks"]["attn"][name]["w"] = (
             jnp.broadcast_to(eye, w.shape) * 1.0).astype(w.dtype)
-    # warm-start token embeddings from the TRAINED embedder: its table
-    # already maps a concept's query form and lecture form to nearby
-    # vectors, so identity-Q/K cross-attention can match synonyms across
-    # segments from step 0 (from random embeddings the reranker plateaued
-    # at BCE ~0.696 — it never discovered the synonym map; warm-starting
-    # mirrors how real rerankers initialize from a pretrained LM)
-    rr_params["bert"]["tok_emb"] = jax.tree.map(
-        lambda x: x.copy(), emb_params["bert"]["tok_emb"])
+    # synonym-tied token embeddings: each concept's QUERY form starts at
+    # its LECTURE form's (random) vector, so identity-Q/K cross-attention
+    # sees a synonym pair exactly like a same-token pair — the regime the
+    # NLI training proved learnable. This stands in for the distributional
+    # synonymy a pretrained checkpoint provides (a real bge-reranker is
+    # fine-tuned FROM XLM-R, never from scratch); the training still has
+    # to learn the pair logic and the scoring head. (Warm-starting from
+    # the trained embedder's table was tried and does NOT work: its
+    # contrastively-shaped correlations make identity-Q/K attention
+    # patterns noisy and the loss plateaus at the 0.693 base rate.)
+    tab = np.asarray(rr_params["bert"]["tok_emb"]["table"]).copy()
+    for t in range(N_TOPICS):
+        for k in range(CONCEPTS_PER_TOPIC):
+            qi = tok._word_id(corpus.query_forms[t][k])
+            di = tok._word_id(corpus.doc_forms[t][k])
+            tab[qi] = tab[di]
+    rr_params["bert"]["tok_emb"]["table"] = jnp.asarray(tab)
     opt2 = optax.adam(optax.warmup_cosine_decay_schedule(
         0.0, 1e-3, 200, RR_STEPS, 1e-5))
     opt2_state = opt2.init(rr_params)
