@@ -14,6 +14,8 @@ batch-shaped so the continuous-batching scheduler can overlap decodes.
 
 from __future__ import annotations
 
+import time
+
 from audio_rag_tpu.config.schema import ContextualConfig
 from audio_rag_tpu.core.base import BaseGenerator
 from audio_rag_tpu.core.types import AudioChunk
@@ -104,6 +106,33 @@ class ContextualProcessor:
             chunk=_clip_chunk_text(chunk.text),
         )
 
+    def _gen_batch_retry(self, gen_batch, prompts: list[str]) -> list[str]:
+        """One retry after a short drain pause on device-memory failures.
+
+        The header batch usually runs right after the ResourceManager
+        swapped whisper out for the LLM; on this runtime buffer frees are
+        asynchronous, so the first decode can race the in-flight
+        deallocations and hit RESOURCE_EXHAUSTED on a chip that fits
+        (engine.sync docstring). A 2 s pause + sync lets the frees land;
+        anything else (or a second failure) propagates to the caller's
+        degrade-to-no-header path.
+        """
+        try:
+            return gen_batch(prompts, max_tokens=96, temperature=0.3)
+        except Exception as exc:
+            if "RESOURCE_EXHAUSTED" not in str(exc):
+                raise
+            log.warning("contextual batch hit %s; draining frees and "
+                        "retrying once", type(exc).__name__)
+            time.sleep(2.0)
+            try:
+                from audio_rag_tpu.engine.engine import get_engine
+
+                get_engine().sync()
+            except Exception:  # pragma: no cover
+                pass
+            return gen_batch(prompts, max_tokens=96, temperature=0.3)
+
     @timed
     def process_chunks(self, chunks: list[AudioChunk]) -> list[AudioChunk]:
         """Prepend ``[Context: ...]`` headers; original text kept in
@@ -142,10 +171,8 @@ class ContextualProcessor:
             BATCH = 16
             for i in range(0, len(prompts), BATCH):
                 try:
-                    headers.extend(gen_batch(
-                        prompts[i: i + BATCH], max_tokens=96,
-                        temperature=0.3,
-                    ))
+                    headers.extend(self._gen_batch_retry(
+                        gen_batch, prompts[i: i + BATCH]))
                 except Exception as exc:
                     log.warning("batched contextual headers failed: %s", exc)
                     headers.extend([None] * len(prompts[i: i + BATCH]))

@@ -120,6 +120,26 @@ class InferenceEngine:
                 # drop python refs; XLA frees buffers when unreferenced
                 del entry
 
+    def sync(self) -> None:
+        """Round-trip a trivial device op so queued DEALLOCATIONS drain
+        before the caller allocates into the freed space.
+
+        On this runtime buffer frees are asynchronous: after an eviction,
+        a large load issued within ~1-2 s can race the in-flight frees and
+        RESOURCE_EXHAUSTED even though the post-free ledger fits (measured:
+        the whisper→llama swap in the contextual ingest stage failed
+        exactly this way while an identical flow with a pause between
+        evict and load succeeded). One ~28 ms relay round-trip after the
+        free is queued orders the allocation behind it.
+        """
+        try:
+            import jax.numpy as jnp
+
+            jax.block_until_ready(
+                jax.device_put(jnp.zeros((8,), jnp.float32)) + 1.0)
+        except Exception:  # pragma: no cover - sync is best-effort
+            pass
+
     def drop_programs(self, name: str) -> None:
         """Explicitly invalidate a model's compiled programs (needed only
         if a program's SHAPE contract changes, e.g. a dims swap)."""

@@ -97,6 +97,7 @@ class ResourceManager:
                          "budget_gb": self.max_hbm_gb},
             )
         with self._lock:
+            evicted_any = False
             while self.used_gb() + required_gb > self.max_hbm_gb:
                 victims = [
                     m for m in self._models.values()
@@ -119,6 +120,18 @@ class ResourceManager:
                     victim.instance.unload()
                 finally:
                     self._models.pop(victim.name, None)
+                evicted_any = True
+            if evicted_any:
+                # drain the async frees before the caller allocates into
+                # the freed space (engine.sync docstring: an immediate
+                # multi-GB load can race the in-flight deallocations and
+                # RESOURCE_EXHAUSTED on a chip whose ledger fits)
+                try:
+                    from audio_rag_tpu.engine.engine import get_engine
+
+                    get_engine().sync()
+                except Exception:  # pragma: no cover
+                    pass
 
     # alias for reference API parity
     ensure_vram = ensure_hbm
