@@ -208,6 +208,7 @@ def llm_forward(
     dtype: jnp.dtype = jnp.bfloat16,
     kv_valid: jax.Array | None = None,  # (B, C or T) bool, False = pad slot
     pos_ids: jax.Array | None = None,  # (B, T) TRUE rope positions per row
+    last_pos: jax.Array | None = None,  # (B,) per-row position to project
 ) -> tuple[jax.Array, tuple[jax.Array, jax.Array] | None]:
     """Returns (logits (B, T, vocab) fp32, updated cache).
 
@@ -218,7 +219,15 @@ def llm_forward(
     padded frame (transformers derives position_ids from the attention
     mask); frame-indexed rope is only a uniform phase shift (harmless
     mathematically) but diverges in bf16 rounding from both HF and the
-    continuous-batching path."""
+    continuous-batching path.
+
+    ``last_pos`` restricts the lm_head projection to ONE position per row
+    (returned as logits (B, 1, vocab)): generation prefills only consume
+    the last valid position, and the full-sequence projection is
+    catastrophic at scale — (16, 1024, 128256) fp32 logits are 8.4 GB, a
+    measured OOM next to llama-3.2-3b's 10.4 GB residency when the
+    contextual header batch prefilled 16 prompts. Training/parity callers
+    leave it None and get the full (B, T, vocab)."""
     B, T = tokens.shape
     hd = dims.d_model // dims.n_heads
     cos_t, sin_t = _rope_tables(dims, hd)
@@ -260,6 +269,8 @@ def llm_forward(
         lv = lk
     x, (nk, nv) = jax.lax.scan(block, x, (params["blocks"], lk, lv))
     x = rms_norm(params["ln_f"], x)
+    if last_pos is not None:
+        x = x[jnp.arange(B), last_pos][:, None, :]  # (B, 1, d)
     logits = linear(params["lm_head"], x, dtype).astype(jnp.float32)
     return logits, ((nk, nv) if cache is not None else None)
 
@@ -437,15 +448,17 @@ def llm_prefill_slot(
     sv = jnp.zeros_like(sk)
     kv_valid = (jnp.arange(Pb) < n_valid)[None]
     logits, (sk, sv) = llm_forward(
-        params, dims, prompt, 0, (sk, sv), dtype, kv_valid=kv_valid
+        params, dims, prompt, 0, (sk, sv), dtype, kv_valid=kv_valid,
+        # project only the last REAL position (right-padded row): the
+        # full (1, Pb, 128k-vocab) fp32 logits would be ~0.5-1 GB per
+        # admission for nothing (see llm_forward last_pos docstring)
+        last_pos=jnp.reshape(n_valid - 1, (1,)).astype(jnp.int32),
     )
     cache_k = jax.lax.dynamic_update_slice(
         cache_k, sk.astype(cache_k.dtype), (0, slot, 0, 0, 0))
     cache_v = jax.lax.dynamic_update_slice(
         cache_v, sv.astype(cache_v.dtype), (0, slot, 0, 0, 0))
-    last = jax.lax.dynamic_index_in_dim(
-        logits[0], n_valid - 1, axis=0, keepdims=False)
-    return cache_k, cache_v, last
+    return cache_k, cache_v, logits[0, 0]
 
 
 def llm_decode_slots(
@@ -656,6 +669,10 @@ def llm_speculative_generate(
         params, dims, prompt, 0, (lk, lv), dtype,
         kv_valid=kv_valid[:, :cache_len] if kv_valid is not None else None,
         pos_ids=pos_ids,
+        # left-padded rows all end at frame Pl-1; projecting only that
+        # position avoids the (B, T, vocab) fp32 logits OOM (see
+        # llm_forward docstring)
+        last_pos=jnp.full((B,), Pl - 1, jnp.int32),
     )
     first = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
 
@@ -757,6 +774,7 @@ def llm_generate(
         params, dims, prompt, 0, (lk, lv), dtype,
         kv_valid=kv_valid[:, :cache_len] if kv_valid is not None else None,
         pos_ids=pos_ids,
+        last_pos=jnp.full((B,), Pl - 1, jnp.int32),  # see llm_forward
     )
     if rng is None:
         rng = jax.random.PRNGKey(0)

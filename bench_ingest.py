@@ -67,6 +67,14 @@ def main() -> None:
     cfg.asr.temperature_fallback = False  # random-init gate artifact
     cfg.asr.vad_filter = False
     cfg.diarization.backend = "clustering"
+    # fixed word-window chunking: random-init transcripts have no real
+    # speaker-turn structure, so the speaker_turn chunker folds a whole
+    # file into ONE chunk — which would reduce the contextual stage to a
+    # single header and understate the reference's per-chunk cost (its
+    # 10 min/audio-hour is one serial LLM call per chunk). Word windows
+    # reproduce the many-chunks-per-file load the reference actually pays,
+    # so the batched-header claim is measured at realistic chunk counts.
+    cfg.chunking.strategy = "fixed"
     cfg.embedding.backend = "bge-m3"
     cfg.retrieval.backend = "tpu"
     # contextual chunk headers ON by default: the reference's SLOWEST
