@@ -322,14 +322,18 @@ class WhisperJaxASR(BaseASR):
         # for the real sizes; shorter for the test preset, so tests
         # exercise the same multi-window batching as production)
         window_s = 2 * self.dims.n_audio_ctx * HOP_LENGTH / SAMPLE_RATE
+        # slice on INTEGER sample indices: float-seconds arithmetic
+        # truncates (int(1.2 * 16000) == 19199), producing windows one
+        # sample short of full — which silently fails the contiguity
+        # check below and drops the time-axis-sharded mel path
+        step = int(round(window_s * sr))
         windows: list[tuple[float, np.ndarray]] = []
         for s, e in spans:
-            t = s
-            while t < e:
-                seg = wav[int(t * sr): int(min(t + window_s, e) * sr)]
+            s_idx, e_idx = int(round(s * sr)), int(round(e * sr))
+            for start in range(s_idx, e_idx, step):
+                seg = wav[start: min(start + step, e_idx)]
                 if seg.size >= int(0.2 * sr):  # skip sub-200ms tails
-                    windows.append((t, seg))
-                t += window_s
+                    windows.append((start / sr, seg))
         if not windows:
             return []
 

@@ -149,6 +149,14 @@ class ChunkingConfig(BaseModel):
 class ContextualConfig(BaseModel):
     enabled: bool = False
     window_size: int = Field(default=1, ge=0, le=3)
+    #: header source: ``llm`` prompts the generation backend per chunk
+    #: (reference ``contextual/processor.py:114-117`` semantics, batched
+    #: here); ``extractive`` derives headers deterministically from
+    #: tf-idf-salient neighbor terms absent from the chunk — no model,
+    #: CPU-cheap, usable when no LLM weights are available
+    backend: Literal["llm", "extractive"] = "llm"
+    #: terms per extractive header
+    extractive_terms: int = Field(default=4, ge=1, le=16)
 
 
 class EmbeddingConfig(BaseModel):
@@ -201,8 +209,17 @@ class RerankingConfig(BaseModel):
 
 
 class ExpansionConfig(BaseModel):
-    backend: Literal["hyde", "none"] = "none"
+    #: ``hyde`` embeds an LLM-written hypothetical answer passage
+    #: (reference ``expansion/hyde.py``); ``prf`` is RM3-style
+    #: pseudo-relevance feedback — expand the query with tf-idf-salient
+    #: terms from its own first-pass top results (no model; measurable
+    #: on the quality sweep, unlike HyDE which needs trained LLM weights)
+    backend: Literal["hyde", "prf", "none"] = "none"
     num_hypotheses: int = Field(default=1, ge=1, le=3)
+    #: PRF: feedback depth (first-pass results mined for terms)
+    prf_depth: int = Field(default=5, ge=1, le=50)
+    #: PRF: number of expansion terms appended to the query
+    prf_terms: int = Field(default=6, ge=1, le=32)
 
 
 class GenerationConfig(BaseModel):

@@ -38,6 +38,50 @@ CONTEXT_PROMPT = (
 
 NEIGHBOR_TRUNCATE = 200  # chars per neighbour, reference processor.py:96
 
+
+def extractive_headers(
+    chunks: list[AudioChunk], window_size: int, top_n: int = 4
+) -> list[str | None]:
+    """Deterministic non-neural headers: per chunk, the ``top_n``
+    tf·idf-salient terms from its ±``window_size`` neighbours that the
+    chunk itself does not contain.
+
+    This is the document-level-context mechanism of Anthropic-style
+    contextual retrieval (reference ``contextual/processor.py:30-207``)
+    without the LLM: a chunk that refers to its subject elliptically
+    ("it converges quadratically...") becomes retrievable by the subject
+    term its neighbour names. idf is computed over this call's chunks
+    (one file = one document collection), so scaffold/filler words that
+    appear everywhere score ~0 and rare topical terms dominate.
+    """
+    import math
+
+    texts = [c.text.lower().split() for c in chunks]
+    n = len(texts)
+    df: dict[str, int] = {}
+    for words in texts:
+        for w in set(words):
+            df[w] = df.get(w, 0) + 1
+    headers: list[str | None] = []
+    for i in range(n):
+        own = set(texts[i])
+        tf: dict[str, int] = {}
+        for j in range(max(0, i - window_size),
+                       min(n, i + window_size + 1)):
+            if j == i:
+                continue
+            for w in texts[j]:
+                if w not in own:
+                    tf[w] = tf.get(w, 0) + 1
+        scored = sorted(
+            ((cnt * math.log((n + 1) / (1 + df[w])), w)
+             for w, cnt in tf.items()),
+            key=lambda sw: (-sw[0], sw[1]),  # deterministic tie-break
+        )
+        terms = [w for s, w in scored[:top_n] if s > 0]
+        headers.append("near: " + ", ".join(terms) if terms else None)
+    return headers
+
 #: chars of chunk text quoted in the header prompt. The reference's chunks
 #: are naturally small (word-window chunker), but a degenerate transcript
 #: can land a whole file in one chunk — unclamped, an hour-long chunk
@@ -143,7 +187,14 @@ class ContextualProcessor:
         ingest stage (one serial Ollama call per chunk) becomes a handful
         of batched decodes.
         """
-        if not self.config.enabled or self.generator is None:
+        if not self.config.enabled:
+            return chunks
+        if self.config.backend == "extractive":
+            headers = extractive_headers(
+                chunks, self.config.window_size,
+                self.config.extractive_terms)
+            return self._apply_headers(chunks, headers)
+        if self.generator is None:
             return chunks
         # the ResourceManager may have evicted the generator since the
         # last file (whisper↔llama swap under the HBM budget during
@@ -187,6 +238,12 @@ class ContextualProcessor:
                     log.warning("contextual header failed: %s", exc)
                     headers.append(None)
 
+        return self._apply_headers(chunks, headers)
+
+    @staticmethod
+    def _apply_headers(
+        chunks: list[AudioChunk], headers: list[str | None]
+    ) -> list[AudioChunk]:
         out: list[AudioChunk] = []
         for chunk, header in zip(chunks, headers):
             header = (header or "").strip() or None

@@ -42,8 +42,9 @@ import numpy as np
 from audio_rag_tpu.evaluation.dataset import EvalDataset, EvalSample
 
 __all__ = [
-    "SynthCorpus", "make_corpus",
+    "SynthCorpus", "make_corpus", "extend_corpus",
     "N_TOPICS", "CHUNKS_PER_TOPIC", "CONCEPTS_PER_TOPIC",
+    "N_CONTEXT", "N_MISMATCH",
 ]
 
 N_TOPICS = 30
@@ -130,6 +131,10 @@ class SynthCorpus:
     #: topic → concept → query-side surface form (used in questions)
     query_forms: list[list[str]]
     eval_set: EvalDataset = field(default=None)  # type: ignore[assignment]
+    #: (start, end) chunk-index ranges forming one "recording" each —
+    #: the unit ingestion contextualizes over (``extend_corpus`` sets it;
+    #: base corpus: one group per topic)
+    doc_groups: list[tuple[int, int]] | None = None
 
     def relevant_chunks(self, topic: int, concepts: tuple[int, ...]
                         ) -> list[int]:
@@ -247,3 +252,115 @@ def _make_eval_set(c: SynthCorpus, seed: int) -> EvalDataset:
         ))
 
     return EvalDataset(name="synthetic-discriminating-24", samples=samples)
+
+
+N_CONTEXT = 8   # context-dependent intro+detail pairs (contextual stage)
+N_MISMATCH = 8  # query↔document vocabulary-mismatch setups (PRF stage)
+
+
+def extend_corpus(c: SynthCorpus, seed: int = 99) -> SynthCorpus:
+    """Append structures that make the CONTEXTUAL and EXPANSION stages
+    measurable, mirroring the reference's published ladder (dense →
+    contextual+hybrid → +expansion, reference ``README.md:30-31``).
+    The base corpus (and therefore the committed trained-model assets,
+    ``scripts/train_retrieval.py``) is untouched — everything appends
+    with a fresh RNG stream, so base generation stays byte-identical.
+
+    * **Context pairs** — an *intro* chunk names a fresh concept (twice,
+      for extractive-header salience); its *detail* neighbour discusses
+      it only elliptically (a shared pronoun pseudo-word). A ``context``
+      query asks about the concept: without contextual headers the detail
+      chunk is unfindable; a header carrying the neighbour's concept term
+      (``contextual.backend: extractive`` — or an LLM's) makes it rank.
+      This is exactly the Anthropic contextual-retrieval failure mode.
+    * **Mismatch bridges** — a ``mismatch`` query uses an *alias* term
+      that appears only in two bridge chunks, where it co-occurs with the
+      canonical concept term the truly-relevant chunks use. First-pass
+      retrieval finds the bridges; RM3 feedback
+      (``expansion.backend: prf``) mines the canonical term and the
+      re-written query reaches the canonical chunks — the same
+      vocabulary-mismatch gap HyDE closes with an LLM.
+    """
+    from audio_rag_tpu.text.tokenizer import HashWordTokenizer
+
+    tok = HashWordTokenizer(4096)
+    taken = {tok._word_id(w) for ch in c.chunks for w in ch.split()}
+    taken |= {
+        tok._word_id(w)
+        for s in c.eval_set
+        for w in s.question.split()
+    }
+    rng = np.random.default_rng(seed)
+    concepts = _make_vocab(rng, N_CONTEXT, taken, tok._word_id)
+    aliases = _make_vocab(rng, N_MISMATCH, taken, tok._word_id)
+    pron = _make_vocab(rng, 1, taken, tok._word_id)[0]  # the shared "it"
+    # reuse the base corpus's filler pool (positions 5+ of every chunk) so
+    # appended chunks keep the same high-df/IDF-0 noise floor
+    filler = sorted({w for ch in c.chunks for w in ch.split()[5:]})
+
+    chunks = list(c.chunks)
+    tags = list(c.tags)
+    topic_of = list(c.topic_of)
+    pair_of = list(c.pair_of)
+    groups = [(t * CHUNKS_PER_TOPIC, (t + 1) * CHUNKS_PER_TOPIC)
+              for t in range(N_TOPICS)]
+    samples = list(c.eval_set.samples)
+
+    def new_tag() -> str:
+        tag = f"s{len(tags):03d}"
+        while tok._word_id(tag) in taken:
+            tag += "x"
+        taken.add(tok._word_id(tag))
+        tags.append(tag)
+        return tag
+
+    def add_chunk(words: list[str], topic: int) -> str:
+        tag = tags[len(chunks)]
+        fill = rng.choice(filler, size=6).tolist()
+        chunks.append(f"section {tag} covers {words[0]} alongside "
+                      f"{words[1]} " + " ".join(fill))
+        topic_of.append(topic)
+        pair_of.append((-1, -1))
+        return tag
+
+    for k in range(N_CONTEXT):
+        w = concepts[k]
+        t_i, t_d = new_tag(), new_tag()
+        start = len(chunks)
+        add_chunk([w, w], N_TOPICS + k)          # intro: concept named 2×
+        add_chunk([pron, pron], N_TOPICS + k)    # detail: elliptical
+        groups.append((start, len(chunks)))
+        samples.append(EvalSample(
+            question=_QUERY_TEMPLATES_A[k % len(_QUERY_TEMPLATES_A)]
+            .format(q0=w),
+            reference_answer=f"the recording introduces {w} and then "
+                             f"elaborates on it",
+            relevance_keywords=[t_i, t_d],
+            metadata={"type": "context", "topic": N_TOPICS + k},
+        ))
+
+    for k in range(N_MISMATCH):
+        x = aliases[k]
+        t = k  # deterministic topic choice; disjoint query surface anyway
+        cc = k % CONCEPTS_PER_TOPIC
+        canon = c.doc_forms[t][cc]
+        start = len(chunks)
+        tb1, tb2 = new_tag(), new_tag()
+        add_chunk([x, canon], t)
+        add_chunk([canon, x], t)
+        groups.append((start, len(chunks)))
+        rel = c.relevant_chunks(t, (cc,))
+        samples.append(EvalSample(
+            question=_QUERY_TEMPLATES_A[k % len(_QUERY_TEMPLATES_A)]
+            .format(q0=x),
+            reference_answer=f"{x} is another name for {canon}",
+            relevance_keywords=[c.tags[i] for i in rel] + [tb1, tb2],
+            metadata={"type": "mismatch", "topic": t},
+        ))
+
+    out = SynthCorpus(chunks, tags, topic_of, pair_of,
+                      c.doc_forms, c.query_forms,
+                      doc_groups=groups)
+    out.eval_set = EvalDataset(
+        name="synthetic-discriminating-40", samples=samples)
+    return out

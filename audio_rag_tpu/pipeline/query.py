@@ -118,7 +118,14 @@ class QueryPipeline:
     @property
     def expander(self):
         if self._expander is None:
-            self._expander = HyDEExpander(self.config.expansion, self.generator)
+            if self.config.expansion.backend == "prf":
+                from audio_rag_tpu.expansion.prf import PRFExpander
+
+                self._expander = PRFExpander(
+                    self.config.expansion, self.embedder, self.retriever)
+            else:
+                self._expander = HyDEExpander(
+                    self.config.expansion, self.generator)
         return self._expander
 
     @property
@@ -228,8 +235,8 @@ class QueryPipeline:
         timings: dict[str, float] = {}
         top_k = top_k or self.config.retrieval.top_k
         search_type = search_type or self.config.retrieval.search_type
-        use_hyde = (
-            self.config.expansion.backend == "hyde"
+        use_hyde = (  # "expansion on": HyDE or PRF per config.backend
+            self.config.expansion.backend in ("hyde", "prf")
             if use_hyde is None else use_hyde
         )
         do_rerank = (

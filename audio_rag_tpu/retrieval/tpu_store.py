@@ -442,6 +442,30 @@ class TPUVectorStore(BaseRetriever):
         except RetrievalError:
             return 0
 
+    def term_stats(
+        self, collection: str | None = None
+    ) -> tuple[int, dict[str, int]]:
+        """(n_docs, per-term document frequency) over the collection's
+        chunk texts — the lexical statistics PRF expansion
+        (:class:`~audio_rag_tpu.expansion.prf.PRFExpander`) weights
+        feedback terms with. Host-side, cached per collection size (the
+        store is append-only between deletes, so ``count`` is a valid
+        cache stamp)."""
+        try:
+            coll = self._coll(collection)
+        except RetrievalError:
+            return 0, {}
+        with self._lock:
+            cached = getattr(coll, "_term_stats_cache", None)
+            if cached is not None and cached[0] == coll.count:
+                return cached[1], cached[2]
+            df: dict[str, int] = {}
+            for i in range(coll.count):
+                for w in set(coll.payloads[i]["text"].lower().split()):
+                    df[w] = df.get(w, 0) + 1
+            coll._term_stats_cache = (coll.count, coll.count, df)
+            return coll.count, df
+
     def collection_exists(self, collection: str | None = None) -> bool:
         cname = collection or self.config.collection_name
         return cname in self._collections

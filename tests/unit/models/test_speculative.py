@@ -121,8 +121,15 @@ def test_backend_speculative_transcribe():
     audio = (0.05 * rng.standard_normal(sr * 2)).astype(np.float32)
 
     def run(spec_k):
+        # float32 compute: random-init logits are near-uniform, and the
+        # top-2 margin at some steps (~1.5e-3 logprob, measured) is below
+        # bf16 resolution — under bf16 the argmax between block-verify
+        # and step decode becomes a rounding coin-flip that even thread-
+        # pool state can tip (the divergence reproduced only after other
+        # tests warmed the XLA:CPU thread pool). fp32 noise (~1e-5) sits
+        # two orders below the margin, making parity deterministic.
         asr = WhisperJaxASR(ASRConfig(
-            model_size="test", vad_filter=False,
+            model_size="test", vad_filter=False, compute_type="float32",
             temperature_fallback=False, speculative_k=spec_k,
         ))
         asr.load()
