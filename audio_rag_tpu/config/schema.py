@@ -218,8 +218,11 @@ class ExpansionConfig(BaseModel):
     num_hypotheses: int = Field(default=1, ge=1, le=3)
     #: PRF: feedback depth (first-pass results mined for terms)
     prf_depth: int = Field(default=5, ge=1, le=50)
-    #: PRF: number of expansion terms appended to the query
-    prf_terms: int = Field(default=6, ge=1, le=32)
+    #: PRF: number of expansion terms appended to the query. Few and
+    #: high-confidence beats many: every appended term dilutes the
+    #: original query's lexical weight, so drift grows with the count
+    #: (measured on the eval sweep's tag queries)
+    prf_terms: int = Field(default=3, ge=1, le=32)
 
 
 class GenerationConfig(BaseModel):

@@ -50,9 +50,14 @@ def extractive_headers(
     contextual retrieval (reference ``contextual/processor.py:30-207``)
     without the LLM: a chunk that refers to its subject elliptically
     ("it converges quadratically...") becomes retrievable by the subject
-    term its neighbour names. idf is computed over this call's chunks
-    (one file = one document collection), so scaffold/filler words that
-    appear everywhere score ~0 and rare topical terms dominate.
+    term its neighbour names. Two guards keep headers from *hurting*
+    retrieval (measured on the eval sweep): a term must occur ≥2× in the
+    window (one-off identifiers — section numbers, citations — quoted
+    into a header make the chunk a false lexical match for them; a
+    repeated term is what the neighbourhood is actually about), and idf
+    is computed over this call's chunks (one file = one document
+    collection) so scaffold/filler words that appear everywhere rank
+    last.
     """
     import math
 
@@ -75,7 +80,12 @@ def extractive_headers(
                     tf[w] = tf.get(w, 0) + 1
         scored = sorted(
             ((cnt * math.log((n + 1) / (1 + df[w])), w)
-             for w, cnt in tf.items()),
+             for w, cnt in tf.items()
+             # ≥2 occurrences in the window AND not file-common (a term
+             # in >1/4 of the file's chunks is filler; quoting it shifts
+             # the chunk's embedding for zero retrieval information —
+             # df==1 always passes so short 2-3 chunk files still work)
+             if cnt >= 2 and (df[w] == 1 or 4 * df[w] <= n)),
             key=lambda sw: (-sw[0], sw[1]),  # deterministic tie-break
         )
         terms = [w for s, w in scored[:top_n] if s > 0]

@@ -293,7 +293,10 @@ def extend_corpus(c: SynthCorpus, seed: int = 99) -> SynthCorpus:
     rng = np.random.default_rng(seed)
     concepts = _make_vocab(rng, N_CONTEXT, taken, tok._word_id)
     aliases = _make_vocab(rng, N_MISMATCH, taken, tok._word_id)
-    pron = _make_vocab(rng, 1, taken, tok._word_id)[0]  # the shared "it"
+    # one "it"-analog per pair: a SHARED pronoun word would lexically
+    # alias every detail chunk to every other pair's queries the moment
+    # PRF mines it from feedback (measured: context P@5 0.275 → 0.10)
+    prons = _make_vocab(rng, N_CONTEXT, taken, tok._word_id)
     # reuse the base corpus's filler pool (positions 5+ of every chunk) so
     # appended chunks keep the same high-df/IDF-0 noise floor
     filler = sorted({w for ch in c.chunks for w in ch.split()[5:]})
@@ -327,8 +330,8 @@ def extend_corpus(c: SynthCorpus, seed: int = 99) -> SynthCorpus:
         w = concepts[k]
         t_i, t_d = new_tag(), new_tag()
         start = len(chunks)
-        add_chunk([w, w], N_TOPICS + k)          # intro: concept named 2×
-        add_chunk([pron, pron], N_TOPICS + k)    # detail: elliptical
+        add_chunk([w, w], N_TOPICS + k)              # intro: concept 2×
+        add_chunk([prons[k], prons[k]], N_TOPICS + k)  # detail: elliptical
         groups.append((start, len(chunks)))
         samples.append(EvalSample(
             question=_QUERY_TEMPLATES_A[k % len(_QUERY_TEMPLATES_A)]

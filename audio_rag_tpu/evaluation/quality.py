@@ -1,100 +1,152 @@
 """Discriminating retrieval-quality sweep.
 
-Runs the synthetic 240-chunk corpus (:mod:`audio_rag_tpu.evaluation.corpus`)
-through the production :class:`~audio_rag_tpu.engine.query_engine.QueryEngine`
-under each retrieval config — dense, hybrid, hybrid+rerank — with the
-committed *trained* tiny models (``embeddings`` model ``eval-small``,
-``reranking`` model ``eval-small``; trained by ``scripts/train_retrieval.py``).
+Runs the synthetic corpus (:mod:`audio_rag_tpu.evaluation.corpus`) through
+the production :class:`~audio_rag_tpu.engine.query_engine.QueryEngine`
+under each retrieval config — dense, hybrid, hybrid+rerank, contextual
+headers on, and PRF query expansion — with the committed *trained* tiny
+models (``embeddings`` model ``eval-small``, ``reranking`` model
+``eval-small``; trained by ``scripts/train_retrieval.py``).
 
 This is the quality-parity gate's measuring instrument: the reference's
-published sweep separates (P@5 0.425 dense → 0.625 hybrid+contextual →
-0.675 +HyDE, reference ``README.md:30-31``); a 24-chunk corpus with
-random-init weights cannot reproduce *any* separation (round-2 verdict:
-dense ≡ hybrid ≡ 0.792, hit rate 1.0). Here the corpus is 12× ``initial_k``
-and the models are trained, so each stage's mechanism is measurable and a
-ranking-quality regression moves the numbers.
+published sweep separates across the same ladder (P@5 0.425 dense → 0.625
+hybrid+contextual → 0.675 +HyDE, reference ``README.md:30-31``); a
+24-chunk corpus with random-init weights cannot reproduce *any* separation
+(round-2 verdict: dense ≡ hybrid ≡ 0.792, hit rate 1.0). Here the corpus
+is ≫ ``initial_k``, the models are trained, and every pipeline stage —
+including the contextual and expansion stages the reference ladder
+measures — has query types that isolate its mechanism, so a
+ranking-quality regression in any stage moves the numbers.
 
 Used by ``scripts/eval_quality.py`` (prints the table for docs/FIDELITY.md)
 and ``tests/unit/evaluation/test_quality_separation.py`` (asserts the
-separation ordering holds).
+separation orderings hold).
 """
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any
 
-from audio_rag_tpu.evaluation.corpus import SynthCorpus, make_corpus
-from audio_rag_tpu.evaluation.dataset import EvalDataset
+from audio_rag_tpu.evaluation.corpus import (
+    SynthCorpus,
+    extend_corpus,
+    make_corpus,
+)
 
-__all__ = ["build_eval_engine", "run_quality_sweep", "SWEEP_CONFIGS"]
+__all__ = ["build_eval_setup", "run_quality_sweep", "SWEEP_CONFIGS"]
 
-#: (label, search_type, rerank)
+#: (label, search_type, rerank, store, prf)
 SWEEP_CONFIGS = [
-    ("dense", "dense", False),
-    ("sparse", "sparse", False),
-    ("hybrid", "hybrid", False),
-    ("hybrid+rerank", "hybrid", True),
+    ("dense", "dense", False, "base", False),
+    ("sparse", "sparse", False, "base", False),
+    ("hybrid", "hybrid", False, "base", False),
+    ("hybrid+rerank", "hybrid", True, "base", False),
+    # the reference ladder's upper rows: contextual headers change what
+    # is EMBEDDED (store side); expansion changes what is SEARCHED
+    # (query side, PRF standing in for HyDE — no trained LLM exists)
+    ("hybrid+context", "hybrid", False, "ctx", False),
+    ("hybrid+context+prf", "hybrid", False, "ctx", True),
 ]
 
 
-def build_eval_engine(corpus: SynthCorpus | None = None):
-    """(engine, corpus): the production fused QueryEngine over the synthetic
-    corpus with the trained tiny retrieval models."""
+def _make_chunks(texts: list[str]) -> list:
+    from audio_rag_tpu.core.types import AudioChunk
+
+    return [
+        AudioChunk(t, float(i) * 30.0, float(i + 1) * 30.0,
+                   speaker=f"SPEAKER_{i % 2:02d}", chunk_id=f"c{i:03d}")
+        for i, t in enumerate(texts)
+    ]
+
+
+def build_eval_setup(corpus: SynthCorpus | None = None):
+    """(engines, corpus): ``engines`` maps store flavor → fused
+    QueryEngine — ``base`` embeds the raw chunks, ``ctx`` embeds them
+    after the production extractive contextual stage ran per recording
+    (``corpus.doc_groups``). Both share one trained embedder/reranker."""
     from audio_rag_tpu.config.schema import (
+        ContextualConfig,
         EmbeddingConfig,
         RerankingConfig,
         RetrievalConfig,
     )
-    from audio_rag_tpu.core.types import AudioChunk
+    from audio_rag_tpu.contextual.processor import ContextualProcessor
     from audio_rag_tpu.embeddings.bge import BGEM3Embedder
     from audio_rag_tpu.engine.query_engine import QueryEngine
     from audio_rag_tpu.reranking.bge import BGEReranker
     from audio_rag_tpu.retrieval.tpu_store import TPUVectorStore
 
-    corpus = corpus or make_corpus()
+    corpus = corpus or extend_corpus(make_corpus())
     emb = BGEM3Embedder(EmbeddingConfig(model="eval-small"))
     emb.load()
     rr = BGEReranker(RerankingConfig(model="eval-small",
                                      fused_doc_tokens=32))
     rr.load()
+
+    engines: dict[str, QueryEngine] = {}
+    base_chunks = _make_chunks(corpus.chunks)
     store = TPUVectorStore(RetrievalConfig(capacity_step=256))
-    chunks = [
-        AudioChunk(t, float(i) * 30.0, float(i + 1) * 30.0,
-                   speaker=f"SPEAKER_{i % 2:02d}", chunk_id=f"c{i:03d}")
-        for i, t in enumerate(corpus.chunks)
-    ]
-    store.add(chunks, emb.embed(corpus.chunks))
-    return QueryEngine(emb, store, rr), corpus
+    store.add(base_chunks, emb.embed(corpus.chunks))
+    engines["base"] = QueryEngine(emb, store, rr)
+
+    proc = ContextualProcessor(ContextualConfig(
+        enabled=True, backend="extractive", window_size=1))
+    groups = corpus.doc_groups or [(0, len(corpus.chunks))]
+    ctx_chunks = []
+    for a, b in groups:
+        ctx_chunks.extend(proc.process_chunks(base_chunks[a:b]))
+    ctx_store = TPUVectorStore(RetrievalConfig(capacity_step=256))
+    ctx_store.add(ctx_chunks, emb.embed([c.text for c in ctx_chunks]))
+    engines["ctx"] = QueryEngine(emb, ctx_store, rr)
+    return engines, corpus
 
 
 def run_quality_sweep(
-    engine=None,
-    eval_set: EvalDataset | None = None,
+    engines=None,
+    eval_set=None,
     top_k: int = 5,
     initial_k: int = 20,
 ) -> dict[str, Any]:
-    """metrics per config: overall + per query type (paraphrase/tag/pair).
+    """metrics per config: overall + per query type (paraphrase / tag /
+    pair / context / mismatch).
 
-    Returns ``{config: {"p_at_5": .., "mrr": .., "ndcg": .., "hit_rate": ..,
-    "by_type": {type: {...}}}}``.
+    Returns ``{config: {"p_at_5": .., "mrr": .., "ndcg": .., "hit_rate":
+    .., "by_type": {type: {...}}}}``. Relevance is judged on each hit's
+    ORIGINAL text (``metadata.original_text``) so contextual headers
+    can't satisfy a keyword by quoting a neighbour — headers may only
+    help by improving the *ranking*.
     """
+    from audio_rag_tpu.config.schema import ExpansionConfig
     from audio_rag_tpu.evaluation.metrics import RAGEvaluator
+    from audio_rag_tpu.expansion.prf import PRFExpander
 
-    if engine is None:
-        engine, corpus = build_eval_engine()
+    if engines is None:
+        engines, corpus = build_eval_setup()
         eval_set = eval_set or corpus.eval_set
     assert eval_set is not None
     evaluator = RAGEvaluator(k=top_k)
     queries = [s.question for s in eval_set]
 
     out: dict[str, Any] = {}
-    for label, stype, rerank in SWEEP_CONFIGS:
+    for label, stype, rerank, flavor, prf in SWEEP_CONFIGS:
+        engine = engines[flavor]
+        qs = queries
+        if prf:
+            expander = PRFExpander(
+                ExpansionConfig(backend="prf"), engine.embedder,
+                engine.store)
+            qs = [expander.expand_single(q) for q in queries]
         rows = engine.query_batch(
-            queries, top_k=top_k, search_type=stype,
+            qs, top_k=top_k, search_type=stype,
             initial_k=initial_k, rerank=rerank,
         )
         per_sample = []
         for sample, results in zip(eval_set, rows):
+            results = [
+                dataclasses.replace(
+                    r, text=r.metadata.get("original_text", r.text))
+                for r in results
+            ]
             m = evaluator.compute_retrieval_metrics(
                 results, sample.relevance_keywords, k=top_k)
             per_sample.append((sample.metadata.get("type", "?"), m))

@@ -21,6 +21,7 @@ from __future__ import annotations
 import math
 
 from audio_rag_tpu.config.schema import ExpansionConfig
+from audio_rag_tpu.text.tokenizer import norm_tokens
 from audio_rag_tpu.utils.logging import get_logger
 
 log = get_logger(__name__)
@@ -63,20 +64,50 @@ class PRFExpander:
         return f"{query} {' '.join(terms)}" if terms else query
 
     def _rm3_terms(self, query: str, feedback: list) -> list[str]:
-        qwords = set(query.lower().split())
+        qwords = set(norm_tokens(query))
         n_docs, df = self._corpus_stats()
+        # ANCHORED mining (measured on the eval sweep): only feedback
+        # docs that lexically contain a corpus-rare query term can
+        # contribute terms — such a doc is demonstrably about the
+        # query's subject, while the rest of the feedback is dense-model
+        # guesswork whose terms are pure query drift. Queries with <2
+        # anchors get NO expansion: either they carry no rare term
+        # (paraphrase-style — the dense path owns them) or exactly one
+        # doc matches it (exact-identifier lookups, already precise).
+        rare_q = {w for w in qwords
+                  if 0 < df.get(w, n_docs) * 8 <= n_docs}
+        anchors = [
+            r for r in feedback
+            if rare_q & set(norm_tokens(r.text))
+        ]
+        if len(anchors) < 2:
+            return []
         scores: dict[str, float] = {}
-        for rank, r in enumerate(feedback):
+        doc_freq: dict[str, int] = {}  # anchor-doc frequency per term
+        for rank, r in enumerate(anchors):
             w_rank = 1.0 / (1.0 + rank)  # higher-ranked docs weigh more
             tf: dict[str, int] = {}
-            for w in r.text.lower().split():
+            for w in norm_tokens(r.text):
                 if w not in qwords:
                     tf[w] = tf.get(w, 0) + 1
             for w, cnt in tf.items():
                 idf = math.log((n_docs + 1) / (1 + df.get(w, 0)))
                 scores[w] = scores.get(w, 0.0) + w_rank * cnt * idf
-        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
-        return [w for w, s in ranked[: self.config.prf_terms] if s > 0]
+                doc_freq[w] = doc_freq.get(w, 0) + 1
+        # a term must recur across ≥2 anchors (single-doc terms are that
+        # one doc's identifiers/noise), be corpus-rare itself (df ≤ N/8;
+        # common terms are function-word-like), and score within 2× of
+        # the best survivor
+        ranked = sorted(
+            ((s, w) for w, s in scores.items()
+             if doc_freq[w] >= 2 and 8 * df.get(w, 0) <= n_docs),
+            key=lambda sw: (-sw[0], sw[1]),
+        )
+        if not ranked:
+            return []
+        floor = ranked[0][0] * 0.5
+        return [w for s, w in ranked[: self.config.prf_terms]
+                if s > 0 and s >= floor]
 
     def _corpus_stats(self) -> tuple[int, dict[str, int]]:
         stats = getattr(self.retriever, "term_stats", None)

@@ -459,9 +459,11 @@ class TPUVectorStore(BaseRetriever):
             cached = getattr(coll, "_term_stats_cache", None)
             if cached is not None and cached[0] == coll.count:
                 return cached[1], cached[2]
+            from audio_rag_tpu.text.tokenizer import norm_tokens
+
             df: dict[str, int] = {}
             for i in range(coll.count):
-                for w in set(coll.payloads[i]["text"].lower().split()):
+                for w in set(norm_tokens(coll.payloads[i]["text"])):
                     df[w] = df.get(w, 0) + 1
             coll._term_stats_cache = (coll.count, coll.count, df)
             return coll.count, df

@@ -137,3 +137,23 @@ def pad_batch(
         out[i, : len(s)] = s
         mask[i, : len(s)] = 1
     return out, mask
+
+
+_STRIP = ".,;:!?()[]\"'"
+
+
+def norm_tokens(text: str) -> list[str]:
+    """Lowercased whitespace tokens with edge punctuation stripped.
+
+    Shared by the store's lexical stats (:meth:`TPUVectorStore.term_stats`)
+    and PRF expansion so both sides agree on what a "term" is —
+    contextual headers wrap terms as ``[Context: near: a, b]`` and
+    unstripped tokens like ``b]`` hash differently from ``b``, corrupting
+    df statistics and producing unusable expansion terms.
+    """
+    out = []
+    for w in text.lower().split():
+        w = w.strip(_STRIP)
+        if w:
+            out.append(w)
+    return out

@@ -1,10 +1,12 @@
 """Run the discriminating quality sweep and print the metric table.
 
-Measures dense / sparse / hybrid / hybrid+rerank through the production
-fused QueryEngine over the 240-chunk synthetic corpus with the committed
+Measures dense / sparse / hybrid / hybrid+rerank / hybrid+context /
+hybrid+context+prf through the production fused QueryEngine over the
+extended synthetic corpus (272 chunks, 40 queries) with the committed
 trained tiny models (see ``scripts/train_retrieval.py``). The table in
-docs/FIDELITY.md is produced by this script; the ordering it demonstrates
-(hybrid > dense overall, rerank > no-rerank on pair queries) is pinned by
+docs/FIDELITY.md is produced by this script; the orderings it demonstrates
+(hybrid > dense overall, rerank > no-rerank on pair queries, contextual >
+plain on context queries, PRF > raw on mismatch queries) are pinned by
 ``tests/unit/evaluation/test_quality_separation.py``.
 
 Reference comparison: the reference's published sweep separates the same
@@ -33,14 +35,14 @@ def main() -> int:
 
     sweep = run_quality_sweep()
     hdr = f"{'config':>16} | {'P@5':>6} | {'MRR':>6} | {'NDCG':>6} | " \
-          f"{'hit':>5} | per-type MRR (paraphrase / tag / pair)"
+          f"{'hit':>5} | per-type P@5 (para / tag / pair / ctx / mism)"
     print(hdr)
     print("-" * len(hdr))
     for cfg, m in sweep.items():
         bt = m["by_type"]
         per = " / ".join(
-            f"{bt.get(t, {}).get('mrr', 0.0):.3f}"
-            for t in ("paraphrase", "tag", "pair")
+            f"{bt.get(t, {}).get('p_at_5', 0.0):.3f}"
+            for t in ("paraphrase", "tag", "pair", "context", "mismatch")
         )
         print(f"{cfg:>16} | {m['p_at_5']:6.3f} | {m['mrr']:6.3f} | "
               f"{m['ndcg']:6.3f} | {m['hit_rate']:5.3f} | {per}")

@@ -91,3 +91,93 @@ class TestHyDE:
 
         ex = HyDEExpander(ExpansionConfig(backend="hyde"), None)
         assert ex.expand("q") == ["q"]
+
+
+class TestExtractiveHeaders:
+    def test_elliptical_chunk_gains_neighbor_subject(self):
+        """The neighbour's repeated subject term (and nothing one-off,
+        like its section tag) must land in the header."""
+        from audio_rag_tpu.contextual.processor import ContextualProcessor
+        from audio_rag_tpu.core.types import AudioChunk
+
+        chunks = [
+            AudioChunk("section s1 covers adam covers adam optimizer notes",
+                       0.0, 1.0, chunk_id="a"),
+            AudioChunk("section s2 covers it and it converges quickly",
+                       1.0, 2.0, chunk_id="b"),
+        ]
+        proc = ContextualProcessor(ContextualConfig(
+            enabled=True, backend="extractive", window_size=1))
+        out = proc.process_chunks(chunks)  # no generator needed
+        assert "adam" in out[1].text.split("\n")[0]
+        assert "s1" not in out[1].text.split("\n")[0]  # tf==1: excluded
+        assert out[1].metadata["original_text"].startswith("section s2")
+
+    def test_no_salient_terms_leaves_chunk_unchanged(self):
+        from audio_rag_tpu.contextual.processor import ContextualProcessor
+        from audio_rag_tpu.core.types import AudioChunk
+
+        chunks = [
+            AudioChunk("alpha beta gamma", 0.0, 1.0, chunk_id="a"),
+            AudioChunk("delta epsilon zeta", 1.0, 2.0, chunk_id="b"),
+        ]
+        proc = ContextualProcessor(ContextualConfig(
+            enabled=True, backend="extractive", window_size=1))
+        out = proc.process_chunks(chunks)
+        assert [c.text for c in out] == [c.text for c in chunks]
+
+
+class TestPRF:
+    def _store(self, texts):
+        from audio_rag_tpu.config.schema import (EmbeddingConfig,
+                                                 RetrievalConfig)
+        from audio_rag_tpu.core.types import AudioChunk
+        from audio_rag_tpu.embeddings.fake import FakeEmbedder
+        from audio_rag_tpu.retrieval.tpu_store import TPUVectorStore
+
+        emb = FakeEmbedder(EmbeddingConfig(backend="fake"))
+        emb.load()
+        store = TPUVectorStore(RetrievalConfig(capacity_step=128))
+        chunks = [AudioChunk(t, float(i), float(i + 1), chunk_id=f"c{i}")
+                  for i, t in enumerate(texts)]
+        store.add(chunks, emb.embed(texts))
+        return emb, store
+
+    def test_mines_cooccurring_canonical_term(self):
+        """Alias appears only in two bridge docs alongside the canonical
+        term; PRF must append the canonical term (anchored mining)."""
+        from audio_rag_tpu.expansion.prf import PRFExpander
+
+        filler = "lorem ipsum dolor sit amet".split()
+        texts = [f"note {i} " + " ".join(filler) for i in range(20)]
+        texts += [
+            "bridge one alias7 means canon9 " + " ".join(filler),
+            "bridge two canon9 aka alias7 " + " ".join(filler),
+        ]
+        emb, store = self._store(texts)
+        ex = PRFExpander(ExpansionConfig(backend="prf"), emb, store)
+        out = ex.expand_single("explain alias7 please")
+        assert "canon9" in out.split()
+        assert out.startswith("explain alias7 please")
+
+    def test_precise_query_is_not_expanded(self):
+        """A query whose rare term matches exactly one doc has one anchor
+        → no expansion (drift guard)."""
+        from audio_rag_tpu.expansion.prf import PRFExpander
+
+        texts = [f"generic text number {i} shared words" for i in range(10)]
+        texts += ["unique identifier zq77 lives here only"]
+        emb, store = self._store(texts)
+        ex = PRFExpander(ExpansionConfig(backend="prf"), emb, store)
+        assert ex.expand_single("where is zq77") == "where is zq77"
+
+    def test_store_term_stats_cached_and_normalized(self):
+        from audio_rag_tpu.expansion.prf import PRFExpander  # noqa: F401
+
+        emb, store = self._store(
+            ["[Context: near: adam]\nchunk body", "plain body"])
+        n, df = store.term_stats()
+        assert n == 2
+        assert df.get("adam") == 1  # bracketed header token normalized
+        n2, df2 = store.term_stats()
+        assert df2 is df  # cache hit at unchanged count
