@@ -65,17 +65,31 @@ class _Slot:
     max_new: int
     last_token: int
     done: bool = False
+    #: prompt token ids (tail) — the n-gram drafter's copy source when
+    #: speculative segments are on (RAG answers quote their context)
+    history: list[int] | None = None
+
+
+#: history tokens shipped per slot per speculative segment (host→device
+#: cost is B×HIST×4 bytes ≈ KBs; prompt-lookup drafting copies answer
+#: spans from the prompt, so the window should cover the prompt tail)
+SPEC_HISTORY = 256
 
 
 class ContinuousBatcher:
     """Future-based API mirroring GenerationScheduler (submit/generate/stop)."""
 
     def __init__(self, generator, n_slots: int = 8,
-                 segment_tokens: int = 16, context_tokens: int = 2048):
+                 segment_tokens: int = 16, context_tokens: int = 2048,
+                 spec_k: int | None = None):
         self.generator = generator
         self.n_slots = n_slots
         self.segment = segment_tokens
         self.ctx = context_tokens
+        #: speculative segment decode (llm_decode_slots_spec) when >0;
+        #: defaults to the generator's configured wave-path spec_k
+        self.spec_k = (getattr(generator.config, "speculative_k", 0)
+                       if spec_k is None else spec_k)
         self._queue: "queue.Queue[_Request | None]" = queue.Queue()
         self._slots: list[_Slot | None] = [None] * n_slots
         self._cache = None  # (cache_k, cache_v) device arrays
@@ -128,12 +142,31 @@ class ContinuousBatcher:
 
     def _decode_program(self):
         gen = self.generator
-        from audio_rag_tpu.models.llm import llm_decode_slots
+        from audio_rag_tpu.models.llm import (
+            llm_decode_slots,
+            llm_decode_slots_spec,
+        )
 
         segment = self.segment
         eos = gen._tok.eos_id
+        spec = self.spec_k
 
         def build():
+            if spec > 0:
+                @jax.jit
+                def run_spec(params, q8, hist, ck, cv, pos, active, temps,
+                             rng):
+                    return llm_decode_slots_spec(
+                        params, gen.dims, hist, ck, cv, pos, active,
+                        temps, rng, n_steps=segment, eos_id=eos,
+                        spec_k=spec, q8=q8)
+
+                def wrapped(params, hist, ck, cv, pos, active, temps, rng):
+                    return run_spec(params, getattr(gen, "_params_q8", None),
+                                    hist, ck, cv, pos, active, temps, rng)
+
+                return wrapped
+
             @jax.jit
             def run(params, q8, last, ck, cv, pos, active, temps, rng):
                 return llm_decode_slots(
@@ -149,7 +182,7 @@ class ContinuousBatcher:
             return wrapped
 
         return gen._engine.program(
-            ("llm_cont_decode", gen.dims, self.n_slots, segment,
+            ("llm_cont_decode", gen.dims, self.n_slots, segment, spec,
              getattr(gen, "_params_q8", None) is not None), build)
 
     # -- worker -------------------------------------------------------------
@@ -197,7 +230,8 @@ class ContinuousBatcher:
         max_new = min(req.max_tokens or gen.config.max_tokens,
                       C - n_valid - 1)
         slot = _Slot(request=req, tokens=[first], pos=n_valid,
-                     max_new=max_new, last_token=first)
+                     max_new=max_new, last_token=first,
+                     history=list(seq[-SPEC_HISTORY:]))
         if first == tok.eos_id or max_new <= 1:
             self._finish(slot)
             slot.done = True
@@ -231,8 +265,20 @@ class ContinuousBatcher:
             temps[i] = gen.config.temperature if t is None else t
         ck, cv = self._cache
         self._rng_seed += 1
+        if self.spec_k > 0:
+            # right-aligned recent-token window per slot (-1 pad never
+            # matches a 2-gram); last real token sits at column -1
+            hist = np.full((B, SPEC_HISTORY), -1, np.int32)
+            for i, s in enumerate(self._slots):
+                if s is None:
+                    continue
+                tail = ((s.history or []) + s.tokens)[-SPEC_HISTORY:]
+                hist[i, SPEC_HISTORY - len(tail):] = tail
+            first_arg = jnp.asarray(hist)
+        else:
+            first_arg = jnp.asarray(last)
         out = self._decode_program()(
-            gen._params, jnp.asarray(last), ck, cv, jnp.asarray(pos),
+            gen._params, first_arg, ck, cv, jnp.asarray(pos),
             jnp.asarray(active), jnp.asarray(temps),
             jax.random.PRNGKey(self._rng_seed),
         )

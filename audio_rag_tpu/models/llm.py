@@ -47,6 +47,7 @@ __all__ = [
     "llm_param_spec",
     "llm_prefill_slot",
     "llm_decode_slots",
+    "llm_decode_slots_spec",
     "llm_block_verify",
     "llm_speculative_generate",
 ]
@@ -511,6 +512,112 @@ def llm_decode_slots(
         None, length=n_steps,
     )
     return toks.T, cache_k, cache_v, pos, finished
+
+
+def llm_decode_slots_spec(
+    params: Params,
+    dims: LLMDims,
+    history: jax.Array,  # (B, Hh) int32 — recent tokens, RIGHT-aligned,
+    #                      left-padded with -1; column Hh-1 = last token
+    cache_k: jax.Array,  # (L, B, HKV, C, hd)
+    cache_v: jax.Array,
+    pos: jax.Array,  # (B,) int32 — KV write index == true position
+    active: jax.Array,  # (B,) bool
+    temps: jax.Array,  # (B,) f32 — per-slot temperature (<=0 greedy)
+    rng: jax.Array,
+    n_steps: int,
+    eos_id: int,
+    spec_k: int = 4,
+    dtype: jnp.dtype = jnp.bfloat16,
+    q8: Params | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Speculative variant of :func:`llm_decode_slots` — same contract
+    (each active row emits exactly ``n_steps`` tokens unless it EOSes),
+    but greedy rows advance by n-gram-drafted blocks verified in ONE
+    :func:`llm_block_verify` pass per iteration, reading the decode-loop
+    weights once per accepted run instead of once per token.
+
+    ``history`` is what makes drafting work in continuous batching: the
+    prompt lives host-side between segments, and prompt-lookup drafting
+    copies spans from it (RAG answers quote their context verbatim — the
+    n-gram drafter's best case). The batcher ships each slot's recent
+    prompt+output tail, right-aligned; -1 padding can never match a real
+    2-gram.
+
+    Sampling rows (``temps > 0``) accept exactly one token per iteration
+    (sampled from the block's first-position logits) — speculative
+    acceptance is only exact for greedy — so a mixed batch degrades to
+    the plain path's step count for those rows while greedy rows still
+    skip ahead. Greedy rows' output is EXACTLY the plain path's.
+    """
+    from audio_rag_tpu.models.whisper import ngram_draft
+
+    L, B, HKV, C, hd = cache_k.shape
+    k = spec_k
+    W = history.shape[1] + n_steps + k
+    work = jnp.concatenate(
+        [history, jnp.full((B, n_steps + k), -1, jnp.int32)], axis=1)
+    out = jnp.full((B, n_steps), eos_id, jnp.int32)
+    n_tok = jnp.full((B,), history.shape[1] - 1, jnp.int32)
+    n_out = jnp.zeros((B,), jnp.int32)
+    finished = ~active
+    b_idx = jnp.arange(B)
+    greedy_row = temps <= 0
+    safe_t = jnp.where(temps > 0, temps, 1.0)
+
+    def cond(state):
+        _, _, _, n_out, _, _, _, finished, _ = state
+        return ~jnp.all(finished | (n_out >= n_steps))
+
+    def body(state):
+        work, out, n_tok, n_out, pos, ck, cv, finished, rng = state
+        cur = work[b_idx, n_tok]  # (B,)
+        drafts = ngram_draft(work, n_tok, k - 1)  # (B, k-1)
+        block = jnp.concatenate([cur[:, None], drafts], axis=1)  # (B, k)
+        logits, ck, cv = llm_block_verify(
+            params, dims, block, pos, ck, cv, dtype=dtype, q8=q8,
+        )
+        f = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, k)
+        key, rng = jax.random.split(rng)
+        sampled0 = jax.random.categorical(
+            key, logits[:, 0, :] / safe_t[:, None], axis=-1
+        ).astype(jnp.int32)
+        emit = f.at[:, 0].set(jnp.where(greedy_row, f[:, 0], sampled0))
+
+        match = block[:, 1:] == f[:, :-1]  # (B, k-1)
+        a = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
+        a = jnp.where(greedy_row, a, 0)  # sampling: 1 token/iteration
+        eos_pos = jnp.argmax(emit == eos_id, axis=1)
+        has_eos = jnp.any(emit == eos_id, axis=1)
+        a = jnp.where(has_eos, jnp.minimum(a, eos_pos), a)
+        a = jnp.minimum(a, n_steps - 1 - n_out)  # segment quota
+        a = jnp.minimum(a, C - 2 - pos)  # cache bound (see cpos clip)
+
+        j_grid = jnp.arange(k)[None, :]
+        write = (j_grid <= a[:, None]) & ~finished[:, None]  # (B, k)
+        dst_o = n_out[:, None] + j_grid  # unclipped + mode="drop"
+        old_o = jnp.take_along_axis(
+            out, jnp.clip(dst_o, 0, n_steps - 1), axis=1)
+        out = out.at[b_idx[:, None], dst_o].set(
+            jnp.where(write, emit, old_o), mode="drop")
+        dst_w = n_tok[:, None] + 1 + j_grid
+        old_w = jnp.take_along_axis(work, jnp.clip(dst_w, 0, W - 1), axis=1)
+        work = work.at[b_idx[:, None], dst_w].set(
+            jnp.where(write, emit, old_w), mode="drop")
+
+        n_new = jnp.where(finished, 0, a + 1)
+        n_tok = n_tok + n_new
+        n_out = n_out + n_new
+        pos = pos + n_new
+        emitted_eos = jnp.any((emit == eos_id) & write, axis=1)
+        finished = finished | emitted_eos | (pos >= C - 2)
+        return work, out, n_tok, n_out, pos, ck, cv, finished, rng
+
+    (_, out, _, _, pos, cache_k, cache_v, finished, _) = jax.lax.while_loop(
+        cond, body,
+        (work, out, n_tok, n_out, pos, cache_k, cache_v, finished, rng),
+    )
+    return out, cache_k, cache_v, pos, finished
 
 
 def llm_block_verify(

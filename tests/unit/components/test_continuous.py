@@ -207,3 +207,86 @@ class TestFactoryWiring:
             assert len(out) == 2
         finally:
             sg.scheduler.stop()
+
+
+class TestSpeculativeSlots:
+    """llm_decode_slots_spec: greedy parity with the plain slot path,
+    mixed-temperature safety, and the history plumbing."""
+
+    def _record_tokens(self, generator, spec_k, prompts, max_tokens=24):
+        from audio_rag_tpu.engine.continuous import ContinuousBatcher
+
+        recorded: dict[str, list[int]] = {}
+        orig_finish = ContinuousBatcher._finish
+
+        def record(self, slot):
+            recorded[slot.request.prompt] = list(slot.tokens)
+            orig_finish(self, slot)
+
+        ContinuousBatcher._finish = record
+        b = ContinuousBatcher(generator, n_slots=4, segment_tokens=8,
+                              spec_k=spec_k)
+        try:
+            futures = [b.submit(p, max_tokens=max_tokens) for p in prompts]
+            for f in futures:
+                f.result(timeout=120)
+        finally:
+            ContinuousBatcher._finish = orig_finish
+            b.stop()
+        return recorded
+
+    def test_spec_matches_plain_greedy(self, generator):
+        """Speculative segments must reproduce the plain slot decode at
+        the token level (same near-tie arbitration as the wave-parity
+        test: block-verify and step decode are different XLA programs,
+        so rounding may legitimately flip a within-noise argmax)."""
+        plain = self._record_tokens(generator, 0, PROMPTS)
+        spec = self._record_tokens(generator, 4, PROMPTS)
+        eos = generator._tok.eos_id
+        for prompt in PROMPTS:
+            a, b = list(plain[prompt]), list(spec[prompt])
+            for seq in (a, b):
+                if eos in seq:
+                    del seq[seq.index(eos):]
+            if a[:24] == b[:24]:
+                continue
+            n = min(len(a), len(b), 24)
+            first = next((i for i in range(n) if a[i] != b[i]), n)
+            logits = _next_token_logits(generator, prompt, a[:first])
+            top2 = np.partition(logits, -2)[-2:]
+            assert float(top2[1] - top2[0]) < 0.05, (
+                f"real spec-vs-plain divergence on {prompt!r} at "
+                f"token {first}: top-2 gap {float(top2[1]-top2[0]):.4f}")
+
+    def test_mixed_temperatures(self, generator):
+        """Sampling rows ride the same speculative program (one token per
+        iteration, sampled from the block head) alongside greedy rows."""
+        from audio_rag_tpu.engine.continuous import ContinuousBatcher
+
+        b = ContinuousBatcher(generator, n_slots=4, segment_tokens=8,
+                              spec_k=4)
+        try:
+            f1 = b.submit("tango uniform victor", max_tokens=12,
+                          temperature=0.0)
+            f2 = b.submit("whiskey xray yankee", max_tokens=12,
+                          temperature=0.8)
+            out1 = f1.result(timeout=120)
+            out2 = f2.result(timeout=120)
+            assert isinstance(out1, str) and isinstance(out2, str)
+        finally:
+            b.stop()
+
+    def test_spec_counts_real_tokens(self, generator):
+        """tokens_generated must count delivered ids, not segment quota
+        (a row that EOSes mid-block stops there)."""
+        from audio_rag_tpu.engine.continuous import ContinuousBatcher
+
+        b = ContinuousBatcher(generator, n_slots=2, segment_tokens=8,
+                              spec_k=4)
+        try:
+            out = b.generate("zulu alpha", max_tokens=6)
+            n = len(generator._tok.encode(out, add_special=False))
+            assert n <= 6
+            assert b.tokens_generated >= 1
+        finally:
+            b.stop()
