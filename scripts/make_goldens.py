@@ -114,6 +114,16 @@ def build_tokenizer(out_dir: Path) -> None:
 
 
 def build_rankings(tok_dir: Path, out_file: Path) -> None:
+    import os
+
+    # mirror tests/conftest.py exactly: the goldens are replayed on the
+    # 8-device virtual CPU mesh, and sharded-matmul reduction order moves
+    # rerank scores by one bf16 ulp vs a single-device run
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
     import jax
 
     jax.config.update("jax_platforms", "cpu")  # determinism across envs
