@@ -36,12 +36,15 @@ def _get_streaming_asr(app: App):
 
         rag_cfg = app.state.get("rag_config")
         asr_cfg = rag_cfg.asr if rag_cfg is not None else ASRConfig()
+        stream_cfg = (
+            rag_cfg.streaming.to_runtime() if rag_cfg is not None else None
+        )
         if asr_cfg.backend == "fake":
             from audio_rag_tpu.asr.fake import FakeASR
 
-            asr = StreamingASR(asr_cfg, backend=FakeASR(asr_cfg))
+            asr = StreamingASR(asr_cfg, stream_cfg, backend=FakeASR(asr_cfg))
         else:
-            asr = StreamingASR(asr_cfg)
+            asr = StreamingASR(asr_cfg, stream_cfg)
         asr.load()
         app.state["streaming_asr"] = asr
     return asr

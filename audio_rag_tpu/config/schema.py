@@ -113,6 +113,41 @@ class ASRConfig(BaseModel):
     checkpoint_path: str | None = None
 
 
+class StreamingSchema(BaseModel):
+    """Live-transcription buffering profile (WS ``/api/v1/ws/transcribe``).
+
+    Parity surface: the reference hardcodes 5 s chunks / 1 s overlap
+    (``asr/streaming.py:30-36``) because its per-chunk processing is
+    0.5–1.5 s — shrinking the buffer would outrun the model. Here a chunk
+    processes in ~0.44 s (int8 decode path, docs/PERFORMANCE.md), so the
+    buffer IS the perceived latency and is worth tuning per deployment:
+    ``configs/low_latency.yaml`` ships a 3 s profile (~3.5 s perceived
+    vs ~5.4 s at the 5 s default; the reference measures 5–7 s).
+    """
+
+    #: seconds of audio buffered before each transcription pass
+    chunk_duration: float = Field(default=5.0, ge=0.5, le=30.0)
+    #: seconds re-fed from the previous chunk (transcript stitching uses
+    #: the overlap to dedupe words; keep ~20% of chunk_duration)
+    overlap_duration: float = Field(default=1.0, ge=0.0, le=10.0)
+    #: decode budget per chunk (speech holds ~8 tokens/s; whisper's full
+    #: 224-token window budget wastes sequential decoder steps)
+    max_decode_tokens: int = Field(default=64, ge=8, le=224)
+    #: drop a chunk's transcript when avg logprob falls below this
+    min_avg_logprob: float | None = None
+
+    def to_runtime(self):
+        """The asr.streaming dataclass the StreamingASR wrapper consumes."""
+        from audio_rag_tpu.asr.streaming import StreamingConfig
+
+        return StreamingConfig(
+            chunk_duration=self.chunk_duration,
+            overlap_duration=self.overlap_duration,
+            max_decode_tokens=self.max_decode_tokens,
+            min_avg_logprob=self.min_avg_logprob,
+        )
+
+
 class DiarizationConfig(BaseModel):
     backend: Literal["clustering", "ahc", "fake"] = "clustering"
     model: str = "titanet-jax"
@@ -309,6 +344,7 @@ class ResourceConfig(BaseModel):
 class AudioRAGConfig(BaseModel):
     mesh: MeshConfig = Field(default_factory=MeshConfig)
     asr: ASRConfig = Field(default_factory=ASRConfig)
+    streaming: StreamingSchema = Field(default_factory=StreamingSchema)
     diarization: DiarizationConfig = Field(default_factory=DiarizationConfig)
     alignment: AlignmentConfig = Field(default_factory=AlignmentConfig)
     chunking: ChunkingConfig = Field(default_factory=ChunkingConfig)

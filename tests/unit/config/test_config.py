@@ -24,6 +24,23 @@ class TestDefaults:
         with pytest.raises(Exception):
             AudioRAGConfig(chunking={"max_tokens": 10})  # ge=50
 
+    def test_streaming_section(self):
+        cfg = AudioRAGConfig(streaming={"chunk_duration": 3.0,
+                                        "overlap_duration": 0.6,
+                                        "max_decode_tokens": 40})
+        rt = cfg.streaming.to_runtime()
+        assert rt.chunk_duration == 3.0
+        assert rt.overlap_duration == 0.6
+        assert rt.max_decode_tokens == 40
+        # defaults mirror the runtime dataclass (reference 5 s / 1 s)
+        d = AudioRAGConfig().streaming.to_runtime()
+        assert (d.chunk_duration, d.overlap_duration) == (5.0, 1.0)
+
+    def test_low_latency_profile_loads(self):
+        cfg = load_config(env="low_latency")
+        assert cfg.streaming.chunk_duration == 3.0
+        assert cfg.asr.cross_kv_int8 is True
+
 
 class TestDeepMerge:
     def test_nested(self):
