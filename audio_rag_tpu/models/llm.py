@@ -301,17 +301,32 @@ def quantize_llm_weights(params: Params, dims: LLMDims) -> Params:
     arrays into the loop body and Mosaic then re-materializes the Pallas
     operand every token (see whisper's greedy_decode barrier note).
     :func:`linear_q8` dequantizes tiles to bf16 in VMEM.
+
+    Q/K/V and gate/up are FUSED into single (d, d+2·kv)/(d, 2·ff)
+    matrices: the decode step is launch-bound (7 small Pallas calls per
+    layer × n_layers each pay a fixed dispatch/pipeline cost that dwarfs
+    their HBM read at M=16 rows), and fusing cuts the launches per layer
+    from 7 to 4. Per-out-channel quantization makes the fused matmul
+    bitwise identical to the split ones — each output column sees the
+    same int8 weights, scale, and f32 accumulation order over din — so
+    this concatenates the individually-quantized matrices.
     """
     def q(p):
         return quantize_linear(p["w"])
+
+    def qcat(*ps):
+        qs = [quantize_linear(p["w"]) for p in ps]
+        return {"w8": jnp.concatenate([e["w8"] for e in qs], axis=1),
+                "s": jnp.concatenate([e["s"] for e in qs])}
 
     blocks = []
     for layer in range(dims.n_layers):
         p = jax.tree.map(lambda a: a[layer], params["blocks"])
         blocks.append({
-            "attn_q": q(p["attn"]["q"]), "attn_k": q(p["attn"]["k"]),
-            "attn_v": q(p["attn"]["v"]), "attn_o": q(p["attn"]["o"]),
-            "mlp_gate": q(p["mlp"]["gate"]), "mlp_up": q(p["mlp"]["up"]),
+            "attn_qkv": qcat(p["attn"]["q"], p["attn"]["k"],
+                             p["attn"]["v"]),
+            "attn_o": q(p["attn"]["o"]),
+            "mlp_gateup": qcat(p["mlp"]["gate"], p["mlp"]["up"]),
             "mlp_down": q(p["mlp"]["down"]),
         })
     return {"blocks": blocks, "lm_head": q(params["lm_head"])}
@@ -371,22 +386,27 @@ def llm_decode_step(
     scale = hd ** -0.5
     b_idx = jnp.arange(B)
 
+    G = H // HKV
+    kv_d = HKV * hd
     for layer in range(dims.n_layers):
         p = jax.tree.map(lambda a: a[layer], params["blocks"])
         p8 = None if q8 is None else q8["blocks"][layer]
 
-        def lin(pp, key8, xx):
-            if p8 is None:
-                return linear(pp, xx, dtype)
-            return linear_q8(pp, p8[key8], xx, dtype)
-
         xn = rms_norm(p["ln_attn"], x)
-        q = lin(p["attn"]["q"], "attn_q", xn).reshape(
-            B, 1, H, hd).transpose(0, 2, 1, 3)
-        k = lin(p["attn"]["k"], "attn_k", xn).reshape(
-            B, 1, HKV, hd).transpose(0, 2, 1, 3)
-        v = lin(p["attn"]["v"], "attn_v", xn).reshape(
-            B, 1, HKV, hd).transpose(0, 2, 1, 3)
+        if p8 is None:
+            q = linear(p["attn"]["q"], xn, dtype)
+            k = linear(p["attn"]["k"], xn, dtype)
+            v = linear(p["attn"]["v"], xn, dtype)
+        else:
+            # fused QKV: one Pallas launch; output columns are bitwise
+            # identical to the split matmuls (per-out-channel quant)
+            qkv = linear_q8({}, p8["attn_qkv"], xn, dtype)
+            q = qkv[..., :dims.d_model]
+            k = qkv[..., dims.d_model:dims.d_model + kv_d]
+            v = qkv[..., dims.d_model + kv_d:]
+        q = q.reshape(B, 1, H, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(B, 1, HKV, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(B, 1, HKV, hd).transpose(0, 2, 1, 3)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         # static layer index, per-row scatter at each row's own position
@@ -398,23 +418,31 @@ def llm_decode_step(
                              jnp.arange(HKV)[None, :],
                              pos[:, None], :].set(
             v[:, :, 0, :].astype(cache_v.dtype))
-        kk = jnp.repeat(cache_k[layer], H // HKV, axis=1).astype(dtype)
-        vv = jnp.repeat(cache_v[layer], H // HKV, axis=1).astype(dtype)
-        s = jnp.einsum("bhqd,bhkd->bhqk", q * scale, kk,
+        # grouped-query attention WITHOUT materializing the repeated
+        # cache: query head h reads kv head h//G, so the G query heads of
+        # each kv head ride the dot's M dimension (same contraction as
+        # the jnp.repeat form — bitwise identical, no (B, H, C, hd) copy)
+        kk = cache_k[layer].astype(dtype)  # (B, HKV, C, hd)
+        vv = cache_v[layer].astype(dtype)
+        qg = (q * scale).reshape(B, HKV, G, hd)
+        s = jnp.einsum("bhgd,bhkd->bhgk", qg, kk,
                        preferred_element_type=jnp.float32)
         s = jnp.where(mask, s, -1e30)
         probs = jax.nn.softmax(s, axis=-1).astype(dtype)
-        o = jnp.einsum("bhqk,bhkd->bhqd", probs, vv,
+        o = jnp.einsum("bhgk,bhkd->bhgd", probs, vv,
                        preferred_element_type=jnp.float32).astype(dtype)
-        o = o.transpose(0, 2, 1, 3).reshape(B, 1, dims.d_model)
-        x = x + lin(p["attn"]["o"], "attn_o", o)
-        xm = rms_norm(p["ln_mlp"], x)
+        o = o.reshape(B, 1, dims.d_model)
         if p8 is None:
+            x = x + linear(p["attn"]["o"], o, dtype)
+            xm = rms_norm(p["ln_mlp"], x)
             x = x + swiglu(p["mlp"], xm, dtype)
         else:
-            gate = jax.nn.silu(lin(p["mlp"]["gate"], "mlp_gate", xm))
-            x = x + lin(p["mlp"]["down"], "mlp_down",
-                        gate * lin(p["mlp"]["up"], "mlp_up", xm))
+            x = x + linear_q8(p["attn"]["o"], p8["attn_o"], o, dtype)
+            xm = rms_norm(p["ln_mlp"], x)
+            gu = linear_q8({}, p8["mlp_gateup"], xm, dtype)
+            gate, up = gu[..., :dims.d_ff], gu[..., dims.d_ff:]
+            x = x + linear_q8(p["mlp"]["down"], p8["mlp_down"],
+                              jax.nn.silu(gate) * up, dtype)
 
     x = rms_norm(params["ln_f"], x)
     if q8 is None:
@@ -665,22 +693,26 @@ def llm_block_verify(
     b_idx = jnp.arange(B)
     kv_idx = jnp.arange(HKV)
 
+    G = H // HKV
+    kv_d = HKV * hd
     for layer in range(dims.n_layers):
         p = jax.tree.map(lambda a: a[layer], params["blocks"])
         p8 = None if q8 is None else q8["blocks"][layer]
 
-        def lin(pp, key8, xx):
-            if p8 is None:
-                return linear(pp, xx, dtype)
-            return linear_q8(pp, p8[key8], xx, dtype)
-
         xn = rms_norm(p["ln_attn"], x)
-        q = lin(p["attn"]["q"], "attn_q", xn).reshape(
-            B, k, H, hd).transpose(0, 2, 1, 3)
-        kk = lin(p["attn"]["k"], "attn_k", xn).reshape(
-            B, k, HKV, hd).transpose(0, 2, 1, 3)
-        vv = lin(p["attn"]["v"], "attn_v", xn).reshape(
-            B, k, HKV, hd).transpose(0, 2, 1, 3)
+        if p8 is None:
+            q = linear(p["attn"]["q"], xn, dtype)
+            kk = linear(p["attn"]["k"], xn, dtype)
+            vv = linear(p["attn"]["v"], xn, dtype)
+        else:
+            # fused QKV (see llm_decode_step): one launch, bitwise equal
+            qkv = linear_q8({}, p8["attn_qkv"], xn, dtype)
+            q = qkv[..., :dims.d_model]
+            kk = qkv[..., dims.d_model:dims.d_model + kv_d]
+            vv = qkv[..., dims.d_model + kv_d:]
+        q = q.reshape(B, k, H, hd).transpose(0, 2, 1, 3)
+        kk = kk.reshape(B, k, HKV, hd).transpose(0, 2, 1, 3)
+        vv = vv.reshape(B, k, HKV, hd).transpose(0, 2, 1, 3)
         q = apply_rope(q, cos, sin)
         kk = apply_rope(kk, cos, sin)
         # per-row scatter: row b writes its k fresh K/V at pos_b..pos_b+k-1
@@ -692,23 +724,31 @@ def llm_block_verify(
                              kv_idx[None, :, None],
                              cpos[:, None, :], :].set(
             vv.astype(cache_v.dtype))
-        ck = jnp.repeat(cache_k[layer], H // HKV, axis=1).astype(dtype)
-        cv = jnp.repeat(cache_v[layer], H // HKV, axis=1).astype(dtype)
-        s = jnp.einsum("bhqd,bhkd->bhqk", q * scale, ck,
-                       preferred_element_type=jnp.float32)
-        s = jnp.where(mask, s, -1e30)
+        # grouped-query attention without materializing the repeated
+        # cache (see llm_decode_step): (G, k) query rows per kv head
+        ck = cache_k[layer].astype(dtype)  # (B, HKV, C, hd)
+        cv = cache_v[layer].astype(dtype)
+        qg = (q * scale).reshape(B, HKV, G * k, hd)
+        s = jnp.einsum("bhqd,bhkd->bhqk", qg, ck,
+                       preferred_element_type=jnp.float32
+                       ).reshape(B, HKV, G, k, C)
+        s = jnp.where(mask[:, None], s, -1e30)
         probs = jax.nn.softmax(s, axis=-1).astype(dtype)
-        o = jnp.einsum("bhqk,bhkd->bhqd", probs, cv,
+        o = jnp.einsum("bhgqk,bhkd->bhgqd", probs, cv,
                        preferred_element_type=jnp.float32).astype(dtype)
-        o = o.transpose(0, 2, 1, 3).reshape(B, k, dims.d_model)
-        x = x + lin(p["attn"]["o"], "attn_o", o)
-        xm = rms_norm(p["ln_mlp"], x)
+        # (B, HKV, G, k, hd) -> (B, k, H*hd): head h = kv*G + g
+        o = o.transpose(0, 3, 1, 2, 4).reshape(B, k, dims.d_model)
         if p8 is None:
+            x = x + linear(p["attn"]["o"], o, dtype)
+            xm = rms_norm(p["ln_mlp"], x)
             x = x + swiglu(p["mlp"], xm, dtype)
         else:
-            gate = jax.nn.silu(lin(p["mlp"]["gate"], "mlp_gate", xm))
-            x = x + lin(p["mlp"]["down"], "mlp_down",
-                        gate * lin(p["mlp"]["up"], "mlp_up", xm))
+            x = x + linear_q8(p["attn"]["o"], p8["attn_o"], o, dtype)
+            xm = rms_norm(p["ln_mlp"], x)
+            gu = linear_q8({}, p8["mlp_gateup"], xm, dtype)
+            gate, up = gu[..., :dims.d_ff], gu[..., dims.d_ff:]
+            x = x + linear_q8(p["mlp"]["down"], p8["mlp_down"],
+                              jax.nn.silu(gate) * up, dtype)
 
     x = rms_norm(params["ln_f"], x)
     if q8 is None:

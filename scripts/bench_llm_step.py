@@ -17,6 +17,7 @@ Run: python scripts/bench_llm_step.py [model]
 
 from __future__ import annotations
 
+import functools
 import sys
 import time
 from pathlib import Path
@@ -25,7 +26,7 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-LOOPS = 32
+LOOPS = 256
 
 
 def main() -> int:
@@ -91,11 +92,14 @@ def main() -> int:
         w8, s = q8_operand(din, dout)
         wb = (w8.astype(jnp.bfloat16) * s.astype(jnp.bfloat16)[None, :])
 
-        t_q8 = per_op(lambda xx, w8=w8, s=s: matmul_q8w(
-            xx.astype(jnp.bfloat16), w8, s), (x,))
-        t_bf = per_op(lambda xx, wb=wb: jnp.dot(
+        # operands are explicit args, never closures: a closure-captured
+        # jax.Array is baked into the program as a literal — the 394 MB
+        # lm_head weight 413'd the remote-compile relay that way
+        t_q8 = per_op(lambda xx, w8, s: matmul_q8w(
+            xx.astype(jnp.bfloat16), w8, s), (x, w8, s))
+        t_bf = per_op(lambda xx, wb: jnp.dot(
             xx.astype(jnp.bfloat16), wb,
-            preferred_element_type=jnp.float32), (x,))
+            preferred_element_type=jnp.float32), (x, wb))
         bw_q8 = din * dout / t_q8 / 1e9
         bw_bf = 2 * din * dout / t_bf / 1e9
         totals_q8[name] = t_q8
@@ -113,47 +117,56 @@ def main() -> int:
           f"fused {1e3 * (fused_layer * dims.n_layers + totals_q8['lm_head (d,V)']):.1f} ms",
           flush=True)
 
-    # --- full decode step (B=1 and B=16), q8 --------------------------
-    for B_step in (1, 16):
-        params = init_llm(jax.random.PRNGKey(0), dims, dtype=jnp.bfloat16)
-        q8 = quantize_llm_weights(params, dims)
-        C = 1024
+    # --- full decode step: (B, C, q8?) grid ---------------------------
+    # The C sweep separates cache-size-dependent terms (KV scatter, GQA
+    # expansion, attention reads) from fixed per-layer glue; q8 vs bf16
+    # separates weight reads from everything else.
+    params = init_llm(jax.random.PRNGKey(0), dims,
+                      storage_dtype=jnp.bfloat16)
+    q8_full = quantize_llm_weights(params, dims)
+    for B_step, C, use_q8 in ((1, 1024, True), (1, 256, True),
+                              (1, 2048, True), (16, 1024, True),
+                              (1, 1024, False)):
+        q8 = q8_full if use_q8 else None
         hd = d // dims.n_heads
         ck = jnp.zeros((dims.n_layers, B_step, dims.n_kv_heads, C, hd),
                        jnp.bfloat16)
         cv = jnp.zeros_like(ck)
         tok = jnp.full((B_step,), 42, jnp.int32)
-        pos = jnp.full((B_step,), 512, jnp.int32)
+        pos = jnp.full((B_step,), 200, jnp.int32)
 
-        def step(t, ck, cv, pos):
-            logits, ck2, cv2 = llm_decode_step(
-                params, dims, t, pos, ck, cv, q8=q8)
-            return logits
-
-        @jax.jit
-        def run(tok0, ck, cv, pos, n):
+        # params/q8 as explicit jit args (closure capture would bake ~10 GB
+        # of weights into the compile payload)
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def run(params, q8, tok0, ck, cv, pos, n):
             def body(i, acc):
-                out = step((tok0 + acc.astype(jnp.int32)) % 1000, ck, cv, pos)
-                return acc + (jnp.sum(out) * 1e-20).astype(jnp.float32)
+                logits, _, _ = llm_decode_step(
+                    params, dims, (tok0 + acc.astype(jnp.int32)) % 1000,
+                    pos, ck, cv, q8=q8)
+                return acc + (jnp.sum(logits) * 1e-20).astype(jnp.float32)
             return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
+        STEP_LOOPS = 64
+
         def timed_n(n):
-            np.asarray(run(tok, ck, cv, pos, n))
+            np.asarray(run(params, q8, tok, ck, cv, pos, n=n))
             ts = []
             for _ in range(5):
                 t = time.perf_counter()
-                np.asarray(run(tok, ck, cv, pos, n))
+                np.asarray(run(params, q8, tok, ck, cv, pos, n=n))
                 ts.append(time.perf_counter() - t)
             return float(np.median(ts))
 
-        t1, t2 = timed_n(LOOPS), timed_n(2 * LOOPS)
-        per = (t2 - t1) / LOOPS
-        wbytes = sum(np.prod(w.shape) for w in jax.tree.leaves(q8)
-                     if w.dtype == jnp.int8)
-        print(f"\nfull decode step B={B_step}: {per * 1e3:.2f} ms "
+        t1, t2 = timed_n(STEP_LOOPS), timed_n(2 * STEP_LOOPS)
+        per = (t2 - t1) / STEP_LOOPS
+        wbytes = sum(
+            int(np.prod(w.shape)) * w.dtype.itemsize
+            for w in jax.tree.leaves(q8 if use_q8 else params))
+        print(f"full decode step B={B_step} C={C} "
+              f"{'q8' if use_q8 else 'bf16'}: {per * 1e3:.2f} ms "
               f"({wbytes / per / 1e9:.0f} GB/s effective over "
-              f"{wbytes / 1e9:.2f} GB int8 weights)", flush=True)
-        del params, q8, ck, cv
+              f"{wbytes / 1e9:.2f} GB weights)", flush=True)
+        del ck, cv
     return 0
 
 

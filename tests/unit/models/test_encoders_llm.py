@@ -146,7 +146,9 @@ class TestLLM:
             llm_decode_step, quantize_llm_weights)
 
         q8 = quantize_llm_weights(params, LD)
-        assert q8["blocks"][0]["mlp_gate"]["w8"].dtype == jnp.int8
+        assert q8["blocks"][0]["mlp_gateup"]["w8"].dtype == jnp.int8
+        assert q8["blocks"][0]["attn_qkv"]["w8"].shape[1] == (
+            LD.d_model + 2 * LD.n_kv_heads * (LD.d_model // LD.n_heads))
         assert len(q8["blocks"]) == LD.n_layers
         B, hd = 2, LD.d_model // LD.n_heads
         C = 16
