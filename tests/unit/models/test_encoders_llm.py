@@ -120,6 +120,51 @@ class TestLLM:
             np.stack(outs), np.asarray(full[0]), atol=2e-4, rtol=1e-4
         )
 
+    def test_decode_step_matches_forward(self, params):
+        """llm_decode_step (grouped-GQA attention, no cache repeat) must
+        reproduce llm_forward's per-position logits — the two implement
+        the same contraction with different batching of the query
+        heads."""
+        from audio_rag_tpu.models.llm import llm_decode_step
+
+        tok = jnp.array([[7, 11, 13, 17], [2, 3, 5, 19]], jnp.int32)
+        full, _ = llm_forward(params, LD, tok, dtype=jnp.float32)
+        hd = LD.d_model // LD.n_heads
+        B = tok.shape[0]
+        ck = jnp.zeros((LD.n_layers, B, LD.n_kv_heads, 8, hd), jnp.float32)
+        cv = jnp.zeros_like(ck)
+        for t in range(tok.shape[1]):
+            pos = jnp.full((B,), t, jnp.int32)
+            lg, ck, cv = llm_decode_step(
+                params, LD, tok[:, t], pos, ck, cv, dtype=jnp.float32)
+            np.testing.assert_allclose(
+                np.asarray(lg), np.asarray(full[:, t]),
+                atol=2e-4, rtol=1e-4)
+
+    def test_fused_quant_matches_split(self, params):
+        """attn_qkv / mlp_gateup are concatenations of the individually
+        per-out-channel-quantized matrices — exact int8/scale equality,
+        so the fused matmul is bitwise the split matmuls."""
+        from audio_rag_tpu.models.layers import quantize_linear
+        from audio_rag_tpu.models.llm import quantize_llm_weights
+
+        q8 = quantize_llm_weights(params, LD)
+        p0 = jax.tree.map(lambda a: a[0], params["blocks"])
+        qkv = q8["blocks"][0]["attn_qkv"]
+        parts = [quantize_linear(p0["attn"][n]["w"]) for n in "qkv"]
+        np.testing.assert_array_equal(
+            np.asarray(qkv["w8"]),
+            np.concatenate([np.asarray(e["w8"]) for e in parts], axis=1))
+        np.testing.assert_array_equal(
+            np.asarray(qkv["s"]),
+            np.concatenate([np.asarray(e["s"]) for e in parts]))
+        gu = q8["blocks"][0]["mlp_gateup"]
+        parts = [quantize_linear(p0["mlp"][n]["w"])
+                 for n in ("gate", "up")]
+        np.testing.assert_array_equal(
+            np.asarray(gu["w8"]),
+            np.concatenate([np.asarray(e["w8"]) for e in parts], axis=1))
+
     def test_greedy_generate_deterministic(self, params):
         prompt = jnp.array([[1, 2, 3]], jnp.int32)
         o1 = llm_generate(params, LD, prompt, 5, eos_id=2, dtype=jnp.float32)
