@@ -350,13 +350,14 @@ def llm_decode_step(
     params: Params,
     dims: LLMDims,
     tok: jax.Array,  # (B,) int32 — each row's current token
-    pos: jax.Array,  # (B,) int32 — per-row KV write index / mask bound
+    pos: jax.Array,  # () or (B,) int32 — KV write index / mask bound;
+    # a SCALAR means all rows share the frame position (wave decode)
     cache_k: jax.Array,  # (L, B, HKV, C, hd)
     cache_v: jax.Array,
     kv_valid: jax.Array | None = None,  # (B, C) bool
     dtype: jnp.dtype = jnp.bfloat16,
-    rope_pos: jax.Array | None = None,  # (B,) TRUE positions (≠ pos when
-    # the cache frame is left-padded); defaults to pos
+    rope_pos: jax.Array | None = None,  # () or (B,) TRUE positions (≠ pos
+    # when the cache frame is left-padded); defaults to pos
     q8: Params | None = None,  # quantize_llm_weights output
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """One incremental decode step with the layer loop UNROLLED.
@@ -367,20 +368,33 @@ def llm_decode_step(
     place). Measured on the LLM: wave decode was 16.7 ms/step for
     llama-3.2-1b at batch 8 — ~5× off bf16 memory theory — before this.
 
-    Positions are PER ROW so this one function serves both the wave path
-    (all rows share a position) and the continuous-batching slots (each
-    slot at its own position) — sharing the exact step math keeps the two
-    paths bit-identical, which the continuous-vs-wave parity test pins.
+    Positions may be PER ROW so this one function serves both the wave
+    path (all rows share a position) and the continuous-batching slots
+    (each slot at its own position) — sharing the exact step math keeps
+    the two paths bit-identical, which the continuous-vs-wave parity
+    test pins. Wave callers pass a SCALAR ``pos``: the KV write then
+    lowers to ``dynamic_update_slice`` (in place, like whisper's
+    decoder_step), where the per-row form is a scatter whose functional
+    update XLA re-materializes — measured ~38 ms/token on llama-3.2-3b
+    B=1 against ~5.4 ms for the same step with the scatter dead.
     Returns (last-token logits (B, vocab) fp32, cache_k, cache_v).
     """
     L, B, HKV, C, hd = cache_k.shape
     H = dims.n_heads
+    uniform = pos.ndim == 0
     cos_t, sin_t = _rope_tables(dims, hd)
     rp = pos if rope_pos is None else rope_pos
-    cos = cos_t[rp][:, None, None, :]  # (B, 1, 1, hd/2)
-    sin = sin_t[rp][:, None, None, :]
+    if rp.ndim == 0:
+        cos = cos_t[rp][None, None, None, :]  # (1, 1, 1, hd/2)
+        sin = sin_t[rp][None, None, None, :]
+    else:
+        cos = cos_t[rp][:, None, None, :]  # (B, 1, 1, hd/2)
+        sin = sin_t[rp][:, None, None, :]
     x = params["tok_emb"]["table"].astype(dtype)[tok][:, None, :]  # (B,1,d)
-    mask = (jnp.arange(C)[None, :] <= pos[:, None])[:, None, None, :]
+    if uniform:
+        mask = (jnp.arange(C) <= pos)[None, None, None, :]  # (1,1,1,C)
+    else:
+        mask = (jnp.arange(C)[None, :] <= pos[:, None])[:, None, None, :]
     if kv_valid is not None:
         mask = mask & kv_valid[:, None, None, :]
     scale = hd ** -0.5
@@ -409,15 +423,26 @@ def llm_decode_step(
         v = v.reshape(B, 1, HKV, hd).transpose(0, 2, 1, 3)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        # static layer index, per-row scatter at each row's own position
-        cache_k = cache_k.at[layer, b_idx[:, None],
-                             jnp.arange(HKV)[None, :],
-                             pos[:, None], :].set(
-            k[:, :, 0, :].astype(cache_k.dtype))
-        cache_v = cache_v.at[layer, b_idx[:, None],
-                             jnp.arange(HKV)[None, :],
-                             pos[:, None], :].set(
-            v[:, :, 0, :].astype(cache_v.dtype))
+        if uniform:
+            # all rows write the same frame: static layer index + scalar
+            # position dynamic_update_slice — XLA keeps the stacked cache
+            # in place (whisper decoder_step's measured pattern)
+            cache_k = jax.lax.dynamic_update_slice(
+                cache_k, k[None].astype(cache_k.dtype),
+                (layer, 0, 0, pos, 0))
+            cache_v = jax.lax.dynamic_update_slice(
+                cache_v, v[None].astype(cache_v.dtype),
+                (layer, 0, 0, pos, 0))
+        else:
+            # static layer index, per-row scatter at each row's position
+            cache_k = cache_k.at[layer, b_idx[:, None],
+                                 jnp.arange(HKV)[None, :],
+                                 pos[:, None], :].set(
+                k[:, :, 0, :].astype(cache_k.dtype))
+            cache_v = cache_v.at[layer, b_idx[:, None],
+                                 jnp.arange(HKV)[None, :],
+                                 pos[:, None], :].set(
+                v[:, :, 0, :].astype(cache_v.dtype))
         # grouped-query attention WITHOUT materializing the repeated
         # cache: query head h reads kv head h//G, so the G query heads of
         # each kv head ride the dot's M dimension (same contraction as
@@ -947,11 +972,14 @@ def llm_generate(
     def body(state):
         i, tokens, lk, lv, finished, rng = state
         cur = jax.lax.dynamic_slice(tokens, (0, i), (B, 1))[:, 0]
-        frame_pos = jnp.full((B,), i, jnp.int32)
+        # SCALAR frame position: every row writes cache frame i, so the
+        # KV write is an in-place dynamic_update_slice instead of a
+        # scatter (see llm_decode_step); rope positions stay per-row
+        # only when left-padding offsets them
         logits, lk, lv = llm_decode_step(
-            params, dims, cur, frame_pos, lk, lv,
+            params, dims, cur, i, lk, lv,
             kv_valid=kv_valid, dtype=dtype,
-            rope_pos=frame_pos - row_offset,
+            rope_pos=None if prompt_mask is None else i - row_offset,
             q8=decoder_q8,
         )
         key, rng = jax.random.split(rng)

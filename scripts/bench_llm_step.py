@@ -84,7 +84,10 @@ def main() -> int:
         ("FUSED qkv (d,d+2kv)", d, d + 2 * kv_d),
         ("FUSED gateup (d,2ff)", d, 2 * ff),
     ]
+    import os
     B = 16
+    if os.environ.get("STEP_ONLY") == "1":
+        shapes = []
     print(f"\n-- matmul_q8w vs bf16 dot, rows={B} ({model}) --", flush=True)
     totals_q8: dict[str, float] = {}
     for name, din, dout in shapes:
@@ -106,16 +109,19 @@ def main() -> int:
         print(f"{name:22s} q8 {t_q8 * 1e3:7.3f} ms ({bw_q8:4.0f} GB/s)   "
               f"bf16 {t_bf * 1e3:7.3f} ms ({bw_bf:4.0f} GB/s)", flush=True)
 
-    per_layer = (2 * totals_q8["q/o   (d,d)"] + 2 * totals_q8["k/v   (d,kv)"]
-                 + 3 * totals_q8["gate/up (d,ff)"])
-    fused_layer = (totals_q8["FUSED qkv (d,d+2kv)"] + totals_q8["q/o   (d,d)"]
-                   + totals_q8["FUSED gateup (d,2ff)"]
-                   + totals_q8["down  (ff,d)"])
-    print(f"\nmatmul sum/layer: split {per_layer * 1e3:.3f} ms, "
-          f"fused {fused_layer * 1e3:.3f} ms; x{dims.n_layers} layers "
-          f"+ lm_head → split {1e3 * (per_layer * dims.n_layers + totals_q8['lm_head (d,V)']):.1f} ms, "
-          f"fused {1e3 * (fused_layer * dims.n_layers + totals_q8['lm_head (d,V)']):.1f} ms",
-          flush=True)
+    if totals_q8:
+        per_layer = (2 * totals_q8["q/o   (d,d)"]
+                     + 2 * totals_q8["k/v   (d,kv)"]
+                     + 3 * totals_q8["gate/up (d,ff)"])
+        fused_layer = (totals_q8["FUSED qkv (d,d+2kv)"]
+                       + totals_q8["q/o   (d,d)"]
+                       + totals_q8["FUSED gateup (d,2ff)"]
+                       + totals_q8["down  (ff,d)"])
+        print(f"\nmatmul sum/layer: split {per_layer * 1e3:.3f} ms, "
+              f"fused {fused_layer * 1e3:.3f} ms; x{dims.n_layers} layers "
+              f"+ lm_head → split {1e3 * (per_layer * dims.n_layers + totals_q8['lm_head (d,V)']):.1f} ms, "
+              f"fused {1e3 * (fused_layer * dims.n_layers + totals_q8['lm_head (d,V)']):.1f} ms",
+              flush=True)
 
     # --- full decode step: (B, C, q8?) grid ---------------------------
     # The C sweep separates cache-size-dependent terms (KV scatter, GQA
@@ -124,9 +130,11 @@ def main() -> int:
     params = init_llm(jax.random.PRNGKey(0), dims,
                       storage_dtype=jnp.bfloat16)
     q8_full = quantize_llm_weights(params, dims)
-    for B_step, C, use_q8 in ((1, 1024, True), (1, 256, True),
-                              (1, 2048, True), (16, 1024, True),
-                              (1, 1024, False)):
+    step_grid = ((1, 1024, True), (1, 256, True), (1, 2048, True),
+                 (16, 1024, True), (1, 1024, False))
+    if os.environ.get("GEN_ONLY") == "1":
+        step_grid = ()
+    for B_step, C, use_q8 in step_grid:
         q8 = q8_full if use_q8 else None
         hd = d // dims.n_heads
         ck = jnp.zeros((dims.n_layers, B_step, dims.n_kv_heads, C, hd),
@@ -136,15 +144,22 @@ def main() -> int:
         pos = jnp.full((B_step,), 200, jnp.int32)
 
         # params/q8 as explicit jit args (closure capture would bake ~10 GB
-        # of weights into the compile payload)
+        # of weights into the compile payload). The cache is THREADED
+        # through the loop carry — discarding it lets XLA drop the KV
+        # scatter and whatever copies it implies (a discarded-cache
+        # version measured 5.4 ms/step while the real llm_generate loop
+        # paid ~38 ms/token: the difference IS the carried-cache update).
         @functools.partial(jax.jit, static_argnames=("n",))
         def run(params, q8, tok0, ck, cv, pos, n):
-            def body(i, acc):
-                logits, _, _ = llm_decode_step(
+            def body(i, state):
+                acc, ck, cv = state
+                logits, ck, cv = llm_decode_step(
                     params, dims, (tok0 + acc.astype(jnp.int32)) % 1000,
                     pos, ck, cv, q8=q8)
-                return acc + (jnp.sum(logits) * 1e-20).astype(jnp.float32)
-            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+                return (acc + (jnp.sum(logits) * 1e-20).astype(jnp.float32),
+                        ck, cv)
+            out = jax.lax.fori_loop(0, n, body, (jnp.float32(0.0), ck, cv))
+            return out[0] + jnp.sum(out[1][0, 0, 0, 0]).astype(jnp.float32)
 
         STEP_LOOPS = 64
 
@@ -167,6 +182,31 @@ def main() -> int:
               f"({wbytes / per / 1e9:.0f} GB/s effective over "
               f"{wbytes / 1e9:.2f} GB weights)", flush=True)
         del ck, cv
+
+    # --- llm_generate wave loop: per-token cost via token-count delta --
+    # The isolated step measures ~5.4 ms but the answer path pays
+    # ~38 ms/token; this times the PRODUCT loop (llm_generate) directly.
+    # Two max_new_tokens values difference out prefill + dispatch.
+    from audio_rag_tpu.models.llm import llm_generate
+
+    prompt = jnp.asarray(
+        rng.integers(1, 1000, (1, 16), dtype=np.int32))
+
+    def gen_time(max_new):
+        f = jax.jit(functools.partial(
+            llm_generate, dims=dims, max_new_tokens=max_new,
+            eos_id=-1, temperature=0.0))
+        np.asarray(f(params, prompt=prompt, decoder_q8=q8_full))
+        ts = []
+        for _ in range(5):
+            t = time.perf_counter()
+            np.asarray(f(params, prompt=prompt, decoder_q8=q8_full))
+            ts.append(time.perf_counter() - t)
+        return float(np.median(ts))
+
+    ta, tb = gen_time(32), gen_time(96)
+    print(f"llm_generate wave B=1: {(tb - ta) / 64 * 1e3:.2f} ms/token "
+          f"(32tok {ta:.3f}s, 96tok {tb:.3f}s)", flush=True)
     return 0
 
 

@@ -51,26 +51,11 @@ def _next_token_logits(generator, prompt: str, prefix_ids: list[int]):
 
 
 def _wave_ids(generator, prompt: str, max_tokens: int) -> list[int]:
-    """Raw generated token ids from the one-shot (wave) decode path."""
-    import audio_rag_tpu.generation.llm_jax as llm_jax_mod
-
-    captured = {}
-    orig = llm_jax_mod.llm_generate
-
-    def spy(*a, **k):
-        out = orig(*a, **k)
-        captured["out"] = np.asarray(out)
-        return out
-
-    llm_jax_mod.llm_generate = spy
-    try:
-        generator.generate_batch([prompt], max_tokens=max_tokens)
-    finally:
-        llm_jax_mod.llm_generate = orig
-    row = captured["out"][0]
-    gen = row[row.shape[0] - max_tokens:]
-    eos = np.nonzero(gen == generator._tok.eos_id)[0]
-    return gen[: eos[0]].tolist() if eos.size else gen.tolist()
+    """Raw generated token ids from the one-shot (wave) decode path
+    (the generator records them — the wave loop is a jitted program, so
+    a spy on llm_generate would only see tracers)."""
+    generator.generate_batch([prompt], max_tokens=max_tokens)
+    return list(generator.last_token_ids[0])
 
 
 class TestCorrectness:
