@@ -11,12 +11,14 @@ reference gets this from Ollama's server, reference
 Here the device keeps a fixed pool of B decode slots — one shared
 (L, B, HKV, C, hd) KV cache — and the loop alternates:
 
-1. **admit**: free slots prefill newly-arrived prompts
-   (:func:`models.llm.llm_prefill_slot` scatters the prompt's KV into the
-   slot; the first token samples host-side from the returned logits);
+1. **admit**: ALL newly-arrived prompts prefill into free slots in ONE
+   dispatch (:func:`models.llm.llm_prefill_slots`; each row's first
+   token is picked on device — the host reads back R int32s, not R×128k
+   logits);
 2. **decode a segment**: ONE dispatch advances every active slot
    ``segment_tokens`` steps with per-slot positions and temperatures
-   (:func:`models.llm.llm_decode_slots`).
+   (:func:`models.llm.llm_decode_slots`); tokens + positions come back
+   PACKED in a single int32 array so the host pays one readback.
 
 Per-token admission (vLLM-style) would pay this runtime's flat ~28 ms
 dispatch floor per TOKEN; segments amortize it across ``segment_tokens``
@@ -24,6 +26,13 @@ while bounding a new request's queueing delay to one segment + one
 prefill. Requests finish at EOS or their own max_tokens and leave their
 slot at the next boundary — a long generation never blocks short ones for
 more than a segment.
+
+Interaction accounting (the relay charges ~28-50 ms per host↔device
+interaction, CLAUDE.md): admitting R requests costs 2 interactions
+(dispatch + (R,) readback) instead of 2R; a segment costs 2 instead of 3.
+Measured on the 8×64-token bench workload this took the batcher from
+~500 to >1000 tok/s with identical outputs (scripts/
+bench_continuous_probe.py decomposes it).
 """
 
 from __future__ import annotations
@@ -126,19 +135,21 @@ class ContinuousBatcher:
         self._thread.join(timeout=10.0)
 
     # -- device programs ----------------------------------------------------
-    def _prefill_program(self, Pb: int):
+    def _prefill_program(self, R: int, Pb: int):
         gen = self.generator
-        from audio_rag_tpu.models.llm import llm_prefill_slot
+        from audio_rag_tpu.models.llm import llm_prefill_slots
 
         def build():
             @jax.jit
-            def run(params, prompt, n_valid, ck, cv, slot):
-                return llm_prefill_slot(
-                    params, gen.dims, prompt, n_valid, ck, cv, slot)
+            def run(params, prompts, n_valid, ck, cv, slots, temps, rng):
+                return llm_prefill_slots(
+                    params, gen.dims, prompts, n_valid, ck, cv, slots,
+                    temps, rng)
 
             return run
 
-        return gen._engine.program(("llm_cont_prefill", gen.dims, Pb), build)
+        return gen._engine.program(
+            ("llm_cont_prefill", gen.dims, R, Pb), build)
 
     def _decode_program(self):
         gen = self.generator
@@ -152,14 +163,24 @@ class ContinuousBatcher:
         spec = self.spec_k
 
         def build():
+            def pack(toks, ck, cv, pos):
+                # ONE host readback per segment: tokens and new positions
+                # ride a single (B, segment+1) int32 array (each separate
+                # np.asarray pays the relay's per-interaction floor)
+                packed = jnp.concatenate(
+                    [toks.astype(jnp.int32),
+                     pos[:, None].astype(jnp.int32)], axis=1)
+                return packed, ck, cv
+
             if spec > 0:
                 @jax.jit
                 def run_spec(params, q8, hist, ck, cv, pos, active, temps,
                              rng):
-                    return llm_decode_slots_spec(
+                    toks, ck, cv, pos, _fin = llm_decode_slots_spec(
                         params, gen.dims, hist, ck, cv, pos, active,
                         temps, rng, n_steps=segment, eos_id=eos,
                         spec_k=spec, q8=q8)
+                    return pack(toks, ck, cv, pos)
 
                 def wrapped(params, hist, ck, cv, pos, active, temps, rng):
                     return run_spec(params, getattr(gen, "_params_q8", None),
@@ -169,9 +190,10 @@ class ContinuousBatcher:
 
             @jax.jit
             def run(params, q8, last, ck, cv, pos, active, temps, rng):
-                return llm_decode_slots(
+                toks, ck, cv, pos, _fin = llm_decode_slots(
                     params, gen.dims, last, ck, cv, pos, active, temps,
                     rng, n_steps=segment, eos_id=eos, q8=q8)
+                return pack(toks, ck, cv, pos)
 
             def wrapped(params, last, ck, cv, pos, active, temps, rng):
                 # q8 rides along as an explicit program argument (a live
@@ -195,47 +217,66 @@ class ContinuousBatcher:
             self._cache = (jnp.zeros(shape, jnp.bfloat16),
                            jnp.zeros(shape, jnp.bfloat16))
 
-    def _admit(self, req: _Request, slot_idx: int) -> None:
+    def _admit_many(self, reqs: list, free_slots: list[int]) -> None:
+        """Prefill every pending request into its slot in ONE dispatch.
+
+        R is padded up to a pow-2 bucket by repeating row 0 (duplicate
+        rows target the same slot and write identical KV, so write order
+        between them is irrelevant) — bounding the number of compiled
+        prefill programs to |R buckets| × |Pb buckets| instead of
+        n_slots × |Pb buckets|.
+        """
         gen = self.generator
         tok = gen._tok
         C = min(gen.dims.max_len, self.ctx)
-        text = f"{req.system}\n\n{req.prompt}" if req.system else req.prompt
-        seq = tok.encode(text)[-(C - 8):]
-        Pb = 1 << max(len(seq) - 1, 0).bit_length()
+        seqs = []
+        for req in reqs:
+            text = (f"{req.system}\n\n{req.prompt}" if req.system
+                    else req.prompt)
+            seqs.append(tok.encode(text)[-(C - 8):])
+
+        R = len(reqs)
+        Rb = 1 << max(R - 1, 0).bit_length()
+        maxlen = max(len(s) for s in seqs)
+        Pb = 1 << max(maxlen - 1, 0).bit_length()
         Pb = min(max(Pb, 8), C - 8)
-        prompt = np.full((1, Pb), tok.eos_id, np.int32)
-        prompt[0, : len(seq)] = seq[:Pb]
-        n_valid = min(len(seq), Pb)
+
+        prompts = np.full((Rb, Pb), tok.eos_id, np.int32)
+        n_valid = np.zeros(Rb, np.int32)
+        temps = np.zeros(Rb, np.float32)
+        slots_arr = np.zeros(Rb, np.int32)
+        for i in range(Rb):
+            j = i if i < R else 0  # pad rows duplicate row 0
+            seq = seqs[j]
+            prompts[i, : len(seq)] = seq[:Pb]
+            n_valid[i] = min(len(seq), Pb)
+            t = reqs[j].temperature
+            temps[i] = gen.config.temperature if t is None else t
+            slots_arr[i] = free_slots[j]
 
         self._ensure_cache()
         ck, cv = self._cache
-        run = self._prefill_program(Pb)
-        ck, cv, last_logits = run(
-            gen._params, jnp.asarray(prompt), jnp.asarray(np.int32(n_valid)),
-            ck, cv, jnp.asarray(np.int32(slot_idx)),
+        self._rng_seed += 1
+        run = self._prefill_program(Rb, Pb)
+        ck, cv, first = run(
+            gen._params, jnp.asarray(prompts), jnp.asarray(n_valid),
+            ck, cv, jnp.asarray(slots_arr), jnp.asarray(temps),
+            jax.random.PRNGKey(self._rng_seed),
         )
         self._cache = (ck, cv)
-        logits = np.asarray(last_logits)
+        first = np.asarray(first)  # (Rb,) int32 — the ONLY readback
 
-        temp = (gen.config.temperature if req.temperature is None
-                else req.temperature)
-        if temp > 0:
-            self._rng_seed += 1
-            r = np.random.default_rng(self._rng_seed)
-            p = np.exp(logits / temp - np.max(logits / temp))
-            first = int(r.choice(logits.size, p=p / p.sum()))
-        else:
-            first = int(np.argmax(logits))
-
-        max_new = min(req.max_tokens or gen.config.max_tokens,
-                      C - n_valid - 1)
-        slot = _Slot(request=req, tokens=[first], pos=n_valid,
-                     max_new=max_new, last_token=first,
-                     history=list(seq[-SPEC_HISTORY:]))
-        if first == tok.eos_id or max_new <= 1:
-            self._finish(slot)
-            slot.done = True
-        self._slots[slot_idx] = None if slot.done else slot
+        for i, req in enumerate(reqs):
+            tok0 = int(first[i])
+            max_new = min(req.max_tokens or gen.config.max_tokens,
+                          C - int(n_valid[i]) - 1)
+            slot = _Slot(request=req, tokens=[tok0], pos=int(n_valid[i]),
+                         max_new=max_new, last_token=tok0,
+                         history=list(seqs[i][-SPEC_HISTORY:]))
+            if tok0 == tok.eos_id or max_new <= 1:
+                self._finish(slot)
+                slot.done = True
+            self._slots[free_slots[i]] = None if slot.done else slot
 
     def _finish(self, slot: _Slot) -> None:
         tok = self.generator._tok
@@ -282,9 +323,10 @@ class ContinuousBatcher:
             jnp.asarray(active), jnp.asarray(temps),
             jax.random.PRNGKey(self._rng_seed),
         )
-        toks = np.asarray(out[0])  # (B, segment)
+        packed = np.asarray(out[0])  # (B, segment+1) — the ONLY readback
+        toks = packed[:, :-1]  # (B, segment)
+        new_pos = packed[:, -1]
         self._cache = (out[1], out[2])
-        new_pos = np.asarray(out[3])
         self.segments_run += 1
 
         eos = gen._tok.eos_id
@@ -343,17 +385,19 @@ class ContinuousBatcher:
                     self._queue.put(None)  # re-signal stop for next loop
                     break
                 pending.append(nxt)
-            for req in pending:
+            if pending:
                 free = [i for i, s in enumerate(self._slots) if s is None]
-                if not free:
+                admit_now = pending[: len(free)]
+                for req in pending[len(free):]:
                     self._queue.put(req)  # joins at the next boundary
-                    continue
-                try:
-                    self._admit(req, free[0])
-                except Exception as exc:  # pragma: no cover
-                    log.error("prefill failed: %s", exc)
-                    if not req.future.done():
-                        req.future.set_exception(exc)
+                if admit_now:
+                    try:
+                        self._admit_many(admit_now, free)
+                    except Exception as exc:  # pragma: no cover
+                        log.error("prefill failed: %s", exc)
+                        for req in admit_now:
+                            if not req.future.done():
+                                req.future.set_exception(exc)
             if any(s is not None for s in self._slots):
                 try:
                     self._decode_segment()

@@ -45,7 +45,7 @@ __all__ = [
     "llm_forward",
     "llm_generate",
     "llm_param_spec",
-    "llm_prefill_slot",
+    "llm_prefill_slots",
     "llm_decode_slots",
     "llm_decode_slots_spec",
     "llm_block_verify",
@@ -479,40 +479,69 @@ def llm_decode_step(
     return logits, cache_k, cache_v
 
 
-def llm_prefill_slot(
+def llm_prefill_slots(
     params: Params,
     dims: LLMDims,
-    prompt: jax.Array,  # (1, Pb) int32, right-padded
-    n_valid,  # scalar int32: true prompt length
+    prompts: jax.Array,  # (R, Pb) int32, right-padded
+    n_valid: jax.Array,  # (R,) int32: true prompt lengths
     cache_k: jax.Array,  # (L, B, HKV, C, hd)
     cache_v: jax.Array,
-    slot,  # scalar int32
+    slots: jax.Array,  # (R,) int32 — target batch slot per row
+    temps: jax.Array,  # (R,) f32 — per-row temperature (<=0 greedy)
+    rng: jax.Array,
     dtype: jnp.dtype = jnp.bfloat16,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Prefill one request's KV into batch slot ``slot`` (continuous
-    batching admission). Returns (cache_k, cache_v, last-token logits).
+    """Prefill R requests' KV into their batch slots in ONE dispatch
+    (continuous-batching admission) and pick each row's FIRST generated
+    token on device. Returns (cache_k, cache_v, first_tokens (R,)).
 
-    The prompt is RIGHT-padded: garbage KV rows in [n_valid, Pb) are
-    masked out by the decoder's per-slot position mask and are
-    progressively overwritten by generated tokens.
+    Batched admission is a dispatch-floor optimization: this runtime
+    charges a flat ~28 ms per host↔device interaction, and the previous
+    one-prefill-per-request admission paid it R times plus an (R × vocab)
+    logits readback each — measured 590 ms of a 1.0 s continuous-batching
+    workload. One dispatch + one (R,) int32 readback amortizes admission
+    to a constant.
+
+    Prompts are RIGHT-padded: garbage KV rows in [n_valid, Pb) are masked
+    out by the decoder's per-slot position mask and progressively
+    overwritten by generated tokens. Duplicate rows targeting the same
+    slot are allowed (the batcher pads R up to a pow-2 bucket by
+    repeating row 0): they write identical KV, so write order between
+    them is irrelevant.
     """
     L, B, HKV, C, hd = cache_k.shape
-    Pb = prompt.shape[1]
-    sk = jnp.zeros((L, 1, HKV, Pb, hd), dtype)
+    R, Pb = prompts.shape
+    sk = jnp.zeros((L, R, HKV, Pb, hd), dtype)
     sv = jnp.zeros_like(sk)
-    kv_valid = (jnp.arange(Pb) < n_valid)[None]
+    kv_valid = jnp.arange(Pb)[None, :] < n_valid[:, None]
     logits, (sk, sv) = llm_forward(
-        params, dims, prompt, 0, (sk, sv), dtype, kv_valid=kv_valid,
-        # project only the last REAL position (right-padded row): the
-        # full (1, Pb, 128k-vocab) fp32 logits would be ~0.5-1 GB per
+        params, dims, prompts, 0, (sk, sv), dtype, kv_valid=kv_valid,
+        # project only each row's last REAL position (right-padded): the
+        # full (R, Pb, 128k-vocab) fp32 logits would be ~0.5-1 GB per
         # admission for nothing (see llm_forward last_pos docstring)
-        last_pos=jnp.reshape(n_valid - 1, (1,)).astype(jnp.int32),
+        last_pos=(n_valid - 1).astype(jnp.int32),
     )
-    cache_k = jax.lax.dynamic_update_slice(
-        cache_k, sk.astype(cache_k.dtype), (0, slot, 0, 0, 0))
-    cache_v = jax.lax.dynamic_update_slice(
-        cache_v, sv.astype(cache_v.dtype), (0, slot, 0, 0, 0))
-    return cache_k, cache_v, logits[0, 0]
+    # per-row dynamic_update_slice chain (R is static, ≤ n_slots): each
+    # write is an in-place slice update; the equivalent one-shot scatter
+    # measured 6× slower standalone (see llm_decode_step's write note)
+    for r in range(R):
+        cache_k = jax.lax.dynamic_update_slice(
+            cache_k,
+            jax.lax.dynamic_slice_in_dim(sk, r, 1, axis=1).astype(
+                cache_k.dtype),
+            (0, slots[r], 0, 0, 0))
+        cache_v = jax.lax.dynamic_update_slice(
+            cache_v,
+            jax.lax.dynamic_slice_in_dim(sv, r, 1, axis=1).astype(
+                cache_v.dtype),
+            (0, slots[r], 0, 0, 0))
+    lg = logits[:, 0, :]  # (R, vocab) fp32
+    safe_t = jnp.where(temps > 0, temps, 1.0)
+    sampled = jax.random.categorical(
+        rng, lg / safe_t[:, None], axis=-1).astype(jnp.int32)
+    greedy = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+    first = jnp.where(temps > 0, sampled, greedy)
+    return cache_k, cache_v, first
 
 
 def llm_decode_slots(

@@ -70,7 +70,13 @@ def main() -> None:
     cb = ContinuousBatcher(gen, n_slots=8, segment_tokens=16,
                            context_tokens=512)
     try:
-        cb.generate(prompts[0], max_tokens=32)  # warm/compile
+        # warm/compile BOTH admission shapes: a single generate (R=1
+        # prefill program) and a full 8-submit round (R=8 batched
+        # prefill + the packed segment program) — the first dispatch of
+        # each program pays relay init on top of the compile
+        cb.generate(prompts[0], max_tokens=32)
+        [f.result(timeout=600) for f in
+         [cb.submit(p, max_tokens=16) for p in prompts]]
         tok_before = cb.tokens_generated
         t0 = time.perf_counter()
         futures = [cb.submit(p, max_tokens=64) for p in prompts]
