@@ -95,10 +95,14 @@ class ContinuousBatcher:
         self.n_slots = n_slots
         self.segment = segment_tokens
         self.ctx = context_tokens
-        #: speculative segment decode (llm_decode_slots_spec) when >0;
-        #: defaults to the generator's configured wave-path spec_k
-        self.spec_k = (getattr(generator.config, "speculative_k", 0)
-                       if spec_k is None else spec_k)
+        #: speculative segment decode (llm_decode_slots_spec) when >0.
+        #: Default OFF regardless of the generator's wave-path spec_k:
+        #: slots are batched, and the real-chip A/B measured spec LOSING
+        #: at batch 8 (420 vs 496 tok/s — the batch already amortizes
+        #: the weight read; block verification's extra compute doesn't
+        #: pay). Speculation is a single-stream lever (see
+        #: docs/PERFORMANCE.md); pass spec_k explicitly to experiment.
+        self.spec_k = 0 if spec_k is None else spec_k
         self._queue: "queue.Queue[_Request | None]" = queue.Queue()
         self._slots: list[_Slot | None] = [None] * n_slots
         self._cache = None  # (cache_k, cache_v) device arrays

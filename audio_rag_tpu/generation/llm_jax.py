@@ -214,7 +214,12 @@ class LLMGenerator(BaseGenerator):
         # dispatch. Shape variations (P/B buckets, q8 on/off) are keyed
         # by jit's own trace cache; the instance dict keys the static
         # scalars. Programs survive drop_params (params are args).
-        if temp <= 0.0 and self.config.speculative_k > 0:
+        # speculation only pays when the weight read is unamortized:
+        # measured B=1 llama-3.2-3b 5.22 -> 3.09 ms/token (1.69x) but
+        # batch-8 wave 2790 -> 2312 tok/s (block verification's (k+1)x
+        # compute + drafting glue outweigh the already-8-way-amortized
+        # weight read) — so the flag applies to SINGLE-ROW waves only
+        if temp <= 0.0 and self.config.speculative_k > 0 and B_pad == 1:
             out = self._gen_program(
                 "spec", max_new, pad_id, self.config.speculative_k)(
                 self._params, prompt=batch, prompt_mask=mask,

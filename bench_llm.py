@@ -67,8 +67,11 @@ def main() -> None:
     log(f"wave: {wave_tokens} tokens in {wave_s:.2f}s = {wave_tps:.0f} tok/s")
 
     # -- continuous ---------------------------------------------------------
+    # spec_k passed explicitly: the batcher defaults it OFF (measured
+    # losing at batched slots), and the wave path self-gates to B=1 —
+    # BENCH_SPEC_K here A/Bs the batched regimes on purpose
     cb = ContinuousBatcher(gen, n_slots=8, segment_tokens=16,
-                           context_tokens=512)
+                           context_tokens=512, spec_k=spec_k)
     try:
         # warm/compile BOTH admission shapes: a single generate (R=1
         # prefill program) and a full 8-submit round (R=8 batched
