@@ -45,6 +45,12 @@ def main() -> None:
     enable_compilation_cache()
     log(f"devices: {jax.devices()}")
 
+    import os
+
+    # streaming decodes ONE window per chunk (B=1) — the regime where
+    # speculative block decode pays (docs/PERFORMANCE.md LLM A/B)
+    spec_k = int(os.environ.get("BENCH_SPEC_K", 0))
+
     from audio_rag_tpu.audio.synth import speech_like
 
     sr = 16000
@@ -59,6 +65,7 @@ def main() -> None:
                 compute_type="bfloat16", vad_filter=False,
                 window_batch_size=16, cross_kv_int8=True,
                 decoder_int8=True, temperature_fallback=False,
+                speculative_k=spec_k,
             ),
             StreamingConfig(chunk_duration=chunk_s,
                             overlap_duration=overlap_s),
@@ -107,6 +114,7 @@ def main() -> None:
         "extra": {
             "baseline_processing_ms": list(BASELINE_PROCESSING_MS),
             "baseline_e2e_s": list(BASELINE_E2E_S),
+            "speculative_k": spec_k,
             "sweep": rows,
             "note": "int8 production decode profile (cross_kv_int8 + "
                     "decoder_int8); all chunk sizes share one compiled "
