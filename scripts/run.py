@@ -73,11 +73,13 @@ def main() -> int:
 
     if args.cmd == "ingest":
         metadata = json.loads(args.metadata) if args.metadata else None
-        for path in args.paths:
-            res = rag.ingest(
-                path, collection=args.collection,
-                diarize=not args.no_diarize, metadata=metadata,
-            )
+        # ingest_batch stage-groups when contextual headers are on:
+        # model swaps are paid per batch, not twice per file
+        results = rag.ingest_batch(
+            list(args.paths), collection=args.collection,
+            diarize=not args.no_diarize, metadata=metadata,
+        )
+        for res in results:
             print(json.dumps(res.to_dict(), indent=2))
         return 0
 

@@ -126,3 +126,30 @@ class TestContextualIngest:
         )
         ctxed = [r for r in out.results if r.metadata.get("contextualized")]
         assert ctxed and "original_text" in ctxed[0].metadata
+
+    def test_staged_batch_matches_per_file_loop(self, wav_file, tmp_path):
+        """Stage-grouped ingest_batch (contextual on: audio stages for all
+        files, then all headers, then embed+store) must produce the same
+        chunks/headers/store contents as the naive per-file loop — the
+        grouping only reorders MODEL residency, not data flow."""
+        import shutil
+
+        wav2 = str(tmp_path / "two.wav")
+        shutil.copy(wav_file, wav2)
+        files = [wav_file, wav2]
+
+        rag_a = AudioRAG(fake_config(contextual={"enabled": True}))
+        res_a = rag_a.ingest_batch(files, collection="staged")
+        rag_b = AudioRAG(fake_config(contextual={"enabled": True}))
+        res_b = [rag_b.ingest(f, collection="perfile") for f in files]
+
+        assert [r.num_chunks for r in res_a] == [r.num_chunks for r in res_b]
+        assert [r.num_segments for r in res_a] == [
+            r.num_segments for r in res_b]
+        out_a = rag_a.query("word0", collection="staged", rerank=False)
+        out_b = rag_b.query("word0", collection="perfile", rerank=False)
+        assert [r.text for r in out_a.results] == [
+            r.text for r in out_b.results]
+        assert any(r.text.startswith("[Context:") for r in out_a.results)
+        # source metadata stamped per file in both
+        assert {r.metadata["source"] for r in out_a.results} <= set(files)
