@@ -10,10 +10,11 @@ from __future__ import annotations
 import numpy as np
 
 
-def make_bench_audio(minutes: float, sr: int = 16000) -> np.ndarray:
+def make_bench_audio(minutes: float, sr: int = 16000,
+                     seed: int = 0) -> np.ndarray:
     """Speech-band noise with 3 Hz amplitude modulation (VAD-friendly,
-    nonzero mel energy), deterministic."""
-    rng = np.random.default_rng(0)
+    nonzero mel energy), deterministic per seed."""
+    rng = np.random.default_rng(seed)
     n = int(minutes * 60 * sr)
     audio = (0.1 * rng.standard_normal(n)).astype(np.float32)
     audio *= 0.5 * (1 + np.sin(

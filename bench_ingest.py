@@ -29,6 +29,10 @@ AUDIO_MINUTES = 8.0
 #: files at 30 min, reference config/schema.py:114; this build streams
 #: windows through the fixed batch-16 program with flat memory)
 LONG_MINUTES = float(os.environ.get("LONG_MINUTES", "0") or 0)
+#: BATCH_FILES=3 adds a staged-vs-per-file ingest_batch A/B (contextual
+#: on): stage grouping pays the whisper↔llama HBM swap once per batch
+#: instead of twice per file
+BATCH_FILES = int(os.environ.get("BATCH_FILES", "0") or 0)
 
 
 def _peak_rss_gb() -> float:
@@ -148,6 +152,32 @@ def main() -> None:
             f"rss {rss_before}→{long_extra['peak_rss_gb_after']} GB "
             f"stages={lres.stage_timings}")
 
+    batch_extra = None
+    if BATCH_FILES >= 2 and contextual_on:
+        # distinct files (different seeds) at the already-compiled 8-min
+        # shape; ingest writes to throwaway collections
+        files = [make_bench_audio(AUDIO_MINUTES, sr, seed=100 + i)
+                 for i in range(BATCH_FILES)]
+        t0 = time.perf_counter()
+        for i, f in enumerate(files):  # naive per-file loop
+            rag.ingest(f, sr, collection=f"pf{i}")
+        per_file_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        rag.ingest_batch(files, collection="staged", sample_rate=sr)
+        staged_s = time.perf_counter() - t0
+        batch_extra = {
+            "files": BATCH_FILES,
+            "audio_minutes_each": AUDIO_MINUTES,
+            "per_file_loop_s": round(per_file_s, 1),
+            "staged_s": round(staged_s, 1),
+            "speedup": round(per_file_s / max(staged_s, 1e-9), 2),
+            "note": "stage-grouped ingest_batch: whisper<->llama HBM "
+                    "swaps per batch instead of twice per file",
+        }
+        log(f"BATCH {BATCH_FILES} files: per-file {per_file_s:.1f}s, "
+            f"staged {staged_s:.1f}s "
+            f"({batch_extra['speedup']}x)")
+
     print(json.dumps({
         "metric": "full_ingest_rtf",
         "value": round(rtf, 4),
@@ -167,6 +197,7 @@ def main() -> None:
             "note": "random-init production architectures; one process, "
                     "one chip (reference: five services over HTTP)",
             **({"long_audio": long_extra} if long_extra else {}),
+            **({"batch_ingest": batch_extra} if batch_extra else {}),
         },
     }))
 
