@@ -570,7 +570,12 @@ class WhisperJaxASR(BaseASR):
                     params, self.dims, toks, ckv, dtype=self.dtype,
                     collect_cross_weights="alignment_mean",
                 )
-                return w
+                # fp16 readback: halves the (B, T, Ta) transfer (25 MB at
+                # batch 16 — the relay charges seconds for tens-of-MB
+                # operands, CLAUDE.md). Attention probs are [0, 1];
+                # word-boundary effect is sub-frame (DTW re-normalizes
+                # per frame in fp32 host-side).
+                return w.astype(jnp.float16)
 
             return run
 
@@ -579,7 +584,7 @@ class WhisperJaxASR(BaseASR):
         )
         return np.asarray(
             run(self._params, enc_dev, jnp.asarray(tf_tokens))
-        )  # (B, T, Ta)
+        ).astype(np.float32)  # (B, T, Ta)
 
     def _apply_word_times(
         self, segs: list[TranscriptSegment], weights: np.ndarray,

