@@ -14,6 +14,7 @@ import threading
 
 from audio_rag_tpu.api.config import APIConfig
 from audio_rag_tpu.api.health import register_health_routes
+from audio_rag_tpu.api.metrics import register_metrics_route
 from audio_rag_tpu.api.http import App, Request, Response
 from audio_rag_tpu.api.middleware import setup_middleware
 from audio_rag_tpu.api.v1.router import register_v1_routes
@@ -59,6 +60,9 @@ def create_app(
     setup_middleware(app, config.cors_origins)
     register_health_routes(app)
     register_v1_routes(app)
+    # Prometheus text exposition over the stats the framework already
+    # tracks (the reference has no metrics endpoint — SURVEY.md §5)
+    register_metrics_route(app)
 
     # idle-model eviction (resources.unload_after_idle_seconds)
     @app.on_startup

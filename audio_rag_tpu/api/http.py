@@ -212,7 +212,7 @@ WSHandler = Callable[[Request, WebSocket], Awaitable[None]]
 class App:
     def __init__(self, max_body_bytes: int = DEFAULT_MAX_BODY,
                  upload_dir: str | None = None):
-        self._routes: list[tuple[str, re.Pattern, Handler]] = []
+        self._routes: list[tuple[str, re.Pattern, Handler, str]] = []
         self._ws_routes: list[tuple[re.Pattern, WSHandler]] = []
         self._middleware: list[Middleware] = []
         self._error_handlers: dict[type, Callable] = {}
@@ -225,7 +225,8 @@ class App:
     # -- registration ------------------------------------------------------
     def route(self, method: str, pattern: str):
         def deco(fn: Handler) -> Handler:
-            self._routes.append((method.upper(), _compile(pattern), fn))
+            self._routes.append(
+                (method.upper(), _compile(pattern), fn, pattern))
             return fn
 
         return deco
@@ -269,11 +270,14 @@ class App:
     async def dispatch(self, request: Request) -> Response:
         async def endpoint(req: Request) -> Response:
             allowed = []
-            for method, pattern, handler in self._routes:
+            for method, pattern, handler, template in self._routes:
                 m = pattern.match(req.path)
                 if m:
                     if method == req.method:
                         req.path_params = m.groupdict()
+                        # the route TEMPLATE (not the raw path) keeps
+                        # metrics label cardinality bounded
+                        req.context["route"] = template
                         return await handler(req)
                     allowed.append(method)
             if allowed:

@@ -312,3 +312,43 @@ class TestWebSocketStreaming:
         r = httpx.get(f"{BASE}/api/v1/streaming/status", headers=KEY)
         assert r.status_code == 200
         assert "state" in r.json()
+
+
+class TestMetrics:
+    def test_prometheus_exposition(self, server, seeded):
+        # drive one authenticated request so the request counter has data
+        httpx.post(f"{BASE}/api/v1/query", headers=KEY,
+                   json={"query": "word0", "rerank": False})
+        r = httpx.get(f"{BASE}/metrics")
+        assert r.status_code == 200
+        assert r.headers["content-type"].startswith("text/plain")
+        body = r.text
+        # counters labeled by ROUTE TEMPLATE (bounded cardinality)
+        assert 'audio_rag_requests_total{' in body
+        assert 'route="/api/v1/query"' in body
+        assert "audio_rag_request_seconds_sum" in body
+        # live gauges from the queue / resource manager / engine
+        assert "audio_rag_queue_depth" in body
+        assert "audio_rag_hbm_budget_gb" in body
+        assert "audio_rag_compiled_programs" in body
+        assert "audio_rag_uptime_seconds" in body
+        # every line parses as `name{labels} value` or `# comment`
+        for line in body.strip().splitlines():
+            if line.startswith("#"):
+                continue
+            assert " " in line, line
+            float(line.rsplit(" ", 1)[1])
+
+    def test_metrics_route_counts_increment(self, server):
+        r1 = httpx.get(f"{BASE}/metrics")
+        httpx.get(f"{BASE}/health/live")
+        r2 = httpx.get(f"{BASE}/metrics")
+
+        def count(body):
+            for line in body.splitlines():
+                if line.startswith("audio_rag_requests_total") and \
+                        'route="/health/live"' in line:
+                    return float(line.rsplit(" ", 1)[1])
+            return 0.0
+
+        assert count(r2.text) == count(r1.text) + 1
