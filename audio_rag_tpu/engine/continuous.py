@@ -90,7 +90,8 @@ class ContinuousBatcher:
 
     def __init__(self, generator, n_slots: int = 8,
                  segment_tokens: int = 16, context_tokens: int = 2048,
-                 spec_k: int | None = None):
+                 spec_k: int | None = None,
+                 pipeline_segments: bool = False):
         self.generator = generator
         self.n_slots = n_slots
         self.segment = segment_tokens
@@ -103,6 +104,14 @@ class ContinuousBatcher:
         #: pay). Speculation is a single-stream lever (see
         #: docs/PERFORMANCE.md); pass spec_k explicitly to experiment.
         self.spec_k = 0 if spec_k is None else spec_k
+        #: dispatch segment k+1 off k's device outputs before k's
+        #: readback (the chained program slices last/pos on device).
+        #: OFF by default — an honest negative on this runtime: the
+        #: relay's per-dispatch cost blocks the HOST side of the call,
+        #: so overlap bought nothing end-to-end (1506 vs 1541 tok/s)
+        #: while a joining request can now wait up to TWO segments.
+        #: Kept selectable for runtimes with true async dispatch.
+        self.pipeline = pipeline_segments
         self._queue: "queue.Queue[_Request | None]" = queue.Queue()
         self._slots: list[_Slot | None] = [None] * n_slots
         self._cache = None  # (cache_k, cache_v) device arrays
@@ -155,7 +164,13 @@ class ContinuousBatcher:
         return gen._engine.program(
             ("llm_cont_prefill", gen.dims, R, Pb), build)
 
-    def _decode_program(self):
+    def _decode_program(self, chained: bool = False):
+        """The segment program. ``chained=True`` builds the variant that
+        takes the PREVIOUS segment's packed (B, segment+1) output and
+        slices last tokens/positions from it INSIDE the program — a
+        host-side slice of a device array would run as a bare op and pay
+        its own relay dispatch (measured seconds under congestion; the
+        op-by-op trap in CLAUDE.md)."""
         gen = self.generator
         from audio_rag_tpu.models.llm import (
             llm_decode_slots,
@@ -192,6 +207,26 @@ class ContinuousBatcher:
 
                 return wrapped
 
+            if chained:
+                @jax.jit
+                def run_chain(params, q8, prev_packed, ck, cv, active,
+                              temps, rng):
+                    last = prev_packed[:, segment - 1]
+                    pos = prev_packed[:, segment]
+                    toks, ck, cv, pos, _fin = llm_decode_slots(
+                        params, gen.dims, last, ck, cv, pos, active,
+                        temps, rng, n_steps=segment, eos_id=eos, q8=q8)
+                    return pack(toks, ck, cv, pos)
+
+                def wrapped_chain(params, prev_packed, ck, cv, active,
+                                  temps, rng):
+                    return run_chain(params,
+                                     getattr(gen, "_params_q8", None),
+                                     prev_packed, ck, cv, active, temps,
+                                     rng)
+
+                return wrapped_chain
+
             @jax.jit
             def run(params, q8, last, ck, cv, pos, active, temps, rng):
                 toks, ck, cv, pos, _fin = llm_decode_slots(
@@ -209,7 +244,7 @@ class ContinuousBatcher:
 
         return gen._engine.program(
             ("llm_cont_decode", gen.dims, self.n_slots, segment, spec,
-             getattr(gen, "_params_q8", None) is not None), build)
+             chained, getattr(gen, "_params_q8", None) is not None), build)
 
     # -- worker -------------------------------------------------------------
     def _ensure_cache(self):
@@ -293,23 +328,37 @@ class ContinuousBatcher:
         self.requests_served += 1
         self.tokens_generated += len(ids)
 
-    def _decode_segment(self) -> None:
+    def _dispatch_segment(self, chain=None):
+        """Dispatch ONE segment program call; return an in-flight record
+        for :meth:`_process_segment`. ``chain`` is the previous (not yet
+        read back) flight: the new call then takes its last tokens and
+        positions as DEVICE-RESIDENT slices of the previous output —
+        the host never waits, so the ~30 ms dispatch/readback floor of
+        segment k+1 hides under segment k's compute. Dispatch also
+        advances ``self._cache`` immediately (device futures), so
+        chained dispatches always see the latest cache."""
         gen = self.generator
         B = self.n_slots
-        last = np.zeros(B, np.int32)
-        pos = np.zeros(B, np.int32)
         active = np.zeros(B, bool)
         temps = np.zeros(B, np.float32)
         for i, s in enumerate(self._slots):
             if s is None:
                 continue
-            last[i] = s.last_token
-            pos[i] = s.pos
             active[i] = True
             t = s.request.temperature
             temps[i] = gen.config.temperature if t is None else t
         ck, cv = self._cache
         self._rng_seed += 1
+        if chain is not None:
+            # the chained PROGRAM slices last/pos out of the previous
+            # packed output on device (host slicing would be a bare op)
+            out = self._decode_program(chained=True)(
+                gen._params, chain["out"][0], ck, cv,
+                jnp.asarray(active), jnp.asarray(temps),
+                jax.random.PRNGKey(self._rng_seed),
+            )
+            self._cache = (out[1], out[2])
+            return {"out": out, "slots": list(self._slots)}
         if self.spec_k > 0:
             # right-aligned recent-token window per slot (-1 pad never
             # matches a 2-gram); last real token sits at column -1
@@ -320,23 +369,37 @@ class ContinuousBatcher:
                 tail = ((s.history or []) + s.tokens)[-SPEC_HISTORY:]
                 hist[i, SPEC_HISTORY - len(tail):] = tail
             first_arg = jnp.asarray(hist)
+            pos_arg = jnp.asarray(
+                np.array([s.pos if s else 0 for s in self._slots], np.int32))
         else:
-            first_arg = jnp.asarray(last)
+            first_arg = jnp.asarray(np.array(
+                [s.last_token if s else 0 for s in self._slots], np.int32))
+            pos_arg = jnp.asarray(
+                np.array([s.pos if s else 0 for s in self._slots], np.int32))
         out = self._decode_program()(
-            gen._params, first_arg, ck, cv, jnp.asarray(pos),
+            gen._params, first_arg, ck, cv, pos_arg,
             jnp.asarray(active), jnp.asarray(temps),
             jax.random.PRNGKey(self._rng_seed),
         )
-        packed = np.asarray(out[0])  # (B, segment+1) — the ONLY readback
-        toks = packed[:, :-1]  # (B, segment)
-        new_pos = packed[:, -1]
         self._cache = (out[1], out[2])
+        return {"out": out, "slots": list(self._slots)}
+
+    def _process_segment(self, flight) -> None:
+        """Read back one in-flight segment and apply it to the slots it
+        was dispatched for. Rows whose slot has since finished (EOS hit
+        while a chained segment was already in flight) are dropped — the
+        extra decode was wasted compute writing into a freed slot's
+        cache region, which the next admission's prefill overwrites."""
+        gen = self.generator
+        packed = np.asarray(flight["out"][0])  # (B, segment+1) — the ONLY
+        toks = packed[:, :-1]                  # readback
+        new_pos = packed[:, -1]
         self.segments_run += 1
 
         eos = gen._tok.eos_id
         cap = min(gen.dims.max_len, self.ctx) - 2
-        for i, s in enumerate(self._slots):
-            if s is None:
+        for i, s in enumerate(flight["slots"]):
+            if s is None or self._slots[i] is not s:
                 continue
             s.tokens.extend(int(t) for t in toks[i])
             s.pos = int(new_pos[i])
@@ -347,6 +410,25 @@ class ContinuousBatcher:
             if hit_eos or len(s.tokens) >= s.max_new or s.pos >= cap:
                 self._finish(s)
                 self._slots[i] = None
+
+    def _can_pipeline(self) -> bool:
+        """Chain the next segment before reading the current one back?
+        Only when nothing needs a host decision at the boundary: no
+        request waiting to join (a chained segment would delay its
+        admission by one segment), plain step decode (the speculative
+        drafter needs host-side history), and every live slot has at
+        least two segments of quota and cache left (so no slot is
+        EXPECTED to finish; an unpredicted EOS is handled by the
+        identity check in _process_segment)."""
+        if not self.pipeline or self.spec_k > 0 or not self._queue.empty():
+            return False
+        cap = min(self.generator.dims.max_len, self.ctx) - 2
+        live = [s for s in self._slots if s is not None]
+        return bool(live) and all(
+            len(s.tokens) + 2 * self.segment <= s.max_new
+            and s.pos + 2 * self.segment < cap
+            for s in live
+        )
 
     def _emit_delta(self, slot: _Slot) -> None:
         """Stream the newly-decoded text since the last segment."""
@@ -363,52 +445,78 @@ class ContinuousBatcher:
             except Exception:  # pragma: no cover - consumer bug
                 slot.request.on_delta = None
 
+    def _fail_all(self, exc: Exception) -> None:
+        for i, s in enumerate(self._slots):
+            if s is not None:
+                if not s.request.future.done():
+                    s.request.future.set_exception(exc)
+                self._slots[i] = None
+
     def _run(self) -> None:
+        flight = None  # dispatched segment not yet read back
         while True:
-            any_active = any(s is not None for s in self._slots)
-            try:
-                # block only when idle; poll when decoding
-                item = self._queue.get(
-                    timeout=0.001 if any_active else None)
-            except queue.Empty:
-                item = False  # nothing new
-            if item is None:
-                for s in self._slots:
-                    if s is not None and not s.request.future.done():
-                        s.request.future.set_exception(
-                            RuntimeError("scheduler stopped"))
-                return
-            # admit as many waiting requests as there are free slots
-            pending = [] if item is False else [item]
-            while True:
+            if flight is None:
+                any_active = any(s is not None for s in self._slots)
                 try:
-                    nxt = self._queue.get_nowait()
+                    # block only when idle; poll when decoding
+                    item = self._queue.get(
+                        timeout=0.001 if any_active else None)
                 except queue.Empty:
-                    break
-                if nxt is None:
-                    self._queue.put(None)  # re-signal stop for next loop
-                    break
-                pending.append(nxt)
-            if pending:
-                free = [i for i, s in enumerate(self._slots) if s is None]
-                admit_now = pending[: len(free)]
-                for req in pending[len(free):]:
-                    self._queue.put(req)  # joins at the next boundary
-                if admit_now:
+                    item = False  # nothing new
+                if item is None:
+                    for s in self._slots:
+                        if s is not None and not s.request.future.done():
+                            s.request.future.set_exception(
+                                RuntimeError("scheduler stopped"))
+                    return
+                # admit as many waiting requests as there are free slots
+                # (admission only happens with NO segment in flight: a
+                # prefill and an in-flight segment would both write
+                # self._cache and clobber each other)
+                pending = [] if item is False else [item]
+                while True:
                     try:
-                        self._admit_many(admit_now, free)
-                    except Exception as exc:  # pragma: no cover
-                        log.error("prefill failed: %s", exc)
-                        for req in admit_now:
-                            if not req.future.done():
-                                req.future.set_exception(exc)
-            if any(s is not None for s in self._slots):
+                        nxt = self._queue.get_nowait()
+                    except queue.Empty:
+                        break
+                    if nxt is None:
+                        self._queue.put(None)  # re-signal stop next loop
+                        break
+                    pending.append(nxt)
+                if pending:
+                    free = [i for i, s in enumerate(self._slots)
+                            if s is None]
+                    admit_now = pending[: len(free)]
+                    for req in pending[len(free):]:
+                        self._queue.put(req)  # joins at the next boundary
+                    if admit_now:
+                        try:
+                            self._admit_many(admit_now, free)
+                        except Exception as exc:  # pragma: no cover
+                            log.error("prefill failed: %s", exc)
+                            for req in admit_now:
+                                if not req.future.done():
+                                    req.future.set_exception(exc)
+                if not any(s is not None for s in self._slots):
+                    continue
                 try:
-                    self._decode_segment()
+                    flight = self._dispatch_segment()
                 except Exception as exc:  # pragma: no cover
                     log.error("decode segment failed: %s", exc)
-                    for i, s in enumerate(self._slots):
-                        if s is not None:
-                            if not s.request.future.done():
-                                s.request.future.set_exception(exc)
-                            self._slots[i] = None
+                    self._fail_all(exc)
+                    continue
+            # pipeline: chain segment k+1 off k's device outputs before
+            # k's readback — hides the dispatch floor under compute
+            nxt_flight = None
+            if self._can_pipeline():
+                try:
+                    nxt_flight = self._dispatch_segment(chain=flight)
+                except Exception:  # pragma: no cover
+                    nxt_flight = None
+            try:
+                self._process_segment(flight)
+            except Exception as exc:  # pragma: no cover
+                log.error("decode segment failed: %s", exc)
+                self._fail_all(exc)
+                nxt_flight = None
+            flight = nxt_flight

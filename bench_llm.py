@@ -70,16 +70,20 @@ def main() -> None:
     # spec_k passed explicitly: the batcher defaults it OFF (measured
     # losing at batched slots), and the wave path self-gates to B=1 —
     # BENCH_SPEC_K here A/Bs the batched regimes on purpose
-    cb = ContinuousBatcher(gen, n_slots=8, segment_tokens=16,
-                           context_tokens=512, spec_k=spec_k)
+    cb = ContinuousBatcher(
+        gen, n_slots=8, segment_tokens=16, context_tokens=512,
+        spec_k=spec_k,
+        pipeline_segments=os.environ.get("BENCH_PIPELINE", "0") == "1")
     try:
-        # warm/compile BOTH admission shapes: a single generate (R=1
-        # prefill program) and a full 8-submit round (R=8 batched
-        # prefill + the packed segment program) — the first dispatch of
-        # each program pays relay init on top of the compile
+        # warm/compile EVERY program the measured round will hit: a
+        # single generate (R=1 prefill), then a full 8-submit round at
+        # the MEASURED max_tokens — long enough generations trigger the
+        # pipelined CHAINED segment program, which is its own compile
+        # (a shorter warm round never chains and the measured phase
+        # then pays the compile: measured 66 vs 154 tok/s)
         cb.generate(prompts[0], max_tokens=32)
         [f.result(timeout=600) for f in
-         [cb.submit(p, max_tokens=16) for p in prompts]]
+         [cb.submit(p, max_tokens=64) for p in prompts]]
         tok_before = cb.tokens_generated
         t0 = time.perf_counter()
         futures = [cb.submit(p, max_tokens=64) for p in prompts]

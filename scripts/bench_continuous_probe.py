@@ -37,27 +37,38 @@ def main() -> int:
         decoder_int8=True))
     gen.load()
 
-    cb = ContinuousBatcher(gen, n_slots=8, segment_tokens=16,
-                           context_tokens=512)
+    import os
+
+    cb = ContinuousBatcher(
+        gen, n_slots=8, segment_tokens=16, context_tokens=512,
+        pipeline_segments=os.environ.get("BENCH_PIPELINE", "0") == "1")
 
     # monkey-patch timing around the two device paths
     prefill_times: list[float] = []
     seg_times: list[float] = []
+    pipelined = [0]
     orig_admit = cb._admit_many
-    orig_seg = cb._decode_segment
+    orig_proc = cb._process_segment
+    orig_disp = cb._dispatch_segment
 
     def admit(reqs, free_slots):
         t = time.perf_counter()
         orig_admit(reqs, free_slots)
         prefill_times.append(time.perf_counter() - t)
 
-    def seg():
+    def disp(chain=None):
+        if chain is not None:
+            pipelined[0] += 1
+        return orig_disp(chain=chain)
+
+    def proc(flight):
         t = time.perf_counter()
-        orig_seg()
+        orig_proc(flight)
         seg_times.append(time.perf_counter() - t)
 
     cb._admit_many = admit
-    cb._decode_segment = seg
+    cb._dispatch_segment = disp
+    cb._process_segment = proc
 
     prompts = [f"Summarize lecture {i} on topic {i * 7 % 23}"
                for i in range(8)]
@@ -81,7 +92,8 @@ def main() -> int:
           f"sum={sum(seg_times):.3f}s "
           f"each={[round(t * 1e3) for t in seg_times]} ms")
     acct = sum(prefill_times) + sum(seg_times)
-    print(f"accounted {acct:.3f}s; host glue/other {total - acct:.3f}s")
+    print(f"accounted {acct:.3f}s; host glue/other {total - acct:.3f}s; "
+          f"pipelined dispatches {pipelined[0]}/{len(seg_times)}")
     return 0
 
 

@@ -275,3 +275,43 @@ class TestSpeculativeSlots:
             assert b.tokens_generated >= 1
         finally:
             b.stop()
+
+
+class TestPipelinedSegments:
+    """pipeline_segments=True chains segment k+1 off k's device outputs;
+    delivered text must be identical to the unpipelined batcher (the
+    chained program slices last/pos on device from the same packed
+    output the host reads)."""
+
+    def test_pipelined_matches_plain(self, generator):
+        outs = {}
+        for pipelined in (False, True):
+            b = ContinuousBatcher(generator, n_slots=4, segment_tokens=8,
+                                  pipeline_segments=pipelined)
+            try:
+                futures = [b.submit(p, max_tokens=32) for p in PROMPTS]
+                outs[pipelined] = [f.result(timeout=120) for f in futures]
+            finally:
+                b.stop()
+        assert outs[True] == outs[False]
+
+    def test_pipelined_mid_eos_slot_not_corrupted(self, generator):
+        """A slot that finishes while a chained segment is in flight must
+        deliver exactly its capped output, and later requests reusing the
+        slot must still work."""
+        b = ContinuousBatcher(generator, n_slots=2, segment_tokens=8,
+                              pipeline_segments=True)
+        try:
+            # mismatched max_tokens: the short one finishes while the
+            # long one keeps chaining
+            f_long = b.submit(PROMPTS[0], max_tokens=40)
+            f_short = b.submit(PROMPTS[1], max_tokens=24)
+            short = f_short.result(timeout=120)
+            long_ = f_long.result(timeout=120)
+            n = len(generator._tok.encode(short, add_special=False))
+            assert n <= 24
+            # slot reuse after the pipelined finish
+            again = b.generate(PROMPTS[2], max_tokens=12)
+            assert isinstance(long_, str) and isinstance(again, str)
+        finally:
+            b.stop()
