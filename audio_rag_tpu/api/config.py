@@ -62,6 +62,11 @@ class APIConfig(BaseModel):
     queue_db_path: str = "./data/queue.db"
     #: run an in-process worker thread instead of a separate worker process
     inline_worker: bool = False
+    #: coalesce concurrent search-only queries into fused device batches
+    #: (engine/query_coalescer.py) — identical per-query results; raises
+    #: the server's concurrent-QPS ceiling from one-dispatch-per-request
+    #: toward the fused batch path's throughput
+    coalesce_queries: bool = True
 
     @classmethod
     def from_env(cls) -> "APIConfig":

@@ -22,6 +22,22 @@ from audio_rag_tpu.api.schemas import (
 __all__ = ["register_query_routes"]
 
 
+def _coalescer(app: App, rag):
+    """Process-wide QueryCoalescer, built lazily; its device batches run
+    through the app's single device-work executor (one device thread)."""
+    c = app.state.get("query_coalescer")
+    if c is None:
+        from audio_rag_tpu.engine.query_coalescer import QueryCoalescer
+
+        executor = app.state["executor"]
+        c = QueryCoalescer(
+            rag.querying,
+            run_in=lambda fn: executor.submit(fn).result(),
+        )
+        app.state["query_coalescer"] = c
+    return c
+
+
 def register_query_routes(app: App) -> None:
     config: APIConfig = app.state["config"]
 
@@ -38,20 +54,38 @@ def register_query_routes(app: App) -> None:
         # device work runs off the event loop (single worker: FIFO fairness)
         loop = asyncio.get_running_loop()
 
-        def run():
-            return rag.query(
-                body.query,
-                top_k=body.top_k,
-                search_type=body.search_type,
-                collection=body.collection,
-                use_hyde=body.use_hyde,
-                rerank=body.rerank,
-                generate_answer=body.generate_answer,
-                speak_answer=body.speak_answer,
-                metadata_filter=body.metadata_filter,
-            )
+        # search-only requests coalesce: concurrent queries that arrive
+        # while a batch is on the device ride the NEXT fused batch
+        # together instead of paying one dispatch each (identical
+        # per-query results — engine/query_coalescer.py). HyDE /
+        # generation / TTS / filtered requests keep the per-request path.
+        coalescible = (
+            config.coalesce_queries
+            and not body.use_hyde and not body.generate_answer
+            and not body.speak_answer and not body.metadata_filter
+        )
+        if coalescible:
+            result = await asyncio.wrap_future(
+                _coalescer(app, rag).submit(
+                    body.query, top_k=body.top_k,
+                    search_type=body.search_type,
+                    collection=body.collection, rerank=body.rerank,
+                ))
+        else:
+            def run():
+                return rag.query(
+                    body.query,
+                    top_k=body.top_k,
+                    search_type=body.search_type,
+                    collection=body.collection,
+                    use_hyde=body.use_hyde,
+                    rerank=body.rerank,
+                    generate_answer=body.generate_answer,
+                    speak_answer=body.speak_answer,
+                    metadata_filter=body.metadata_filter,
+                )
 
-        result = await loop.run_in_executor(app.state["executor"], run)
+            result = await loop.run_in_executor(app.state["executor"], run)
         context = None
         if body.include_context:
             context = rag.querying.get_context_for_llm(

@@ -352,3 +352,37 @@ class TestMetrics:
             return 0.0
 
         assert count(r2.text) == count(r1.text) + 1
+
+
+class TestQueryCoalescing:
+    def test_concurrent_queries_coalesce_and_match(self, server, seeded):
+        """Concurrent search-only POST /query requests ride fused batches
+        (engine/query_coalescer.py) and return the same results as a
+        sequential request."""
+        import concurrent.futures as cf
+
+        def ask(q):
+            r = httpx.post(f"{BASE}/api/v1/query", headers=KEY,
+                           json={"query": q, "rerank": False, "top_k": 3},
+                           timeout=30.0)
+            assert r.status_code == 200
+            return r.json()
+
+        sequential = {q: ask(q)["results"] for q in
+                      [f"word{i}" for i in range(6)]}
+        with cf.ThreadPoolExecutor(max_workers=6) as pool:
+            concurrent = dict(zip(
+                sequential,
+                pool.map(lambda q: ask(q)["results"], sequential),
+            ))
+        for q in sequential:
+            assert [r["chunk_id"] for r in concurrent[q]] == [
+                r["chunk_id"] for r in sequential[q]]
+        c = server["app"].state.get("query_coalescer")
+        assert c is not None and c.requests_served >= 12
+
+    def test_hyde_request_keeps_single_path(self, server, seeded):
+        r = httpx.post(f"{BASE}/api/v1/query", headers=KEY,
+                       json={"query": "word0", "use_hyde": True,
+                             "rerank": False}, timeout=30.0)
+        assert r.status_code == 200
