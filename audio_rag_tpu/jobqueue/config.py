@@ -25,6 +25,14 @@ class WorkerConfig(BaseModel):
     heartbeat_ttl_s: int = Field(default=300, ge=1)
     preload_models: bool = True
     poll_interval_s: float = Field(default=0.5, gt=0)
+    #: claim up to this many compatible queued jobs at once and ingest
+    #: them STAGE-GROUPED (pipeline.ingest_batch): the whisper↔llama HBM
+    #: swap of the contextual stage is paid once per claimed batch
+    #: instead of twice per job (measured 1.37× on 3×8-min files).
+    #: Tradeoffs at >1: per-stage progress/checkpoints coarsen to the
+    #: batch (a crash requeues the whole batch from scratch) and
+    #: cancellation is observed between batches, not stages.
+    batch_claim: int = Field(default=1, ge=1, le=16)
 
 
 class StorageConfig(BaseModel):

@@ -159,6 +159,75 @@ def process_ingest_job(
     return result
 
 
+def process_ingest_batch(
+    jobs: list[IngestJob],
+    store: JobStore,
+    rag,
+    config: QueueConfig,
+) -> list[JobResult]:
+    """Run several compatible claimed jobs as ONE stage-grouped ingest
+    (``pipeline.ingest_batch``): the contextual stage's whisper↔llama HBM
+    swap is paid once per batch instead of twice per job (measured 1.37×
+    on 3×8-min files, docs/PERFORMANCE.md).
+
+    Tradeoffs vs the per-job path (worker.batch_claim > 1 opts in):
+    per-stage checkpoints and progress coarsen to the batch, and
+    cancellation is observed at batch boundaries. On ANY failure the
+    batch falls back to :func:`process_ingest_job` per job — isolating a
+    poison file and restoring per-job semantics for the retry.
+    """
+    t0 = time.time()
+    live: list[IngestJob] = []
+    results: dict[str, JobResult] = {}
+    for job in jobs:
+        row = store.get_job_row(job.job_id)
+        if row and row["status"] == JobStatus.CANCELLED.value:
+            results[job.job_id] = JobResult(
+                job_id=job.job_id, status=JobStatus.CANCELLED)
+            store.put_result(results[job.job_id],
+                             config.storage.result_ttl_s)
+        else:
+            live.append(job)
+            store.set_status(job.job_id, JobStatus.RUNNING,
+                             stage=JobStage.TRANSCRIBING)
+    if not live:
+        return [results[j.job_id] for j in jobs]
+
+    restore = _apply_config_overrides(rag, live[0].config_overrides)
+    try:
+        res_list = rag.ingestion.ingest_batch(
+            [j.audio_path for j in live],
+            collection=live[0].collection,
+            metadatas=[{"tenant_id": j.tenant_id, **j.metadata}
+                       for j in live],
+        )
+        for job, res in zip(live, res_list):
+            result = JobResult(
+                job_id=job.job_id,
+                status=JobStatus.COMPLETED,
+                collection=res.collection,
+                num_chunks=res.num_chunks,
+                num_segments=res.num_segments,
+                num_speakers=res.num_speakers,
+                duration_s=res.duration_s,
+                elapsed_s=round(time.time() - t0, 3),
+                metrics=res.stage_timings,
+            )
+            store.set_status(job.job_id, JobStatus.COMPLETED,
+                             stage=JobStage.FINALIZING)
+            store.put_result(result, config.storage.result_ttl_s)
+            results[job.job_id] = result
+    except Exception as exc:
+        log.warning("batch ingest of %d jobs failed (%s); falling back "
+                    "to per-job processing", len(live), exc)
+        for job in live:
+            results[job.job_id] = process_ingest_job(
+                job, store, rag, config)
+    finally:
+        restore()
+    return [results[j.job_id] for j in jobs]
+
+
 def _apply_config_overrides(rag, overrides: dict[str, Any]):
     """Apply per-job ``{"section.key": value}`` or nested-dict overrides
     (reference ``queue/worker.py:361-365``); returns a restore callback."""
@@ -261,16 +330,53 @@ class TPUWorker:
             self._shutdown()
 
     def run_once(self) -> bool:
-        """Claim and process a single job; returns whether one was found."""
+        """Claim and process work; returns whether any job was found.
+
+        With ``worker.batch_claim > 1`` and contextual headers enabled,
+        compatible queued jobs (same collection + config overrides, no
+        pending checkpoint) batch into one stage-grouped ingest; other
+        claims process individually after it.
+        """
         if self._rag is None:
             self._rag = self._rag_factory()
         queue_names = [q.name for q in self.config.queues]
         job = self.store.claim_next(self.worker_id, queue_names)
         if job is None:
             return False
-        log.info("worker %s claimed job %s", self.worker_id, job.job_id)
-        process_ingest_job(job, self.store, self._rag, self.config)
-        self.jobs_processed += 1
+
+        want = self.config.worker.batch_claim
+        contextual_on = getattr(
+            self._rag.config.contextual, "enabled", False)
+        batch: list[IngestJob] = [job]
+        singles: list[IngestJob] = []
+        if want > 1 and contextual_on \
+                and self.store.get_checkpoint(job.job_id) is None:
+            key = (job.collection, repr(sorted(
+                (job.config_overrides or {}).items())))
+            while len(batch) < want:
+                nxt = self.store.claim_next(self.worker_id, queue_names)
+                if nxt is None:
+                    break
+                nxt_key = (nxt.collection, repr(sorted(
+                    (nxt.config_overrides or {}).items())))
+                if (nxt_key == key
+                        and self.store.get_checkpoint(nxt.job_id) is None):
+                    batch.append(nxt)
+                else:
+                    singles.append(nxt)  # already claimed; run after
+
+        if len(batch) > 1:
+            log.info("worker %s claimed batch of %d job(s)",
+                     self.worker_id, len(batch))
+            process_ingest_batch(batch, self.store, self._rag, self.config)
+            self.jobs_processed += len(batch)
+        else:
+            log.info("worker %s claimed job %s", self.worker_id, job.job_id)
+            process_ingest_job(job, self.store, self._rag, self.config)
+            self.jobs_processed += 1
+        for nxt in singles:
+            process_ingest_job(nxt, self.store, self._rag, self.config)
+            self.jobs_processed += 1
         return True
 
     def stop(self) -> None:

@@ -278,9 +278,14 @@ class IngestionPipeline:
         self,
         audios: list[str | Path],
         collection: str | None = None,
+        metadatas: list[dict[str, Any] | None] | None = None,
         **kw: Any,
     ) -> list[IngestionResult]:
         """Batch ingest, STAGE-GROUPED when contextual headers are on.
+
+        ``metadatas`` optionally gives each file its own metadata dict
+        (the job-queue worker stamps per-job tenant ids); ``metadata``
+        in ``**kw`` applies to every file.
 
         The per-file loop pays two HBM model swaps per file under a
         single-chip budget (whisper+diarizer evicted for the header LLM,
@@ -297,7 +302,14 @@ class IngestionPipeline:
         """
         if (len(audios) <= 1 or not self.config.contextual.enabled
                 or kw.get("checkpoint_cb") or kw.get("resume")):
-            return [self.ingest(a, collection=collection, **kw) for a in audios]
+            metas = metadatas or [None] * len(audios)
+            return [
+                self.ingest(a, collection=collection,
+                            **{**kw, "metadata": {
+                                **(kw.get("metadata") or {}),
+                                **(m or {})}})
+                for a, m in zip(audios, metas)
+            ]
 
         sample_rate = kw.get("sample_rate")
         diarize = kw.get("diarize", True)
@@ -347,9 +359,10 @@ class IngestionPipeline:
 
         # pass 3: embed + store (header LLM can now yield to the embedder)
         results = []
-        for st in staged:
+        for idx, st in enumerate(staged):
             segments, chunks = st["segments"], st["chunks"]
-            meta = {"source": st["source"], **(metadata or {})}
+            per_file = (metadatas[idx] if metadatas else None) or {}
+            meta = {"source": st["source"], **(metadata or {}), **per_file}
             for c in chunks:
                 c.metadata.update(meta)
             t0 = time.perf_counter()

@@ -149,3 +149,87 @@ class TestWorkerE2E:
         worker = TPUWorker(cfg, store=store, rag_factory=fake_rag)
         store.heartbeat(worker.worker_id, {"jobs_processed": 0})
         assert worker.worker_id in store.live_workers()
+
+
+def fake_rag_contextual():
+    return AudioRAG(AudioRAGConfig(**{
+        "asr": {"backend": "fake"},
+        "diarization": {"backend": "fake"},
+        "embedding": {"backend": "fake"},
+        "retrieval": {"backend": "tpu", "capacity_step": 128},
+        "reranking": {"backend": "none"},
+        "generation": {"backend": "fake"},
+        "contextual": {"enabled": True},
+    }))
+
+
+class TestBatchClaim:
+    """worker.batch_claim > 1: compatible queued jobs run as ONE
+    stage-grouped ingest (model swaps per batch); incompatible claims
+    still process, failures fall back per job."""
+
+    def _enqueue_n(self, queue, tmp_path, n, collection=None, seed0=10):
+        jids = []
+        sr = 16000
+        for i in range(n):
+            p = tmp_path / f"b{i}.wav"
+            write_wav(p, (0.1 * np.random.default_rng(seed0 + i)
+                          .standard_normal(sr * 8)).astype(np.float32), sr)
+            jids.append(queue.enqueue(
+                IngestJob(f"tenant{i}", str(p), collection=collection)))
+        return jids
+
+    def test_batch_completes_all_jobs(self, env, tmp_path):
+        store, cfg, queue = env
+        cfg.worker.batch_claim = 4
+        jids = self._enqueue_n(queue, tmp_path, 3)
+        worker = TPUWorker(cfg, store=store, rag_factory=fake_rag_contextual)
+        assert worker.run_once() is True
+        assert worker.jobs_processed == 3
+        for i, jid in enumerate(jids):
+            res = queue.get_result(jid)
+            assert res.status is JobStatus.COMPLETED
+            assert res.num_chunks > 0
+        # per-job tenant metadata survived the batched path
+        rag = worker._rag
+        out = rag.query("word0", rerank=False)
+        tenants = {r.metadata.get("tenant_id") for r in out.results}
+        assert tenants <= {"tenant0", "tenant1", "tenant2"}
+
+    def test_incompatible_collections_split(self, env, tmp_path):
+        store, cfg, queue = env
+        cfg.worker.batch_claim = 4
+        a = self._enqueue_n(queue, tmp_path, 2, collection="colA")
+        b = self._enqueue_n(queue, tmp_path, 1, collection="colB",
+                            seed0=50)
+        worker = TPUWorker(cfg, store=store, rag_factory=fake_rag_contextual)
+        assert worker.run_once() is True
+        for jid in a + b:
+            assert queue.get_result(jid).status is JobStatus.COMPLETED
+
+    def test_poison_file_falls_back_per_job(self, env, tmp_path):
+        store, cfg, queue = env
+        cfg.worker.batch_claim = 4
+        good = self._enqueue_n(queue, tmp_path, 2)
+        bad = queue.enqueue(
+            IngestJob("tenantX", "/missing.wav"), validate=False)
+        worker = TPUWorker(cfg, store=store, rag_factory=fake_rag_contextual)
+        worker.run_once()
+        # drain anything left (the poison job may batch first or last)
+        while worker.run_once():
+            pass
+        for jid in good:
+            assert queue.get_result(jid).status is JobStatus.COMPLETED
+        assert queue.get_result(bad).status is JobStatus.FAILED
+
+    def test_batch_claim_1_unchanged(self, env, tmp_path):
+        store, cfg, queue = env
+        assert cfg.worker.batch_claim == 1
+        jids = self._enqueue_n(queue, tmp_path, 2)
+        worker = TPUWorker(cfg, store=store, rag_factory=fake_rag_contextual)
+        assert worker.run_once() is True
+        assert worker.jobs_processed == 1  # one job per run_once
+        while worker.run_once():
+            pass
+        for jid in jids:
+            assert queue.get_result(jid).status is JobStatus.COMPLETED
