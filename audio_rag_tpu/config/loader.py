@@ -16,6 +16,9 @@ import yaml
 
 from audio_rag_tpu.config.schema import AudioRAGConfig
 from audio_rag_tpu.core.exceptions import ConfigError
+from audio_rag_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
 
 __all__ = ["load_config", "deep_merge", "apply_env_overrides"]
 
@@ -128,8 +131,59 @@ def load_config(
     data = apply_env_overrides(data)
     if overrides:
         data = deep_merge(data, overrides)
+    data = normalize_reference_config(data)
 
     try:
         return AudioRAGConfig(**data)
     except Exception as exc:
         raise ConfigError(f"config validation failed: {exc}") from exc
+
+
+#: reference backend names → TPU-native equivalents, applied by
+#: :func:`load_config` so a reference deployment's YAML loads UNCHANGED
+#: (docs/MIGRATION.md "Key → key changes" — the loader performs the
+#: table). Direct ``AudioRAGConfig(**...)`` construction stays strict.
+_REFERENCE_ALIASES: dict[tuple[str, str], dict[str, Any]] = {
+    ("asr", "backend"): {"faster-whisper": "whisper-jax"},
+    ("diarization", "backend"): {"nemo": "clustering", "pyannote": "ahc"},
+    ("retrieval", "backend"): {"qdrant": "tpu"},
+    ("generation", "backend"): {"ollama": "llm-jax"},
+    ("generation", "model"): {
+        "llama3.2:3b": "llama-3.2-3b",
+        "llama3.2:1b": "llama-3.2-1b",
+    },
+    ("tts", "fallback_backend"): {"edge-tts": "null"},
+}
+
+
+def normalize_reference_config(data: dict[str, Any]) -> dict[str, Any]:
+    """Map reference (CUDA-stack) config values to their TPU-native
+    equivalents in place of a validation error, logging each mapping.
+
+    ``asr.compute_type`` gets special handling: the reference's
+    ``float16`` maps to the MXU-native ``bfloat16``; its ``int8``
+    (CTranslate2 weight quantization) maps to ``bfloat16`` storage PLUS
+    the int8 decode kernels (``cross_kv_int8`` + ``decoder_int8``) —
+    the semantically matching configuration, not just a dtype rename.
+    """
+    for (section, key), mapping in _REFERENCE_ALIASES.items():
+        sec = data.get(section)
+        if isinstance(sec, dict) and sec.get(key) in mapping:
+            old = sec[key]
+            sec[key] = mapping[old]
+            log.info("config: mapped reference %s.%s=%r -> %r",
+                     section, key, old, sec[key])
+    asr = data.get("asr")
+    if isinstance(asr, dict):
+        ct = asr.get("compute_type")
+        if ct == "float16":
+            asr["compute_type"] = "bfloat16"
+            log.info("config: mapped reference asr.compute_type=float16 "
+                     "-> bfloat16 (MXU-native)")
+        elif ct == "int8":
+            asr["compute_type"] = "bfloat16"
+            asr.setdefault("cross_kv_int8", True)
+            asr.setdefault("decoder_int8", True)
+            log.info("config: mapped reference asr.compute_type=int8 -> "
+                     "bfloat16 storage + int8 decode kernels")
+    return data

@@ -107,3 +107,85 @@ class TestLoadConfig:
         (tmp_path / "base.yaml").write_text("chunking:\n  max_tokens: 5\n")
         with pytest.raises(ConfigError):
             load_config(configs_dir=tmp_path)
+
+
+class TestReferenceConfigAliases:
+    """A reference (CUDA-stack) deployment's YAML loads UNCHANGED: the
+    loader maps reference backend names / dtypes to their TPU-native
+    equivalents (docs/MIGRATION.md key table, performed automatically)."""
+
+    REFERENCE_YAML = """
+asr:
+  backend: faster-whisper
+  model_size: large-v3
+  device: auto
+  compute_type: float16
+  vad_filter: true
+  vad_threshold: 0.5
+diarization:
+  backend: nemo
+  min_speech_duration_ms: 250
+chunking:
+  strategy: speaker_turn
+  max_tokens: 256
+contextual:
+  enabled: false
+  window_size: 1
+embedding:
+  backend: bge-m3
+  batch_size: 32
+retrieval:
+  backend: qdrant
+  collection_name: audio_rag
+  search_type: hybrid
+  qdrant_host: localhost
+  qdrant_port: 6333
+reranking:
+  backend: bge-reranker
+  initial_k: 20
+expansion:
+  backend: hyde
+generation:
+  backend: ollama
+  model: llama3.2:3b
+  temperature: 0.7
+tts:
+  backend: piper
+  fallback_backend: edge-tts
+resources:
+  max_vram_gb: 12.0
+  unload_after_idle_seconds: 300
+"""
+
+    def test_reference_yaml_loads(self, tmp_path):
+        (tmp_path / "base.yaml").write_text(self.REFERENCE_YAML)
+        cfg = load_config(configs_dir=tmp_path)
+        assert cfg.asr.backend == "whisper-jax"
+        assert cfg.asr.compute_type == "bfloat16"
+        assert cfg.diarization.backend == "clustering"
+        assert cfg.retrieval.backend == "tpu"
+        assert cfg.generation.backend == "llm-jax"
+        assert cfg.generation.model == "llama-3.2-3b"
+        assert cfg.tts.fallback_backend == "null"
+        assert cfg.expansion.backend == "hyde"
+
+    def test_reference_int8_maps_to_int8_decode_kernels(self, tmp_path):
+        (tmp_path / "base.yaml").write_text(
+            "asr:\n  backend: faster-whisper\n  compute_type: int8\n")
+        cfg = load_config(configs_dir=tmp_path)
+        assert cfg.asr.compute_type == "bfloat16"
+        assert cfg.asr.cross_kv_int8 is True
+        assert cfg.asr.decoder_int8 is True
+
+    def test_pyannote_maps_to_second_diarizer(self, tmp_path):
+        (tmp_path / "base.yaml").write_text(
+            "diarization:\n  backend: pyannote\n")
+        cfg = load_config(configs_dir=tmp_path)
+        assert cfg.diarization.backend == "ahc"
+
+    def test_native_names_untouched(self, tmp_path):
+        (tmp_path / "base.yaml").write_text(
+            "asr:\n  backend: whisper-jax\n  compute_type: float32\n")
+        cfg = load_config(configs_dir=tmp_path)
+        assert cfg.asr.backend == "whisper-jax"
+        assert cfg.asr.compute_type == "float32"
