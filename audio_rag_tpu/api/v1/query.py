@@ -41,6 +41,12 @@ def _coalescer(app: App, rag):
 def register_query_routes(app: App) -> None:
     config: APIConfig = app.state["config"]
 
+    @app.on_shutdown
+    async def _stop_coalescer() -> None:
+        c = app.state.get("query_coalescer")
+        if c is not None:
+            c.stop()
+
     @app.post("/api/v1/query")
     async def query(request: Request) -> Response:
         authenticate(request, config)

@@ -82,8 +82,11 @@ class QueryCoalescer:
                 return
             batch = [item]
             # drain whatever accumulated while the previous batch ran;
-            # only same-key requests ride together (others requeue and
-            # go out next round — still ahead of any new arrivals)
+            # only same-key requests ride together. Different-key
+            # requests requeue: FIFO puts them behind anything that
+            # arrived during this drain, but each loop iteration ships
+            # exactly one key group, so every request is served within
+            # a bounded number of rounds (no key can monopolize).
             requeue = []
             while len(batch) < self.max_batch:
                 try:
