@@ -73,3 +73,57 @@ class TestVAD:
         audio = np.zeros(sr, np.float32)
         audio[:800] = 0.5  # 50ms blip < min_speech_ms
         assert speech_segments(audio, sr) == []
+
+
+class TestSubsampledClustering:
+    """spectral_cluster beyond MAX_CLUSTER_WINDOWS clusters a temporal
+    subsample and assigns the rest by nearest centroid — the eigh is
+    O(N^3), measured 24 s host at a 2-hour file's 9600 windows."""
+
+    def _clustered_embeddings(self, n, k=3, d=32, seed=0):
+        import numpy as np
+        rng = np.random.default_rng(seed)
+        centers = rng.standard_normal((k, d))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        true = rng.integers(0, k, n)
+        X = centers[true] + 0.05 * rng.standard_normal((n, d))
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        return X, true
+
+    def test_subsample_path_matches_full_path(self, monkeypatch):
+        import numpy as np
+
+        from audio_rag_tpu.diarization import spectral
+
+        X, true = self._clustered_embeddings(300)
+        full = spectral.spectral_cluster(X, max_speakers=6)
+        monkeypatch.setattr(spectral, "MAX_CLUSTER_WINDOWS", 64)
+        sub = spectral.spectral_cluster(X, max_speakers=6)
+        # identical partitions up to label permutation
+        assert len(set(zip(full.tolist(), sub.tolist()))) == \
+            len(set(full.tolist()))
+        assert (np.unique(sub).size == np.unique(full).size ==
+                np.unique(true).size)
+
+    def test_subsample_purity_against_truth(self, monkeypatch):
+        import numpy as np
+
+        from audio_rag_tpu.diarization import spectral
+
+        X, true = self._clustered_embeddings(5000, k=4)
+        monkeypatch.setattr(spectral, "MAX_CLUSTER_WINDOWS", 512)
+        labels = spectral.spectral_cluster(X, max_speakers=8)
+        # every predicted cluster maps to one true speaker (purity 1.0
+        # at this separation)
+        for j in np.unique(labels):
+            assert np.unique(true[labels == j]).size == 1
+
+    def test_single_speaker_long_file(self, monkeypatch):
+        import numpy as np
+
+        from audio_rag_tpu.diarization import spectral
+
+        X, _ = self._clustered_embeddings(400, k=1)
+        monkeypatch.setattr(spectral, "MAX_CLUSTER_WINDOWS", 64)
+        labels = spectral.spectral_cluster(X, max_speakers=8)
+        assert np.unique(labels).size == 1
