@@ -36,7 +36,13 @@ _SR = 16_000
 _WINDOW_S = 3.0  # must match scripts/train_vad.py CLIP_S (mel global-norm
 _WINDOW = int(_SR * _WINDOW_S)  # window is part of the model's input law)
 _FRAMES_PER_WINDOW = int(_WINDOW_S * 100)
-_BATCH = 16
+#: batch-size buckets per dispatch. Host↔device interaction COUNT is the
+#: latency model on this relay (~28 ms flat + congestion-variable for
+#: tens-of-MB operands): batch 16 cost 150 dispatches / ~24 s warm on a
+#: 2-hour file; 128-window dispatches cut that to 19. The small buckets
+#: keep short inputs (a 5 s streaming chunk = 2 windows) from paying a
+#: 128x3 s padded program; each bucket compiles once, persistently cached.
+_BATCHES = (8, 32, 128)
 
 
 @dataclass
@@ -130,19 +136,27 @@ def learned_vad(
     if n_frames == 0:
         return np.zeros(0, bool)
     n_windows = (len(audio) + _WINDOW - 1) // _WINDOW
+    padded = np.zeros(n_windows * _WINDOW, np.float32)
+    padded[: len(audio)] = audio
+    clips_all = padded.reshape(n_windows, _WINDOW)
     probs = np.zeros(n_windows * _FRAMES_PER_WINDOW, np.float32)
     import jax.numpy as jnp
 
-    for base in range(0, n_windows, _BATCH):
-        m = min(_BATCH, n_windows - base)
-        clips = np.zeros((_BATCH, _WINDOW), np.float32)
-        for j in range(m):
-            seg = audio[(base + j) * _WINDOW: (base + j + 1) * _WINDOW]
-            clips[j, : len(seg)] = seg
+    base = 0
+    while base < n_windows:
+        rem = n_windows - base
+        batch = next((b for b in _BATCHES if rem <= b), _BATCHES[-1])
+        m = min(batch, rem)
+        if m == batch:
+            clips = clips_all[base: base + batch]
+        else:  # tail shorter than the smallest fitting bucket: pad
+            clips = np.zeros((batch, _WINDOW), np.float32)
+            clips[:m] = clips_all[base: base + m]
         out = np.asarray(run(jnp.asarray(clips)))
         span = out[:m, :_FRAMES_PER_WINDOW].reshape(-1)
         probs[base * _FRAMES_PER_WINDOW:
               base * _FRAMES_PER_WINDOW + span.size] = span
+        base += m
     return probs[:n_frames] > opts.threshold
 
 

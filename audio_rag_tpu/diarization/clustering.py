@@ -38,12 +38,42 @@ log = get_logger(__name__)
 __all__ = ["ClusteringDiarizer"]
 
 
+#: windows per device dispatch. One eager vmap over ALL windows of a file
+#: paid per-op relay dispatches AND a single ~900 MB host operand at a
+#: 2-hour file's ~9600 windows; fixed buckets through ONE jitted
+#: mel→embed program keep every dispatch at a bounded operand size
+#: (512 x 1.5 s f32 = 49 MB) and let jax.jit reuse the compiled program
+#: across files. Small buckets bound padding waste for short files.
+_EMBED_BATCHES = (64, 512)
+
+_embed_programs: dict = {}
+
+
+def _embed_program(dims):
+    """Jitted (params, frames (B, win_n)) → (B, emb_dim) fp32, cached per
+    SpeakerDims. Params are explicit args (never closures) so the program
+    survives engine drop_params/reload without re-tracing."""
+    fn = _embed_programs.get(dims)
+    if fn is None:
+        @jax.jit
+        def fn(params, frames):
+            mels = jax.vmap(
+                lambda a: log_mel_spectrogram(a, n_mels=dims.n_mels,
+                                              global_norm=False)
+            )(frames)
+            return speaker_embed(params, dims, mels, dtype=jnp.float32)
+
+        _embed_programs[dims] = fn
+    return fn
+
+
 def window_embeddings(
     wav: np.ndarray, sr: int, spans: list[tuple[float, float]],
     config: DiarizationConfig, dims, params,
 ) -> tuple[list[float], np.ndarray]:
-    """Window starts + L2-normalized speaker embeddings, ONE device call
-    for every window of the file (shared by both diarization engines)."""
+    """Window starts + L2-normalized speaker embeddings, batched through
+    a jitted fixed-bucket device program (shared by both diarization
+    engines)."""
     win = config.window_s
     shift = config.shift_s
     win_n = int(win * sr)
@@ -60,13 +90,22 @@ def window_embeddings(
     for i, t in enumerate(starts):
         seg = wav[int(t * sr): int(t * sr) + win_n]
         frames[i, : len(seg)] = seg
-    mels = jax.vmap(
-        lambda a: log_mel_spectrogram(a, n_mels=dims.n_mels,
-                                      global_norm=False)
-    )(jnp.asarray(frames))
-    emb = np.asarray(
-        speaker_embed(params, dims, mels, dtype=jnp.float32)
-    )
+    fn = _embed_program(dims)
+    chunks: list[np.ndarray] = []
+    base = 0
+    n = frames.shape[0]
+    while base < n:
+        rem = n - base
+        batch = next((b for b in _EMBED_BATCHES if rem <= b),
+                     _EMBED_BATCHES[-1])
+        m = min(batch, rem)
+        block = frames[base: base + m]
+        if m < batch:
+            block = np.concatenate(
+                [block, np.zeros((batch - m, win_n), np.float32)])
+        chunks.append(np.asarray(fn(params, jnp.asarray(block)))[:m])
+        base += m
+    emb = np.concatenate(chunks, axis=0)
     return starts, emb
 
 

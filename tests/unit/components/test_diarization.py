@@ -127,3 +127,69 @@ class TestSubsampledClustering:
         monkeypatch.setattr(spectral, "MAX_CLUSTER_WINDOWS", 64)
         labels = spectral.spectral_cluster(X, max_speakers=8)
         assert np.unique(labels).size == 1
+
+
+class TestBucketedWindowEmbeddings:
+    """window_embeddings dispatches fixed-size jitted buckets; results
+    must be identical to computing every window in one call (padding
+    windows are discarded, params stay explicit args)."""
+
+    def test_bucketed_matches_single_call(self, monkeypatch):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from audio_rag_tpu.config.schema import DiarizationConfig
+        from audio_rag_tpu.diarization import clustering
+        from audio_rag_tpu.models.speaker import (
+            SPEAKER_PRESETS,
+            init_speaker_encoder,
+            speaker_embed,
+        )
+        from audio_rag_tpu.ops.mel import log_mel_spectrogram
+
+        dims = SPEAKER_PRESETS["test"]
+        params = init_speaker_encoder(jax.random.PRNGKey(0), dims)
+        cfg = DiarizationConfig(model="test")
+        sr = 16000
+        rng = np.random.default_rng(1)
+        wav = (0.2 * rng.standard_normal(20 * sr)).astype(np.float32)
+        spans = [(0.5, 9.0), (10.0, 19.5)]
+
+        # tiny buckets force multiple dispatches AND tail padding
+        monkeypatch.setattr(clustering, "_EMBED_BATCHES", (4, 8))
+        starts, emb = clustering.window_embeddings(
+            wav, sr, spans, cfg, dims, params)
+        assert len(starts) == emb.shape[0] > 8  # multiple buckets used
+
+        win_n = int(cfg.window_s * sr)
+        frames = np.zeros((len(starts), win_n), np.float32)
+        for i, t in enumerate(starts):
+            seg = wav[int(t * sr): int(t * sr) + win_n]
+            frames[i, : len(seg)] = seg
+        mels = jax.vmap(
+            lambda a: log_mel_spectrogram(a, n_mels=dims.n_mels,
+                                          global_norm=False)
+        )(jnp.asarray(frames))
+        ref = np.asarray(speaker_embed(params, dims, mels,
+                                       dtype=jnp.float32))
+        np.testing.assert_allclose(emb, ref, atol=1e-5)
+
+
+class TestBenchAudioIsSpeech:
+    """bench_common.make_bench_audio must register as speech to the
+    LEARNED VAD (the old modulated-noise signal was in its trained
+    negative class, which made the bench's diarize stage vacuous —
+    0 windows, 0 speakers)."""
+
+    def test_learned_vad_detects_bench_audio(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        from bench_common import make_bench_audio
+
+        audio = make_bench_audio(0.5)  # 30 s
+        spans = speech_segments(audio, 16000,
+                                VADOptions(backend="learned"))
+        voiced = sum(e - s for s, e in spans)
+        assert voiced > 15.0, f"only {voiced:.1f}s of 30s voiced"
