@@ -93,6 +93,12 @@ class WhisperJaxASR(BaseASR):
         )
         self._params = None
         self._params_q8 = None
+        # instance-level int8 switches: start from config, downgraded at
+        # load time under tensor parallelism (the int8 Pallas kernels are
+        # single-device programs GSPMD can't partition; TP already halves+
+        # the per-chip weight read the int8 path exists to shrink)
+        self._cross_kv_int8 = self.config.cross_kv_int8
+        self._decoder_int8 = self.config.decoder_int8
         self._tokenizer = None
 
     # -- lifecycle ---------------------------------------------------------
@@ -101,6 +107,10 @@ class WhisperJaxASR(BaseASR):
         self._engine = engine
         rm = get_resource_manager()
         rm.ensure_hbm(self.hbm_required_gb, for_model="asr")
+        # re-derive the int8 switches from config on every load: a reload
+        # on a different mesh (TP → single-chip) must re-enable them
+        self._cross_kv_int8 = self.config.cross_kv_int8
+        self._decoder_int8 = self.config.decoder_int8
         params = self._init_or_restore()
         if self.dtype == jnp.bfloat16:
             # compute_type="bfloat16" means bf16 STORAGE too (faster-whisper's
@@ -108,9 +118,30 @@ class WhisperJaxASR(BaseASR):
             # greedy-decode loop re-reads the whole decoder every step, and
             # fp32 residency doubled those bytes (measured 1.7× RTF)
             params = bf16_storage(params)
-        self._params = engine.put_params("whisper", params)
+        # tensor-parallel placement when the mesh has a model axis (same
+        # policy as LLMGenerator): the decode loop's per-token weight read
+        # — the memory-bound term capping single-chip ASR MFU — splits
+        # across chips, and sharded params free per-chip HBM for a larger
+        # window batch. GSPMD propagates the head split into the KV caches.
+        spec = None
+        if ("model" in engine.mesh.axis_names
+                and engine.mesh.shape["model"] > 1):
+            from audio_rag_tpu.models.whisper import whisper_param_spec
+
+            spec = whisper_param_spec(self.dims)
+            if self._cross_kv_int8 or self._decoder_int8:
+                log.info(
+                    "whisper TP: disabling int8 paths (Pallas kernels are "
+                    "single-device; per-chip HBM traffic is already split "
+                    "%d-way)", engine.mesh.shape["model"],
+                )
+                # hbm_required_gb keeps the q8 increment from __init__ — a
+                # small conservative overcount under TP
+                self._cross_kv_int8 = False
+                self._decoder_int8 = False
+        self._params = engine.put_params("whisper", params, spec)
         self._params_q8 = None
-        if self.config.decoder_int8:
+        if self._decoder_int8:
             from audio_rag_tpu.models.whisper import quantize_decoder_weights
 
             # one-time per-out-channel int8 of the decode-loop weight
@@ -193,7 +224,7 @@ class WhisperJaxASR(BaseASR):
                         params, self.dims, enc, prompt, max_new,
                         self.tokens.eot, beam_size=beam, dtype=self.dtype,
                         decoder_q8=q8,
-                        cross_kv_quantize=self.config.cross_kv_int8,
+                        cross_kv_quantize=self._cross_kv_int8,
                     )
                     B = toks.shape[0]
                     return (toks, jnp.zeros((B,), jnp.float32),
@@ -211,7 +242,7 @@ class WhisperJaxASR(BaseASR):
                         spec_k=self.config.speculative_k,
                         dtype=self.dtype,
                         no_speech_id=self.tokens.no_speech,
-                        cross_kv_quantize=self.config.cross_kv_int8,
+                        cross_kv_quantize=self._cross_kv_int8,
                         decoder_q8=q8,
                     )
                     return toks, lp, nsp, enc
@@ -221,7 +252,7 @@ class WhisperJaxASR(BaseASR):
                     temperature=temperature,
                     rng=jax.random.PRNGKey(int(temperature * 100)),
                     no_speech_id=self.tokens.no_speech,
-                    cross_kv_quantize=self.config.cross_kv_int8,
+                    cross_kv_quantize=self._cross_kv_int8,
                     decoder_q8=q8,
                 )
                 return toks, lp, nsp, enc
@@ -237,8 +268,8 @@ class WhisperJaxASR(BaseASR):
         return engine.program(
             ("whisper", "transcribe", self.config.model_size, strategy,
              batch, temperature,
-             max_new, self.config.cross_kv_int8,
-             self.config.decoder_int8, self.config.speculative_k), build
+             max_new, self._cross_kv_int8,
+             self._decoder_int8, self.config.speculative_k), build
         )
 
     def _mel_for_batch(self, win: np.ndarray, contiguous: bool) -> jax.Array:

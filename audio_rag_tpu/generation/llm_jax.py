@@ -29,6 +29,9 @@ from audio_rag_tpu.models.llm import (
 from audio_rag_tpu.resources.manager import get_resource_manager
 from audio_rag_tpu.text.tokenizer import get_tokenizer
 from audio_rag_tpu.utils.decorators import timed
+from audio_rag_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
 
 __all__ = ["LLMGenerator"]
 
@@ -114,7 +117,13 @@ class LLMGenerator(BaseGenerator):
         ) else None
         self._params = engine.put_params("llm", params, spec)
         self._params_q8 = None
-        if self.config.decoder_int8:
+        if spec is not None and self.config.decoder_int8:
+            # the int8 Pallas matmuls are single-device programs GSPMD
+            # can't partition — under TP the decode loop runs the bf16
+            # einsum path (per-chip weight reads are already split)
+            log.info("llm TP: disabling decoder_int8 (Pallas kernels are "
+                     "single-device)")
+        if spec is None and self.config.decoder_int8:
             from audio_rag_tpu.models.llm import quantize_llm_weights
 
             # one-time per-out-channel int8 of the decode-loop matmuls

@@ -28,6 +28,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import PartitionSpec as P
 
 from audio_rag_tpu.models.layers import (
     Params,
@@ -51,6 +52,7 @@ __all__ = [
     "WHISPER_PRESETS",
     "SpecialTokens",
     "init_whisper",
+    "whisper_param_spec",
     "encode",
     "decoder_forward",
     "precompute_cross_kv",
@@ -199,6 +201,75 @@ def init_whisper(
                 jax.random.split(k_dec, dims.n_text_layer), d_t, cross=True
             ),
             "ln": cast(layer_norm_init(d_t)),
+        },
+    }
+
+
+def _tp_block_spec(cross: bool) -> dict:
+    """Per-layer tensor-parallel specs, leading stacked-layer dim replicated.
+
+    Column-parallel (split output features): q/k/v, mlp.up — weights
+    (L, d_in, d_out) → P(None, None, 'model'), biases (L, d_out) →
+    P(None, 'model'). Row-parallel (split input features): o, mlp.down —
+    weights → P(None, 'model', None), biases replicated. The Megatron
+    layout: heads/FFN-hidden are split, each block needs one psum, which
+    XLA emits from the NamedSharding annotations.
+    """
+    col_w, col_b = P(None, None, "model"), P(None, "model")
+    row_w, rep_b = P(None, "model", None), P(None, None)
+    ln = {"g": P(None, None), "b": P(None, None)}
+    spec = {
+        "ln1": ln,
+        "attn": {
+            "q": {"w": col_w, "b": col_b},
+            "k": {"w": col_w},
+            "v": {"w": col_w, "b": col_b},
+            "o": {"w": row_w, "b": rep_b},
+        },
+        "mlp": {
+            "up": {"w": col_w, "b": col_b},
+            "down": {"w": row_w, "b": rep_b},
+        },
+        "ln_mlp": ln,
+    }
+    if cross:
+        spec["cross"] = {
+            "q": {"w": col_w, "b": col_b},
+            "k": {"w": col_w},
+            "v": {"w": col_w, "b": col_b},
+            "o": {"w": row_w, "b": rep_b},
+        }
+        spec["ln_cross"] = ln
+    return spec
+
+
+def whisper_param_spec(dims: WhisperDims) -> dict:
+    """PartitionSpec tree mirroring ``init_whisper``'s param tree.
+
+    Used for BOTH fine-tuning (``training/train.py``) and inference
+    serving (``asr/whisper_jax.py``): with the mesh's ``model`` axis > 1
+    the decode loop's per-token weight read — the memory-bound term that
+    caps single-chip ASR at ~8% MFU (docs/PERFORMANCE.md) — splits across
+    chips, and the per-chip HBM freed by sharded params raises the window
+    batch cap. GSPMD propagates the head split into the self/cross KV
+    caches from the q/k/v projections; no hand-written collectives
+    (reference scale-out is whole-jobs-per-GPU-worker only, SURVEY §2.4).
+    """
+    rep2 = P(None, None)
+    return {
+        "encoder": {
+            # convs are <0.5% of params — replicate, shard the blocks
+            "conv1": {"w": P(None, None, None), "b": P(None)},
+            "conv2": {"w": P(None, None, None), "b": P(None)},
+            "pos": rep2,
+            "blocks": _tp_block_spec(cross=False),
+            "ln_post": {"g": P(None), "b": P(None)},
+        },
+        "decoder": {
+            "tok_emb": {"table": rep2},
+            "pos_emb": rep2,
+            "blocks": _tp_block_spec(cross=True),
+            "ln": {"g": P(None), "b": P(None)},
         },
     }
 

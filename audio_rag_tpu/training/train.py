@@ -24,6 +24,7 @@ from audio_rag_tpu.models.whisper import (
     decoder_forward,
     encode,
     precompute_cross_kv,
+    whisper_param_spec,
 )
 
 __all__ = ["TrainConfig", "whisper_param_spec", "make_train_step",
@@ -37,63 +38,6 @@ class TrainConfig:
     warmup_steps: int = 100
     grad_clip: float = 1.0
     dtype: Any = jnp.float32
-
-
-def _block_spec(cross: bool) -> dict:
-    """Per-layer specs with leading stacked-layer dim (None).
-
-    Column-parallel (split output features): q/k/v, mlp.up — weights
-    (L, d_in, d_out) → P(None, None, 'model'), biases (L, d_out) →
-    P(None, 'model'). Row-parallel (split input features): o, mlp.down —
-    weights → P(None, 'model', None), biases replicated.
-    """
-    col_w, col_b = P(None, None, "model"), P(None, "model")
-    row_w, rep_b = P(None, "model", None), P(None, None)
-    ln = {"g": P(None, None), "b": P(None, None)}
-    spec = {
-        "ln1": ln,
-        "attn": {
-            "q": {"w": col_w, "b": col_b},
-            "k": {"w": col_w},
-            "v": {"w": col_w, "b": col_b},
-            "o": {"w": row_w, "b": rep_b},
-        },
-        "mlp": {
-            "up": {"w": col_w, "b": col_b},
-            "down": {"w": row_w, "b": rep_b},
-        },
-        "ln_mlp": ln,
-    }
-    if cross:
-        spec["cross"] = {
-            "q": {"w": col_w, "b": col_b},
-            "k": {"w": col_w},
-            "v": {"w": col_w, "b": col_b},
-            "o": {"w": row_w, "b": rep_b},
-        }
-        spec["ln_cross"] = ln
-    return spec
-
-
-def whisper_param_spec(dims: WhisperDims) -> dict:
-    """PartitionSpec tree mirroring ``init_whisper``'s param tree."""
-    rep2 = P(None, None)
-    return {
-        "encoder": {
-            # convs are <0.5% of params — replicate, shard the blocks
-            "conv1": {"w": P(None, None, None), "b": P(None)},
-            "conv2": {"w": P(None, None, None), "b": P(None)},
-            "pos": rep2,
-            "blocks": _block_spec(cross=False),
-            "ln_post": {"g": P(None), "b": P(None)},
-        },
-        "decoder": {
-            "tok_emb": {"table": rep2},
-            "pos_emb": rep2,
-            "blocks": _block_spec(cross=True),
-            "ln": {"g": P(None), "b": P(None)},
-        },
-    }
 
 
 def loss_fn(

@@ -438,4 +438,15 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:  # pragma: no cover
+        # The relay backend occasionally drops a dispatch mid-run with a
+        # transient FAILED_PRECONDITION (observed once in ~40 full runs;
+        # the identical program succeeds on retry). One retry in a fresh
+        # process-ish state keeps the round-end measurement alive without
+        # masking real failures: a second error propagates.
+        log(f"bench attempt 1 failed ({type(exc).__name__}: {exc}); "
+            "retrying once in 30s")
+        time.sleep(30)
+        main()
