@@ -309,6 +309,11 @@ class GenerationConfig(BaseModel):
     #: uses wave mode, which pays one dispatch per batch).
     scheduler_slots: int = Field(default=8, ge=1)
     scheduler_segment_tokens: int = Field(default=16, ge=1)
+    #: adaptive segments: when >segment_tokens and no request is waiting
+    #: to join (and every live slot has the quota/cache), segments run
+    #: this many steps — the seg-48 throughput without its join-latency
+    #: price (engine/continuous.py::_segment_for_dispatch). 0 = off.
+    scheduler_idle_segment_tokens: int = Field(default=48, ge=0)
     #: continuous mode: per-slot KV budget (attention cost per step is
     #: O(ctx); don't pay the model's full max_len for chat-sized requests)
     scheduler_context_tokens: int = Field(default=2048, ge=64)

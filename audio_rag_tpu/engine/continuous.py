@@ -91,10 +91,19 @@ class ContinuousBatcher:
     def __init__(self, generator, n_slots: int = 8,
                  segment_tokens: int = 16, context_tokens: int = 2048,
                  spec_k: int | None = None,
-                 pipeline_segments: bool = False):
+                 pipeline_segments: bool = False,
+                 idle_segment_tokens: int = 0):
         self.generator = generator
         self.n_slots = n_slots
         self.segment = segment_tokens
+        #: adaptive segments: when >0 and NO request is waiting to join
+        #: (and every live slot has that much quota and cache left),
+        #: segments dispatch this many steps instead — the measured
+        #: throughput/join-latency tradeoff (config/schema.py: seg 16 =
+        #: 433 tok/s @ 596 ms join p50, seg 48 = 490 @ 1325 on 1b int8)
+        #: automated: long segments only when nobody is waiting, so the
+        #: join-latency price is never paid. One extra compiled program.
+        self.idle_segment = idle_segment_tokens
         self.ctx = context_tokens
         #: speculative segment decode (llm_decode_slots_spec) when >0.
         #: Default OFF regardless of the generator's wave-path spec_k:
@@ -164,7 +173,8 @@ class ContinuousBatcher:
         return gen._engine.program(
             ("llm_cont_prefill", gen.dims, R, Pb), build)
 
-    def _decode_program(self, chained: bool = False):
+    def _decode_program(self, chained: bool = False,
+                        segment: int | None = None):
         """The segment program. ``chained=True`` builds the variant that
         takes the PREVIOUS segment's packed (B, segment+1) output and
         slices last tokens/positions from it INSIDE the program — a
@@ -177,7 +187,7 @@ class ContinuousBatcher:
             llm_decode_slots_spec,
         )
 
-        segment = self.segment
+        segment = self.segment if segment is None else segment
         eos = gen._tok.eos_id
         spec = self.spec_k
 
@@ -339,6 +349,7 @@ class ContinuousBatcher:
         chained dispatches always see the latest cache."""
         gen = self.generator
         B = self.n_slots
+        seg = self._segment_for_dispatch() if chain is None else self.segment
         active = np.zeros(B, bool)
         temps = np.zeros(B, np.float32)
         for i, s in enumerate(self._slots):
@@ -358,10 +369,13 @@ class ContinuousBatcher:
                 jax.random.PRNGKey(self._rng_seed),
             )
             self._cache = (out[1], out[2])
-            return {"out": out, "slots": list(self._slots)}
+            return {"out": out, "slots": list(self._slots),
+                    "seg": self.segment}
         if self.spec_k > 0:
             # right-aligned recent-token window per slot (-1 pad never
             # matches a 2-gram); last real token sits at column -1
+            # (speculative segments keep the configured length: block
+            # verification already decouples steps from dispatches)
             hist = np.full((B, SPEC_HISTORY), -1, np.int32)
             for i, s in enumerate(self._slots):
                 if s is None:
@@ -376,13 +390,34 @@ class ContinuousBatcher:
                 [s.last_token if s else 0 for s in self._slots], np.int32))
             pos_arg = jnp.asarray(
                 np.array([s.pos if s else 0 for s in self._slots], np.int32))
-        out = self._decode_program()(
+        out = self._decode_program(
+            segment=None if self.spec_k > 0 else seg)(
             gen._params, first_arg, ck, cv, pos_arg,
             jnp.asarray(active), jnp.asarray(temps),
             jax.random.PRNGKey(self._rng_seed),
         )
         self._cache = (out[1], out[2])
-        return {"out": out, "slots": list(self._slots)}
+        return {"out": out, "slots": list(self._slots), "seg": seg}
+
+    def _segment_for_dispatch(self) -> int:
+        """Adaptive segment length: ``idle_segment`` steps when nothing
+        is waiting to join and every live slot has that much quota and
+        cache left (no overshoot possible), else the configured short
+        segment. Long-when-idle converts the measured seg-48 throughput
+        win into a free lunch: the join-latency cost only existed when
+        a request was waiting, and then we use short segments."""
+        long_seg = self.idle_segment
+        if long_seg <= self.segment or not self._queue.empty():
+            return self.segment
+        cap = min(self.generator.dims.max_len, self.ctx) - 2
+        live = [s for s in self._slots if s is not None]
+        if live and all(
+            len(s.tokens) + long_seg <= s.max_new
+            and s.pos + long_seg < cap
+            for s in live
+        ):
+            return long_seg
+        return self.segment
 
     def _process_segment(self, flight) -> None:
         """Read back one in-flight segment and apply it to the slots it
@@ -508,7 +543,7 @@ class ContinuousBatcher:
             # pipeline: chain segment k+1 off k's device outputs before
             # k's readback — hides the dispatch floor under compute
             nxt_flight = None
-            if self._can_pipeline():
+            if self._can_pipeline() and flight.get("seg") == self.segment:
                 try:
                     nxt_flight = self._dispatch_segment(chain=flight)
                 except Exception:  # pragma: no cover

@@ -73,6 +73,15 @@ class QueryCoalescer:
         self._stopped = True
         self._queue.put(None)
         self._thread.join(timeout=10.0)
+        # fail any stragglers that raced the stop flag (submitted after
+        # the sentinel) instead of leaving their futures hanging forever
+        while True:
+            try:
+                p = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if p is not None and not p.future.done():
+                p.future.set_exception(RuntimeError("coalescer stopped"))
 
     # -- worker ----------------------------------------------------------
     def _loop(self) -> None:

@@ -136,14 +136,16 @@ class ScheduledGenerator:
     def __init__(self, generator, max_batch: int = 16,
                  max_wait_ms: float = 10.0, mode: str = "wave",
                  n_slots: int = 8, segment_tokens: int = 16,
-                 context_tokens: int = 2048):
+                 context_tokens: int = 2048,
+                 idle_segment_tokens: int = 0):
         self.inner = generator
         if mode == "continuous":
             from audio_rag_tpu.engine.continuous import ContinuousBatcher
 
             self.scheduler = ContinuousBatcher(
                 generator, n_slots=n_slots, segment_tokens=segment_tokens,
-                context_tokens=context_tokens)
+                context_tokens=context_tokens,
+                idle_segment_tokens=idle_segment_tokens)
         else:
             self.scheduler = GenerationScheduler(generator, max_batch,
                                                  max_wait_ms)

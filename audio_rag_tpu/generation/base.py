@@ -22,6 +22,7 @@ def create_generator(config: GenerationConfig) -> BaseGenerator | None:
             n_slots=config.scheduler_slots,
             segment_tokens=config.scheduler_segment_tokens,
             context_tokens=config.scheduler_context_tokens,
+            idle_segment_tokens=config.scheduler_idle_segment_tokens,
         )
     return gen
 

@@ -165,6 +165,53 @@ class TestNoHeadOfLineBlocking:
         assert batcher.requests_served >= 12
 
 
+class TestAdaptiveSegments:
+    def test_segment_selection_policy(self, generator):
+        """Long segments only when idle AND every live slot has quota."""
+        from audio_rag_tpu.engine.continuous import _Slot, _Request
+
+        b = ContinuousBatcher(generator, n_slots=2, segment_tokens=4,
+                              idle_segment_tokens=16)
+        try:
+            req = _Request("p", None, None, None)
+            # no live slots: stays short (nothing to speed up)
+            assert b._segment_for_dispatch() == 4
+            slot = _Slot(request=req, tokens=[1], pos=8, max_new=64,
+                         last_token=1)
+            b._slots[0] = slot
+            assert b._segment_for_dispatch() == 16
+            # a waiting request forces short segments (join latency)
+            b._queue.put(_Request("q", None, None, None))
+            assert b._segment_for_dispatch() == 4
+            b._queue.get_nowait()
+            # a slot near its cap forces short segments (no overshoot)
+            slot.max_new = len(slot.tokens) + 8
+            assert b._segment_for_dispatch() == 4
+        finally:
+            b._slots[0] = None
+            b.stop()
+
+    def test_adaptive_matches_fixed_output(self, generator):
+        """Adaptive segments change dispatch granularity, not tokens."""
+        fixed = ContinuousBatcher(generator, n_slots=2, segment_tokens=4)
+        try:
+            want = [fixed.submit(p, max_tokens=20) for p in PROMPTS[:2]]
+            want = [f.result(timeout=120) for f in want]
+            fixed_segments = fixed.segments_run
+        finally:
+            fixed.stop()
+        adaptive = ContinuousBatcher(generator, n_slots=2, segment_tokens=4,
+                                     idle_segment_tokens=16)
+        try:
+            got = [adaptive.submit(p, max_tokens=20) for p in PROMPTS[:2]]
+            got = [f.result(timeout=120) for f in got]
+            assert got == want
+            # fewer dispatches for the same tokens is the entire point
+            assert adaptive.segments_run < fixed_segments
+        finally:
+            adaptive.stop()
+
+
 class TestTokenStreaming:
     def test_stream_deltas_accumulate_to_full_text(self, generator):
         from audio_rag_tpu.engine.scheduler import ScheduledGenerator
