@@ -42,6 +42,7 @@ def main() -> None:
     #: regime; real RAG answers/contextual headers (context-span copying)
     #: sit between that and the no-accept worst case (= status quo cost).
     spec_k = int(os.environ.get("BENCH_SPEC_K", 0))
+    idle_seg = int(os.environ.get("BENCH_IDLE_SEG", 0))
     gen = LLMGenerator(GenerationConfig(
         model=model, temperature=0.0, use_scheduler=False,
         decoder_int8=decoder_int8, speculative_k=spec_k,
@@ -72,7 +73,7 @@ def main() -> None:
     # BENCH_SPEC_K here A/Bs the batched regimes on purpose
     cb = ContinuousBatcher(
         gen, n_slots=8, segment_tokens=16, context_tokens=512,
-        spec_k=spec_k,
+        spec_k=spec_k, idle_segment_tokens=idle_seg,
         pipeline_segments=os.environ.get("BENCH_PIPELINE", "0") == "1")
     try:
         # warm/compile EVERY program the measured round will hit: a
@@ -122,6 +123,8 @@ def main() -> None:
             "mixed_short_request_p50_ms": round(short_p50, 1),
             "long_not_blocking_shorts": bool(long_running_at_shorts_done),
             "n_slots": 8, "segment_tokens": 16,
+            "idle_segment_tokens": idle_seg,
+            "segments_run": cb.segments_run,
             "speculative_k": spec_k,
             "note": "random-init weights; single v5e via relay "
                     "(~28ms/dispatch floor; continuous pays it per "
