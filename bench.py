@@ -381,11 +381,17 @@ def main() -> None:
             decoder_int8=True,
         ))
         gen.load()
-        batcher = ContinuousBatcher(gen, n_slots=8, segment_tokens=16)
+        # production profile: adaptive idle segments (48 when nothing is
+        # queued, 16 otherwise) — same default as GenerationConfig
+        batcher = ContinuousBatcher(gen, n_slots=8, segment_tokens=16,
+                                    idle_segment_tokens=48)
         prompts = [f"prompt {i} about term{i * 7 % 100}" for i in range(8)]
-        # warm (compiles cached across runs by the persistent cache)
+        # warm at the MEASURED max_tokens: the 64-token workload runs one
+        # 48-step segment then 16-step ones, and program identity includes
+        # the segment length — a shorter warmup would leave the 48-step
+        # program to compile mid-timing (CLAUDE.md: warm the exact set)
         [f.result(timeout=1200) for f in
-         [batcher.submit(p, max_tokens=8) for p in prompts]]
+         [batcher.submit(p, max_tokens=64) for p in prompts]]
         n_tok = 64
         # two measured rounds, best-of: the relay's per-dispatch cost is
         # VARIABLE (congestion can add seconds to single dispatches —
