@@ -3,12 +3,18 @@
 Parity surface: reference ``api/v1/streaming.py:26-230``:
 ``WS /api/v1/ws/transcribe`` — JSON command frames ({"command": "stop" |
 "reset"}) + binary int16 PCM frames; transcript/status/error message
-schemas; a lock-guarded process-wide StreamingASR; plus
-``GET /api/v1/streaming/status``.
+schemas; plus ``GET /api/v1/streaming/status``.
 
-The reference transcribes on the event loop (flagged in SURVEY.md §3.4);
-here the StreamingASR backend already runs device work in its own worker
-thread, so the socket stays responsive during transcription.
+TPU-first deltas over the reference:
+
+* the reference serves ONE session at a time behind a process lock and
+  transcribes on the event loop (flagged in SURVEY.md §3.4). Here each
+  connection gets its own session whose device work runs off-loop, and
+  concurrent sessions' chunks multiplex into ONE window-batch dispatch
+  (:mod:`audio_rag_tpu.asr.mux`) — the decode loop's weight reads are
+  shared across sessions instead of queuing behind each other;
+* sessions beyond ``streaming.max_sessions`` are refused with close
+  code 4429 instead of silently queuing.
 """
 
 from __future__ import annotations
@@ -25,33 +31,65 @@ log = get_logger(__name__)
 
 __all__ = ["register_streaming_routes"]
 
-_asr_lock = asyncio.Lock()
+_mux_lock = asyncio.Lock()
 
 
-def _get_streaming_asr(app: App):
-    asr = app.state.get("streaming_asr")
-    if asr is None:
-        from audio_rag_tpu.asr.streaming import StreamingASR
-        from audio_rag_tpu.config.schema import ASRConfig
+async def _get_streaming_mux(app: App):
+    """Process-wide shared ASR backend + chunk mux (created once)."""
+    async with _mux_lock:
+        mux = app.state.get("streaming_mux")
+        if mux is None:
+            from audio_rag_tpu.asr.mux import StreamingMux
+            from audio_rag_tpu.config.schema import ASRConfig
 
-        rag_cfg = app.state.get("rag_config")
-        asr_cfg = rag_cfg.asr if rag_cfg is not None else ASRConfig()
-        stream_cfg = (
-            rag_cfg.streaming.to_runtime() if rag_cfg is not None else None
-        )
-        if asr_cfg.backend == "fake":
-            from audio_rag_tpu.asr.fake import FakeASR
+            rag_cfg = app.state.get("rag_config")
+            asr_cfg = rag_cfg.asr if rag_cfg is not None else ASRConfig()
+            if asr_cfg.backend == "fake":
+                from audio_rag_tpu.asr.fake import FakeASR
 
-            asr = StreamingASR(asr_cfg, stream_cfg, backend=FakeASR(asr_cfg))
-        else:
-            asr = StreamingASR(asr_cfg, stream_cfg)
-        asr.load()
-        app.state["streaming_asr"] = asr
-    return asr
+                backend = FakeASR(asr_cfg)
+            else:
+                from audio_rag_tpu.asr.whisper_jax import WhisperJaxASR
+
+                if asr_cfg.max_decode_tokens is None:
+                    stream_cfg = (rag_cfg.streaming if rag_cfg is not None
+                                  else None)
+                    asr_cfg = asr_cfg.model_copy(update={
+                        "max_decode_tokens": (
+                            stream_cfg.max_decode_tokens
+                            if stream_cfg is not None else 64),
+                    })
+                backend = WhisperJaxASR(asr_cfg)
+            mux = StreamingMux(backend)
+            app.state["streaming_mux"] = mux
+            app.state["streaming_sessions"] = set()
+
+            @app.on_shutdown
+            async def stop_mux():
+                mux.stop()
+        return mux
+
+
+def _new_session(app: App, mux):
+    from audio_rag_tpu.asr.streaming import StreamingASR
+    from audio_rag_tpu.config.schema import ASRConfig
+
+    rag_cfg = app.state.get("rag_config")
+    asr_cfg = rag_cfg.asr if rag_cfg is not None else ASRConfig()
+    stream_cfg = (
+        rag_cfg.streaming.to_runtime() if rag_cfg is not None else None
+    )
+    return StreamingASR(asr_cfg, stream_cfg, mux=mux)
 
 
 def register_streaming_routes(app: App) -> None:
     config: APIConfig = app.state["config"]
+
+    def _max_sessions() -> int:
+        rag_cfg = app.state.get("rag_config")
+        if rag_cfg is not None:
+            return rag_cfg.streaming.max_sessions
+        return 8
 
     @app.websocket("/api/v1/ws/transcribe")
     async def transcribe(request: Request, ws: WebSocket) -> None:
@@ -62,67 +100,90 @@ def register_streaming_routes(app: App) -> None:
             await ws.close(4401)
             return
 
-        async with _asr_lock:  # one streaming session at a time (ref parity)
-            asr = _get_streaming_asr(app)
-            await asr.reset()
-            await asr.start()
-            await ws.send_json({"type": "status", "status": "listening"})
-            try:
-                while True:
-                    frame = await ws.recv()
-                    if frame is None:
-                        break
-                    kind, data = frame
-                    if kind == "text":
-                        try:
-                            cmd = json.loads(data).get("command")
-                        except json.JSONDecodeError:
-                            await ws.send_json(
-                                {"type": "error", "error": "invalid JSON"}
-                            )
-                            continue
-                        if cmd == "stop":
-                            final = await asr.stop()
-                            if final is not None:
-                                await ws.send_json(
-                                    {"type": "transcript",
-                                     **final.to_dict()}
-                                )
-                            await ws.send_json(
-                                {"type": "status", "status": "stopped"}
-                            )
-                            break
-                        if cmd == "reset":
-                            await asr.reset()
-                            await ws.send_json(
-                                {"type": "status", "status": "reset"}
-                            )
-                            continue
+        mux = await _get_streaming_mux(app)
+        sessions: set = app.state["streaming_sessions"]
+        if len(sessions) >= _max_sessions():
+            await ws.send_json({
+                "type": "error",
+                "error": f"session limit {_max_sessions()} reached",
+            })
+            await ws.close(4429)
+            return
+
+        loop = asyncio.get_running_loop()
+        asr = _new_session(app, mux)
+        # first session pays backend load + program warm; later sessions
+        # find both done. Off-loop: load blocks for seconds-to-minutes.
+        await loop.run_in_executor(None, asr.load)
+        sessions.add(asr)
+        await asr.start()
+        await ws.send_json({"type": "status", "status": "listening"})
+        try:
+            while True:
+                frame = await ws.recv()
+                if frame is None:
+                    break
+                kind, data = frame
+                if kind == "text":
+                    try:
+                        cmd = json.loads(data).get("command")
+                    except json.JSONDecodeError:
                         await ws.send_json(
-                            {"type": "error",
-                             "error": f"unknown command {cmd!r}"}
+                            {"type": "error", "error": "invalid JSON"}
                         )
-                    else:  # binary PCM int16 @16 kHz
-                        result = await asr.add_audio(data)
-                        if result is not None:
+                        continue
+                    if cmd == "stop":
+                        final = await asr.stop()
+                        if final is not None:
                             await ws.send_json(
-                                {"type": "transcript", **result.to_dict()}
+                                {"type": "transcript", **final.to_dict()}
                             )
-            except ConnectionError:
-                pass
-            finally:
-                if asr.state.value != "stopped":
-                    await asr.stop()
+                        await ws.send_json(
+                            {"type": "status", "status": "stopped"}
+                        )
+                        break
+                    if cmd == "reset":
+                        await asr.reset()
+                        await ws.send_json(
+                            {"type": "status", "status": "reset"}
+                        )
+                        continue
+                    await ws.send_json(
+                        {"type": "error",
+                         "error": f"unknown command {cmd!r}"}
+                    )
+                else:  # binary PCM int16 @16 kHz
+                    result = await asr.add_audio(data)
+                    if result is not None:
+                        await ws.send_json(
+                            {"type": "transcript", **result.to_dict()}
+                        )
+        except ConnectionError:
+            pass
+        finally:
+            sessions.discard(asr)
+            if asr.state.value != "stopped":
+                await asr.stop()
 
     @app.get("/api/v1/streaming/status")
     async def streaming_status(request: Request) -> Response:
         authenticate(request, config)
-        asr = app.state.get("streaming_asr")
-        if asr is None:
-            return Response.json({"active": False, "state": "idle"})
+        mux = app.state.get("streaming_mux")
+        sessions = app.state.get("streaming_sessions") or set()
+        if mux is None:
+            return Response.json({
+                "active": False, "state": "idle", "sessions": 0,
+                "max_sessions": _max_sessions(),
+            })
         return Response.json({
-            "active": asr.state.value in ("listening", "processing"),
-            "state": asr.state.value,
-            "buffered_s": round(asr.buffer.buffered_duration, 2),
-            "total_s": round(asr.buffer.total_duration, 2),
+            "active": bool(sessions),
+            # aggregate state kept for reference-schema compatibility
+            "state": "listening" if sessions else "idle",
+            "sessions": len(sessions),
+            "max_sessions": _max_sessions(),
+            "chunks_served": mux.chunks_served,
+            "batches_run": mux.batches_run,
+            "buffered_s": [
+                round(s.buffer.buffered_duration, 2) for s in sessions
+            ],
         })

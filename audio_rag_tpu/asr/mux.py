@@ -1,0 +1,165 @@
+"""Streaming-session multiplexer: concurrent live sessions share one
+window-batch ASR dispatch.
+
+The reference serves ONE streaming session at a time — its WS handler
+takes a process-wide lock (reference ``api/v1/streaming.py:26-230``)
+because each chunk's transcription owns the GPU for 0.5–1.5 s. On TPU the
+transcribe program is already batched over 30 s windows: a live chunk is
+one row of a B-row program whose decode-loop weight reads — the
+memory-bound term that dominates per-chunk latency — are shared across
+rows, so N concurrent chunks cost barely more than one.
+
+This is the ASR analog of :class:`~audio_rag_tpu.engine.query_coalescer.
+QueryCoalescer`: chunks that arrive while a dispatch is in flight
+accumulate and ride the next batch (continuous-batching style — no
+artificial wait window; the in-flight dispatch IS the window). All device
+work happens on the mux's single thread, which also restores the
+one-device-writer invariant that per-session worker threads would
+otherwise break when sharing one backend.
+
+Chunks batch only when their decode-relevant parameters agree
+(``word_timestamps`` / ``language`` / sample rate — they select the
+compiled program and the prompt); mixed keys ship in consecutive rounds.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from audio_rag_tpu.core.types import TranscriptSegment
+from audio_rag_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+__all__ = ["StreamingMux"]
+
+
+@dataclass
+class _Pending:
+    chunk: np.ndarray
+    key: tuple  # (sample_rate, word_timestamps, language)
+    future: Future = field(default_factory=Future)
+
+
+class StreamingMux:
+    """Batches concurrent sessions' chunks into one ASR dispatch."""
+
+    def __init__(self, backend, max_batch: int | None = None):
+        """``backend`` is any loaded :class:`BaseASR`; WhisperJaxASR
+        overrides ``transcribe_chunk_batch`` to run the batch as one
+        device program, other backends fall back to a per-chunk loop."""
+        self.backend = backend
+        self.max_batch = max_batch or getattr(
+            backend.config, "window_batch_size", 8)
+        self._queue: "queue.Queue[_Pending | None]" = queue.Queue()
+        self._stopped = False
+        self.batches_run = 0
+        self.chunks_served = 0
+        self.warmed = False
+        self._thread = threading.Thread(
+            target=self._loop, name="asr-mux", daemon=True)
+        self._thread.start()
+
+    # -- client API ------------------------------------------------------
+    def submit(
+        self,
+        chunk: np.ndarray,
+        sample_rate: int | None = None,
+        word_timestamps: bool = False,
+        language: str | None = None,
+    ) -> Future:
+        """Enqueue one chunk; the future resolves to its
+        ``list[TranscriptSegment]`` (chunk-relative timestamps)."""
+        if self._stopped:
+            raise RuntimeError("mux stopped")
+        p = _Pending(chunk, (sample_rate, word_timestamps, language))
+        self._queue.put(p)
+        return p.future
+
+    def stop(self) -> None:
+        self._stopped = True
+        self._queue.put(None)
+        self._thread.join(timeout=30.0)
+        # fail stragglers that raced the stop flag instead of leaving
+        # their futures hanging forever
+        while True:
+            try:
+                p = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if p is not None and not p.future.done():
+                p.future.set_exception(RuntimeError("mux stopped"))
+
+    # -- worker ------------------------------------------------------------
+    def _loop(self) -> None:
+        while True:
+            item = self._queue.get()
+            if item is None:
+                return
+            batch = [item]
+            # drain whatever accumulated while the previous batch ran;
+            # only same-key chunks ride together, the rest requeue (each
+            # round ships one key group, so no key can starve another)
+            requeue = []
+            while len(batch) < self.max_batch:
+                try:
+                    nxt = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._queue.put(None)
+                    break
+                if nxt.key == item.key:
+                    batch.append(nxt)
+                else:
+                    requeue.append(nxt)
+            for p in requeue:
+                self._queue.put(p)
+
+            sample_rate, word_timestamps, language = item.key
+            try:
+                # two batch buckets only ({1, max}): each distinct B is a
+                # fresh transcribe program (minutes of trace+compile for
+                # the real sizes), and pad rows are ~free — the decode
+                # loop's weight reads are shared across rows
+                results = self.backend.transcribe_chunk_batch(
+                    [p.chunk for p in batch], sample_rate,
+                    word_timestamps=word_timestamps, language=language,
+                    pad_to=self.max_batch if len(batch) > 1 else None,
+                )
+            except Exception as exc:
+                for p in batch:
+                    if not p.future.done():
+                        p.future.set_exception(exc)
+                continue
+            self.batches_run += 1
+            self.chunks_served += len(batch)
+            for p, segs in zip(batch, results):
+                if not p.future.done():
+                    p.future.set_result(segs)
+
+    # -- warmup ------------------------------------------------------------
+    def warm(self, sample_rate: int, chunk_seconds: float,
+             word_timestamps: bool = True) -> None:
+        """Compile the chunk-shaped programs before live traffic (a
+        real-time session can't absorb minutes of first-compile). Warms
+        batch bucket 1; larger pow-2 buckets compile on first use —
+        sessions already in flight keep streaming through the previous
+        bucket's program while that happens."""
+        if self.warmed:
+            return
+        try:
+            from audio_rag_tpu.audio.synth import speech_like
+
+            warm = speech_like(
+                int(chunk_seconds * sample_rate), sample_rate, seed=0)
+            self.submit(warm, sample_rate,
+                        word_timestamps=word_timestamps).result()
+            self.warmed = True
+        except Exception as exc:  # pragma: no cover - warm is best-effort
+            log.warning("mux warmup skipped: %s", exc)

@@ -138,10 +138,13 @@ class StreamingASR(BaseASR):
         config: ASRConfig | None = None,
         streaming: StreamingConfig | None = None,
         backend: BaseASR | None = None,
+        mux=None,
     ):
         super().__init__()
         self.config = config or ASRConfig()
         self.streaming = streaming or StreamingConfig()
+        if backend is None and mux is not None:
+            backend = mux.backend
         if backend is None:
             from audio_rag_tpu.asr.whisper_jax import WhisperJaxASR
 
@@ -153,6 +156,11 @@ class StreamingASR(BaseASR):
                 })
             backend = WhisperJaxASR(self.config)
         self.backend = backend
+        #: shared :class:`~audio_rag_tpu.asr.mux.StreamingMux` — when set,
+        #: chunk transcription routes through it so concurrent sessions'
+        #: chunks batch into one device dispatch (the backend is then
+        #: shared across sessions and this wrapper never unloads it)
+        self.mux = mux
         self.hbm_required_gb = backend.hbm_required_gb
         self.buffer = AudioBuffer(self.streaming.sample_rate)
         self.state = StreamState.IDLE
@@ -168,6 +176,12 @@ class StreamingASR(BaseASR):
             self.backend.load(self._engine)
         # prewarm the chunk-shaped program so the first live chunk doesn't
         # pay the compile (a real-time session can't absorb minutes)
+        if self.mux is not None:
+            # warm through the mux's thread — it is the only device
+            # writer once sessions share the backend
+            self.mux.warm(self.streaming.sample_rate,
+                          self.streaming.chunk_duration)
+            return
         try:
             from audio_rag_tpu.audio.synth import speech_like
 
@@ -182,6 +196,8 @@ class StreamingASR(BaseASR):
             log.warning("streaming prewarm skipped: %s", exc)
 
     def _unload(self) -> None:
+        if self.mux is not None:
+            return  # the shared backend outlives any one session
         self.backend.unload()
 
     async def start(self) -> None:
@@ -237,9 +253,16 @@ class StreamingASR(BaseASR):
         self, chunk: np.ndarray, offset: float, final: bool
     ) -> StreamingResult:
         t0 = time.perf_counter()
-        segments = self.backend.transcribe(
-            chunk, self.streaming.sample_rate, word_timestamps=True
-        )
+        if self.mux is not None:
+            # concurrent sessions' chunks coalesce into one window-batch
+            # dispatch; this session's worker thread just waits on its row
+            segments = self.mux.submit(
+                chunk, self.streaming.sample_rate, word_timestamps=True
+            ).result()
+        else:
+            segments = self.backend.transcribe(
+                chunk, self.streaming.sample_rate, word_timestamps=True
+            )
         dt = (time.perf_counter() - t0) * 1000.0
         text = " ".join(s.text for s in segments).strip()
         words = [

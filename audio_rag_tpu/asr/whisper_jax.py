@@ -420,6 +420,78 @@ class WhisperJaxASR(BaseASR):
     ) -> list[TranscriptSegment]:
         return self.transcribe(audio, sample_rate, word_timestamps=True, **kw)
 
+    @timed
+    def transcribe_chunk_batch(
+        self,
+        chunks: list[np.ndarray],
+        sample_rate: int | None = None,
+        word_timestamps: bool = False,
+        language: str | None = None,
+        pad_to: int | None = None,
+        **kw: Any,
+    ) -> list[list[TranscriptSegment]]:
+        """N independent ≤1-window chunks as ONE batched device dispatch.
+
+        The streaming-mux path (:mod:`audio_rag_tpu.asr.mux`): concurrent
+        live sessions' chunks ride the same window-batch program the file
+        path compiles, so the decode loop's weight reads — the memory
+        -bound term that caps per-chunk latency — amortize across
+        sessions. Chunks longer than one model window are truncated (the
+        streaming wrapper never produces them). Timestamps are
+        chunk-relative (the session wrapper re-offsets). Returns one
+        segment list per chunk; empty where the VAD gate or the
+        no-speech gate dropped it.
+        """
+        self.require_loaded()
+        get_resource_manager().touch("asr")
+        outs: list[list[TranscriptSegment]] = [[] for _ in chunks]
+        windows: list[tuple[float, np.ndarray]] = []
+        idx: list[int] = []
+        for k, c in enumerate(chunks):
+            wav, sr = decode_audio(c, sample_rate)
+            if wav.size == 0:
+                continue
+            if self.config.vad_filter and not speech_segments(
+                wav, sr, VADOptions(
+                    backend=self.config.vad_backend,
+                    threshold=self.config.vad_threshold,
+                )
+            ):
+                continue
+            windows.append((0.0, wav))
+            idx.append(k)
+        if not windows:
+            return outs
+        lang = language or self.config.language or "en"
+        from audio_rag_tpu.models.whisper import language_offset
+
+        try:
+            lang_offset = language_offset(lang)
+        except ValueError:
+            log.warning("unknown language %r; defaulting to en", lang)
+            lang, lang_offset = "en", 0
+        # batch bucket: the live-session count varies per dispatch and
+        # program identity includes B (a fresh shape costs a fresh
+        # trace+compile — minutes for the real sizes). Callers that want
+        # a fixed program set pass pad_to (the mux uses {1, max_batch}:
+        # pad rows are ~free since the decode loop is weight-read-bound
+        # and the reads are shared across rows); default is pow-2.
+        if pad_to and pad_to >= len(windows):
+            B = pad_to
+        else:
+            B = 1 << (len(windows) - 1).bit_length()
+        per = self._transcribe_batch(
+            windows, lang, want_words=word_timestamps,
+            lang_offset=lang_offset, pad_to=B, grouped=True,
+        )
+        for k, segs in zip(idx, per):
+            if word_timestamps:
+                for seg in segs:
+                    if not seg.words:
+                        seg.words = _interpolate_words(seg)
+            outs[k] = segs
+        return outs
+
     def detect_language(
         self, audio: np.ndarray | str, sample_rate: int | None = None
     ) -> tuple[int, float]:
@@ -454,8 +526,8 @@ class WhisperJaxASR(BaseASR):
     def _transcribe_batch(
         self, windows: list[tuple[float, np.ndarray]], lang: str,
         want_words: bool = False, lang_offset: int = 0,
-        pad_to: int | None = None,
-    ) -> list[TranscriptSegment]:
+        pad_to: int | None = None, grouped: bool = False,
+    ) -> list[TranscriptSegment] | list[list[TranscriptSegment]]:
         n_real = len(windows)
         B = max(pad_to or 0, n_real)  # zero-window rows pad the tail batch
         n_mel_samples = (
@@ -543,10 +615,11 @@ class WhisperJaxASR(BaseASR):
                 enc_dev, prompt, clean_per_window
             )
 
-        out: list[TranscriptSegment] = []
+        per_window: list[list[TranscriptSegment]] = []
         for j, (t0, seg_audio) in enumerate(windows):
             if silent[j]:
-                continue  # whisper's no-speech gate
+                per_window.append([])  # whisper's no-speech gate
+                continue
             dur = len(seg_audio) / SAMPLE_RATE
             text_ids = self._strip_special(tokens[j])
             segs = self._tokens_to_segments(text_ids, t0, dur, lang)
@@ -556,8 +629,10 @@ class WhisperJaxASR(BaseASR):
                 self._apply_word_times(
                     segs, window_weights[j], clean_per_window[j], dur, t0
                 )
-            out.extend(segs)
-        return out
+            per_window.append(segs)
+        if grouped:
+            return per_window
+        return [s for segs in per_window for s in segs]
 
     def _collect_cross_weights(
         self, enc_dev, prompt: np.ndarray,

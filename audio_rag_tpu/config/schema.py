@@ -135,6 +135,13 @@ class StreamingSchema(BaseModel):
     max_decode_tokens: int = Field(default=64, ge=8, le=224)
     #: drop a chunk's transcript when avg logprob falls below this
     min_avg_logprob: float | None = None
+    #: concurrent live sessions served per process. The reference allows 1
+    #: (its WS handler takes a process lock — each chunk owns the GPU);
+    #: here concurrent sessions' chunks multiplex into ONE window-batch
+    #: dispatch (``asr/mux.py``), so N sessions share the decode loop's
+    #: weight reads instead of queuing behind each other. Sessions beyond
+    #: this limit are refused at the WebSocket with a clear error.
+    max_sessions: int = Field(default=8, ge=1, le=64)
 
     def to_runtime(self):
         """The asr.streaming dataclass the StreamingASR wrapper consumes."""

@@ -104,6 +104,22 @@ class BaseASR(DeviceBackend):
         """Transcribe with word-level timestamps (default: same as transcribe)."""
         return self.transcribe(audio, sample_rate, word_timestamps=True, **kw)
 
+    def transcribe_chunk_batch(
+        self,
+        chunks: "Iterable[np.ndarray]",
+        sample_rate: int | None = None,
+        pad_to: int | None = None,
+        **kw: Any,
+    ) -> list[list[TranscriptSegment]]:
+        """Transcribe independent short chunks, one segment list per chunk.
+
+        Device backends may override to run the whole batch as ONE
+        dispatch (WhisperJaxASR rides its window-batch program — the
+        streaming-mux path, ``asr/mux.py``; ``pad_to`` fixes the batch
+        shape so the compiled-program set stays bounded). Default:
+        per-chunk loop."""
+        return [self.transcribe(c, sample_rate, **kw) for c in chunks]
+
 
 class BaseDiarizer(DeviceBackend):
     """Audio → speaker-labelled time segments."""

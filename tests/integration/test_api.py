@@ -311,7 +311,49 @@ class TestWebSocketStreaming:
     def test_streaming_status_endpoint(self, server):
         r = httpx.get(f"{BASE}/api/v1/streaming/status", headers=KEY)
         assert r.status_code == 200
-        assert "state" in r.json()
+        body = r.json()
+        assert "state" in body
+        assert "max_sessions" in body
+
+    def test_concurrent_ws_sessions(self, server):
+        """Two live sessions stream simultaneously (the reference allows
+        one at a time); both get transcripts, chunks mux into batches."""
+        import websockets.sync.client as wsc
+
+        pcm = (np.random.default_rng(1).standard_normal(16000) * 3000) \
+            .astype("<i2").tobytes()
+        url = f"ws://127.0.0.1:{PORT}/api/v1/ws/transcribe?api_key=dev-key-basic"
+        results = [[], []]
+
+        def session(i):
+            with wsc.connect(url) as ws:
+                hello = json.loads(ws.recv(timeout=10))
+                assert hello["status"] == "listening"
+                for _ in range(6):
+                    ws.send(pcm)
+                    try:
+                        msg = json.loads(ws.recv(timeout=2))
+                        if msg["type"] == "transcript":
+                            results[i].append(msg)
+                    except TimeoutError:
+                        pass
+                ws.send(json.dumps({"command": "stop"}))
+                for _ in range(10):
+                    msg = json.loads(ws.recv(timeout=10))
+                    if msg.get("status") == "stopped":
+                        break
+                    if msg["type"] == "transcript":
+                        results[i].append(msg)
+
+        threads = [threading.Thread(target=session, args=(i,))
+                   for i in range(2)]
+        [t.start() for t in threads]
+        [t.join(timeout=60) for t in threads]
+        assert results[0] and results[1], \
+            "both concurrent sessions must produce transcripts"
+        status = httpx.get(f"{BASE}/api/v1/streaming/status",
+                           headers=KEY).json()
+        assert status["chunks_served"] >= 2
 
 
 class TestMetrics:

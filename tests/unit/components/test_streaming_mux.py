@@ -1,0 +1,171 @@
+"""Streaming-session mux: concurrent sessions' chunks share one batched
+dispatch, with per-chunk results identical to the unbatched path.
+
+The capability under test exceeds the reference, which serves one
+streaming session at a time behind a process lock (reference
+``api/v1/streaming.py:26-230``)."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from audio_rag_tpu.asr.fake import FakeASR
+from audio_rag_tpu.asr.mux import StreamingMux
+from audio_rag_tpu.asr.streaming import StreamingASR, StreamingConfig
+from audio_rag_tpu.audio.synth import speech_like
+from audio_rag_tpu.config.schema import ASRConfig
+
+SR = 16000
+
+
+class TestMuxWithFakeBackend:
+    def test_results_match_per_chunk_transcribe(self):
+        backend = FakeASR()
+        mux = StreamingMux(backend, max_batch=4)
+        try:
+            chunks = [speech_like(SR + 100 * i, SR, seed=i)
+                      for i in range(6)]
+            futs = [mux.submit(c, SR) for c in chunks]
+            got = [f.result(timeout=30) for f in futs]
+            want = [backend.transcribe(c, SR) for c in chunks]
+            for g, w in zip(got, want):
+                assert [s.text for s in g] == [s.text for s in w]
+            assert mux.chunks_served == 6
+        finally:
+            mux.stop()
+
+    def test_concurrent_sessions_batch(self):
+        """Chunks submitted from N threads coalesce into fewer batches."""
+        backend = FakeASR()
+        done = threading.Event()
+        orig = backend.transcribe_chunk_batch
+        calls = []
+
+        def slow_batch(chunks, *a, **kw):
+            calls.append(len(chunks))
+            done.wait(0.05)  # hold the dispatch so submitters accumulate
+            return orig(chunks, *a, **kw)
+
+        backend.transcribe_chunk_batch = slow_batch
+        mux = StreamingMux(backend, max_batch=8)
+        try:
+            chunk = speech_like(SR, SR, seed=0)
+            futs = [mux.submit(chunk, SR) for _ in range(8)]
+            [f.result(timeout=30) for f in futs]
+            assert mux.chunks_served == 8
+            # first dispatch takes whatever was queued; the in-flight
+            # 50 ms window lets the rest accumulate into one batch
+            assert mux.batches_run < 8, f"no batching happened: {calls}"
+        finally:
+            mux.stop()
+
+    def test_mixed_keys_all_served(self):
+        backend = FakeASR()
+        mux = StreamingMux(backend, max_batch=4)
+        try:
+            chunk = speech_like(SR, SR, seed=0)
+            futs = [mux.submit(chunk, SR, word_timestamps=(i % 2 == 0))
+                    for i in range(6)]
+            results = [f.result(timeout=30) for f in futs]
+            assert all(r for r in results)
+        finally:
+            mux.stop()
+
+    def test_stop_fails_pending(self):
+        backend = FakeASR()
+        mux = StreamingMux(backend)
+        mux.stop()
+        with pytest.raises(RuntimeError):
+            mux.submit(np.zeros(SR, np.float32), SR)
+
+
+class TestChunkBatchEquivalence:
+    """WhisperJaxASR.transcribe_chunk_batch must equal per-chunk
+    transcribe(): greedy decode is row-independent, so batching and
+    pow-2 padding cannot change any row's tokens or word times."""
+
+    @pytest.fixture(scope="class")
+    def backend(self):
+        from audio_rag_tpu.asr.whisper_jax import WhisperJaxASR
+
+        b = WhisperJaxASR(ASRConfig(
+            model_size="test", compute_type="float32",
+            temperature_fallback=False, vad_filter=False,
+        ))
+        b.load()
+        yield b
+        b.unload()
+
+    def test_batched_equals_individual(self, backend):
+        # test-preset window is 1.2 s; chunks must fit one window
+        chunks = [speech_like(int(SR * 1.1), SR, seed=i) for i in range(3)]
+        batched = backend.transcribe_chunk_batch(
+            chunks, SR, word_timestamps=True)
+        for c, got in zip(chunks, batched):
+            want = backend.transcribe(c, SR, word_timestamps=True)
+            assert [s.text for s in got] == [s.text for s in want]
+            got_words = [(w.text, w.start, w.end)
+                         for s in got for w in s.words]
+            want_words = [(w.text, w.start, w.end)
+                          for s in want for w in s.words]
+            assert got_words == want_words
+
+    def test_empty_and_silent_rows(self, backend):
+        chunks = [np.zeros(0, np.float32),
+                  speech_like(int(SR * 1.0), SR, seed=7)]
+        out = backend.transcribe_chunk_batch(chunks, SR)
+        assert out[0] == []
+        assert isinstance(out[1], list)
+
+
+class TestStreamingSessionWithMux:
+    def test_session_replay_matches_unmuxed(self):
+        cfg = ASRConfig(backend="fake")
+        stream_cfg = StreamingConfig(chunk_duration=2.0,
+                                     overlap_duration=0.5)
+        plain = StreamingASR(cfg, stream_cfg, backend=FakeASR(cfg))
+        plain.load()
+        audio = speech_like(SR * 5, SR, seed=3)
+        want = [(r.text, r.start, r.end)
+                for r in plain.process_stream(audio, SR)]
+        plain.unload()
+
+        mux = StreamingMux(FakeASR(cfg))
+        try:
+            sess = StreamingASR(cfg, stream_cfg, mux=mux)
+            sess.load()
+            got = [(r.text, r.start, r.end)
+                   for r in sess.process_stream(audio, SR)]
+            sess.unload()  # must NOT unload the shared backend
+            assert mux.backend.is_loaded
+            assert got == want
+        finally:
+            mux.stop()
+
+    def test_two_sessions_share_one_mux(self):
+        cfg = ASRConfig(backend="fake")
+        stream_cfg = StreamingConfig(chunk_duration=1.0,
+                                     overlap_duration=0.2)
+        mux = StreamingMux(FakeASR(cfg))
+        try:
+            sessions = [StreamingASR(cfg, stream_cfg, mux=mux)
+                        for _ in range(2)]
+            for s in sessions:
+                s.load()
+            audio = speech_like(SR * 3, SR, seed=5)
+            outs: list[list] = [None, None]
+
+            def run(i):
+                outs[i] = list(sessions[i].process_stream(audio, SR))
+
+            threads = [threading.Thread(target=run, args=(i,))
+                       for i in range(2)]
+            [t.start() for t in threads]
+            [t.join(timeout=60) for t in threads]
+            assert outs[0] and outs[1]
+            # identical input through identical sessions → identical text
+            assert [r.text for r in outs[0]] == [r.text for r in outs[1]]
+            assert mux.chunks_served >= 2
+        finally:
+            mux.stop()
