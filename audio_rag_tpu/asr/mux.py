@@ -49,13 +49,28 @@ class _Pending:
 class StreamingMux:
     """Batches concurrent sessions' chunks into one ASR dispatch."""
 
-    def __init__(self, backend, max_batch: int | None = None):
+    def __init__(self, backend, max_batch: int | None = None,
+                 linger_ms: float = 8.0):
         """``backend`` is any loaded :class:`BaseASR`; WhisperJaxASR
         overrides ``transcribe_chunk_batch`` to run the batch as one
-        device program, other backends fall back to a per-chunk loop."""
+        device program, other backends fall back to a per-chunk loop.
+
+        ``linger_ms``: after the first chunk of a round, keep draining
+        until no new chunk has arrived for this long (up to
+        ``max_batch``). Without it, batches under-fill by a measured
+        2×: when a dispatch completes, ALL waiting sessions wake at
+        once, but the single host CPU resumes them one at a time — the
+        first resubmission would ship alone (or as a pair) while the
+        other sessions are still stitching their previous result, and
+        the padded dispatch costs the full max_batch price regardless
+        (B=8 chunk dispatch ≈ 871 ms vs 297 single, ~71 ms marginal
+        per REAL row — see bench_streaming.py BENCH_SESSIONS). A few
+        ms of linger per dispatch is noise against a live session's
+        chunk cadence (seconds)."""
         self.backend = backend
         self.max_batch = max_batch or getattr(
             backend.config, "window_batch_size", 8)
+        self.linger_s = linger_ms / 1e3
         self._queue: "queue.Queue[_Pending | None]" = queue.Queue()
         self._stopped = False
         self.batches_run = 0
@@ -102,13 +117,16 @@ class StreamingMux:
             if item is None:
                 return
             batch = [item]
-            # drain whatever accumulated while the previous batch ran;
-            # only same-key chunks ride together, the rest requeue (each
-            # round ships one key group, so no key can starve another)
+            # drain whatever accumulated while the previous batch ran,
+            # lingering linger_s past the last arrival so simultaneously
+            # woken sessions (serialized by the single host CPU) all make
+            # the batch; only same-key chunks ride together, the rest
+            # requeue (each round ships one key group, so no key can
+            # starve another)
             requeue = []
             while len(batch) < self.max_batch:
                 try:
-                    nxt = self._queue.get_nowait()
+                    nxt = self._queue.get(timeout=self.linger_s)
                 except queue.Empty:
                     break
                 if nxt is None:

@@ -60,6 +60,25 @@ class TestMuxWithFakeBackend:
         finally:
             mux.stop()
 
+    def test_linger_coalesces_staggered_arrivals(self):
+        """Arrivals skewed by less than the linger window ride ONE batch
+        even when the mux is idle — the single host CPU resumes woken
+        sessions one at a time, so without linger the first resubmission
+        would ship alone at the full padded-dispatch price."""
+        backend = FakeASR()
+        mux = StreamingMux(backend, max_batch=8, linger_ms=80.0)
+        try:
+            chunk = speech_like(SR, SR, seed=0)
+            futs = []
+            for _ in range(4):  # stagger within the linger window
+                futs.append(mux.submit(chunk, SR))
+                threading.Event().wait(0.01)
+            [f.result(timeout=30) for f in futs]
+            assert mux.chunks_served == 4
+            assert mux.batches_run == 1, "staggered arrivals split batches"
+        finally:
+            mux.stop()
+
     def test_mixed_keys_all_served(self):
         backend = FakeASR()
         mux = StreamingMux(backend, max_batch=4)
