@@ -30,7 +30,8 @@ from pathlib import Path
 
 import numpy as np
 
-__all__ = ["VADOptions", "energy_vad", "learned_vad", "speech_segments"]
+__all__ = ["VADOptions", "energy_vad", "learned_vad", "speech_segments",
+           "speech_segments_batch"]
 
 _SR = 16_000
 _WINDOW_S = 3.0  # must match scripts/train_vad.py CLIP_S (mel global-norm
@@ -121,27 +122,17 @@ def _get_learned_runner():
     return _learned_runner
 
 
-def learned_vad(
-    audio: np.ndarray, sr: int = 16000, opts: VADOptions | None = None
-) -> np.ndarray | None:
-    """Per-10ms-frame speech flags from the learned conv VAD, or None when
-    the backend is unavailable (missing asset / non-16kHz audio)."""
-    opts = opts or VADOptions()
-    if sr != _SR:
-        return None
+def _run_windows(clips_all: np.ndarray) -> np.ndarray:
+    """All (n, _WINDOW) clips through the jitted runner in bucketed
+    dispatches → per-window (n, _FRAMES_PER_WINDOW) probabilities.
+    Windows are independent to the model, so callers may stack windows
+    from MANY audios into one call — interaction count, not window
+    count, is the latency model on this relay."""
     run = _get_learned_runner()
-    if not run:
-        return None
-    n_frames = len(audio) // (_SR // 100)
-    if n_frames == 0:
-        return np.zeros(0, bool)
-    n_windows = (len(audio) + _WINDOW - 1) // _WINDOW
-    padded = np.zeros(n_windows * _WINDOW, np.float32)
-    padded[: len(audio)] = audio
-    clips_all = padded.reshape(n_windows, _WINDOW)
-    probs = np.zeros(n_windows * _FRAMES_PER_WINDOW, np.float32)
     import jax.numpy as jnp
 
+    n_windows = len(clips_all)
+    probs = np.zeros((n_windows, _FRAMES_PER_WINDOW), np.float32)
     base = 0
     while base < n_windows:
         rem = n_windows - base
@@ -153,10 +144,32 @@ def learned_vad(
             clips = np.zeros((batch, _WINDOW), np.float32)
             clips[:m] = clips_all[base: base + m]
         out = np.asarray(run(jnp.asarray(clips)))
-        span = out[:m, :_FRAMES_PER_WINDOW].reshape(-1)
-        probs[base * _FRAMES_PER_WINDOW:
-              base * _FRAMES_PER_WINDOW + span.size] = span
+        probs[base: base + m] = out[:m, :_FRAMES_PER_WINDOW]
         base += m
+    return probs
+
+
+def _window_clips(audio: np.ndarray) -> np.ndarray:
+    n_windows = (len(audio) + _WINDOW - 1) // _WINDOW
+    padded = np.zeros(n_windows * _WINDOW, np.float32)
+    padded[: len(audio)] = audio
+    return padded.reshape(n_windows, _WINDOW)
+
+
+def learned_vad(
+    audio: np.ndarray, sr: int = 16000, opts: VADOptions | None = None
+) -> np.ndarray | None:
+    """Per-10ms-frame speech flags from the learned conv VAD, or None when
+    the backend is unavailable (missing asset / non-16kHz audio)."""
+    opts = opts or VADOptions()
+    if sr != _SR:
+        return None
+    if not _get_learned_runner():
+        return None
+    n_frames = len(audio) // (_SR // 100)
+    if n_frames == 0:
+        return np.zeros(0, bool)
+    probs = _run_windows(_window_clips(audio)).reshape(-1)
     return probs[:n_frames] > opts.threshold
 
 
@@ -205,3 +218,46 @@ def speech_segments(
     if flags.size == 0:
         return []
     return _spans_from_flags(flags, opts.frame_ms / 1000.0, opts)
+
+
+def speech_segments_batch(
+    audios: list[np.ndarray], sr: int = 16000,
+    opts: VADOptions | None = None,
+) -> list[list[tuple[float, float]]]:
+    """Spans for MANY audios with the learned VAD's windows stacked into
+    one bucketed dispatch set — results identical to per-audio
+    :func:`speech_segments` (windows are independent to the model).
+
+    The streaming-mux path (``whisper_jax.transcribe_chunk_batch``)
+    gates N sessions' chunks per round: per-chunk calls would pay N
+    ~30 ms host↔device interactions serialized on the mux thread; a 5 s
+    chunk is 2 windows, so N=8 chunks fit ONE 16-window dispatch."""
+    opts = opts or VADOptions()
+    use_learned = (
+        opts.backend in ("learned", "auto")
+        and sr == _SR
+        and bool(_get_learned_runner())
+    )
+    if not use_learned:
+        return [speech_segments(a, sr, opts) for a in audios]
+    metas = []  # (n_frames, n_windows) per audio
+    clip_list = []
+    for a in audios:
+        n_frames = len(a) // (_SR // 100)
+        n_windows = (len(a) + _WINDOW - 1) // _WINDOW if n_frames else 0
+        metas.append((n_frames, n_windows))
+        if n_windows:
+            clip_list.append(_window_clips(a))
+    probs = (_run_windows(np.concatenate(clip_list))
+             if clip_list else np.zeros((0, _FRAMES_PER_WINDOW)))
+    out: list[list[tuple[float, float]]] = []
+    base = 0
+    for n_frames, n_windows in metas:
+        if not n_frames:
+            out.append([])
+            continue
+        flags = probs[base: base + n_windows].reshape(-1)[:n_frames] \
+            > opts.threshold
+        out.append(_spans_from_flags(flags, 0.01, opts))
+        base += n_windows
+    return out

@@ -445,18 +445,23 @@ class WhisperJaxASR(BaseASR):
         self.require_loaded()
         get_resource_manager().touch("asr")
         outs: list[list[TranscriptSegment]] = [[] for _ in chunks]
-        windows: list[tuple[float, np.ndarray]] = []
-        idx: list[int] = []
-        for k, c in enumerate(chunks):
-            wav, sr = decode_audio(c, sample_rate)
-            if wav.size == 0:
-                continue
-            if self.config.vad_filter and not speech_segments(
-                wav, sr, VADOptions(
+        wavs = [decode_audio(c, sample_rate) for c in chunks]
+        if self.config.vad_filter:
+            # gate all chunks in ONE stacked VAD dispatch set — per-chunk
+            # calls would serialize N ~30 ms interactions on the mux thread
+            from audio_rag_tpu.asr.vad import speech_segments_batch
+
+            speech = speech_segments_batch(
+                [w for w, _ in wavs], SAMPLE_RATE, VADOptions(
                     backend=self.config.vad_backend,
                     threshold=self.config.vad_threshold,
-                )
-            ):
+                ))
+        else:
+            speech = [True] * len(wavs)
+        windows: list[tuple[float, np.ndarray]] = []
+        idx: list[int] = []
+        for k, (wav, _sr) in enumerate(wavs):
+            if wav.size == 0 or not speech[k]:
                 continue
             windows.append((0.0, wav))
             idx.append(k)

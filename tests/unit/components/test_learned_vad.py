@@ -107,3 +107,38 @@ class TestASRWiring:
             assert asr.transcribe(tone, SR) == []  # gated before decode
         finally:
             asr.unload()
+
+
+class TestBatchedSpeechSegments:
+    """speech_segments_batch stacks many audios' windows into one
+    dispatch set (the streaming-mux gate); spans must equal per-audio
+    speech_segments exactly — windows are independent to the model."""
+
+    def test_batch_equals_per_audio_learned(self):
+        from audio_rag_tpu.asr.vad import speech_segments_batch
+        from audio_rag_tpu.audio.synth import speech_like
+
+        opts = VADOptions(backend="learned")
+        rng = np.random.default_rng(0)
+        audios = [
+            speech_like(SR * 5, SR, seed=1),
+            np.zeros(SR * 4, np.float32),  # silence → no spans
+            (0.3 * rng.standard_normal(SR * 2 + 777)).astype(np.float32),
+            np.zeros(0, np.float32),  # empty → no spans, no windows
+            speech_like(SR * 3 + 123, SR, seed=2),
+        ]
+        got = speech_segments_batch(audios, SR, opts)
+        want = [speech_segments(a, SR, opts) for a in audios]
+        assert got == want
+        assert got[3] == []
+
+    def test_batch_energy_fallback(self):
+        from audio_rag_tpu.asr.vad import speech_segments_batch
+
+        opts = VADOptions(backend="energy")
+        rng = np.random.default_rng(5)
+        audios = [(0.4 * rng.standard_normal(SR)).astype(np.float32),
+                  np.zeros(SR, np.float32)]
+        got = speech_segments_batch(audios, SR, opts)
+        want = [speech_segments(a, SR, opts) for a in audios]
+        assert got == want
