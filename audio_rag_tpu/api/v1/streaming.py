@@ -66,7 +66,11 @@ async def _get_streaming_mux(app: App):
 
             @app.on_shutdown
             async def stop_mux():
-                mux.stop()
+                # mux.stop() joins the worker thread (in-flight dispatch
+                # can hold it ~1 s, minutes if compiling) — keep it off
+                # the event loop so other connections drain meanwhile
+                await asyncio.get_running_loop().run_in_executor(
+                    None, mux.stop)
         return mux
 
 
@@ -112,13 +116,17 @@ def register_streaming_routes(app: App) -> None:
 
         loop = asyncio.get_running_loop()
         asr = _new_session(app, mux)
-        # first session pays backend load + program warm; later sessions
-        # find both done. Off-loop: load blocks for seconds-to-minutes.
-        await loop.run_in_executor(None, asr.load)
+        # reserve the slot BEFORE the first await: the limit check and
+        # add() must be one event-loop step, or a burst of connections
+        # during the (long) first load all pass the check
         sessions.add(asr)
-        await asr.start()
-        await ws.send_json({"type": "status", "status": "listening"})
         try:
+            # first session pays backend load + program warm; later
+            # sessions find both done. Off-loop: load blocks for
+            # seconds-to-minutes.
+            await loop.run_in_executor(None, asr.load)
+            await asr.start()
+            await ws.send_json({"type": "status", "status": "listening"})
             while True:
                 frame = await ws.recv()
                 if frame is None:

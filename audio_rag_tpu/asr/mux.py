@@ -71,6 +71,7 @@ class StreamingMux:
         self.max_batch = max_batch or getattr(
             backend.config, "window_batch_size", 8)
         self.linger_s = linger_ms / 1e3
+        self._ready_lock = threading.Lock()
         self._queue: "queue.Queue[_Pending | None]" = queue.Queue()
         self._stopped = False
         self.batches_run = 0
@@ -161,23 +162,44 @@ class StreamingMux:
                 if not p.future.done():
                     p.future.set_result(segs)
 
-    # -- warmup ------------------------------------------------------------
-    def warm(self, sample_rate: int, chunk_seconds: float,
-             word_timestamps: bool = True) -> None:
-        """Compile the chunk-shaped programs before live traffic (a
-        real-time session can't absorb minutes of first-compile). Warms
-        batch bucket 1; larger pow-2 buckets compile on first use —
-        sessions already in flight keep streaming through the previous
-        bucket's program while that happens."""
-        if self.warmed:
-            return
-        try:
-            from audio_rag_tpu.audio.synth import speech_like
+    # -- load + warmup -------------------------------------------------------
+    def ensure_ready(self, engine=None, sample_rate: int = 16000,
+                     chunk_seconds: float = 5.0,
+                     word_timestamps: bool = True) -> None:
+        """Load the shared backend and compile the EXACT serving program
+        set — batch buckets {1, max_batch} — exactly once, before live
+        traffic.
 
-            warm = speech_like(
-                int(chunk_seconds * sample_rate), sample_rate, seed=0)
-            self.submit(warm, sample_rate,
-                        word_timestamps=word_timestamps).result()
-            self.warmed = True
-        except Exception as exc:  # pragma: no cover - warm is best-effort
-            log.warning("mux warmup skipped: %s", exc)
+        Concurrent sessions' ``load()`` calls serialize here: without the
+        lock, two connections arriving at process start would both see
+        ``is_loaded == False`` and race ``backend.load()`` on the SAME
+        instance (double HBM allocation, duplicate ~minutes trace). The
+        B=max_batch warm matters as much as B=1: the first time two live
+        sessions coalesce, the padded dispatch is a fresh program — the
+        mux's single worker thread would block in a minutes-long compile
+        with EVERY session's chunks queued behind it.
+
+        Direct backend calls (not ``submit``) are safe here: no session
+        streams before its ``ensure_ready`` returns, so the mux thread is
+        idle during the first warm; afterwards the flag short-circuits.
+        """
+        with self._ready_lock:
+            if not self.backend.is_loaded:
+                self.backend.load(engine)
+            if self.warmed:
+                return
+            try:
+                from audio_rag_tpu.audio.synth import speech_like
+
+                warm = speech_like(
+                    int(chunk_seconds * sample_rate), sample_rate, seed=0)
+                self.backend.transcribe_chunk_batch(
+                    [warm], sample_rate, word_timestamps=word_timestamps)
+                if self.max_batch > 1:
+                    self.backend.transcribe_chunk_batch(
+                        [warm, warm], sample_rate,
+                        word_timestamps=word_timestamps,
+                        pad_to=self.max_batch)
+                self.warmed = True
+            except Exception as exc:  # pragma: no cover - best-effort
+                log.warning("mux warmup skipped: %s", exc)

@@ -172,16 +172,18 @@ class StreamingASR(BaseASR):
 
     # -- lifecycle ---------------------------------------------------------
     def _load(self) -> None:
+        if self.mux is not None:
+            # shared backend: the mux serializes load across concurrent
+            # sessions and warms the full serving program set ({1, max}
+            # batch buckets)
+            self.mux.ensure_ready(
+                self._engine, self.streaming.sample_rate,
+                self.streaming.chunk_duration)
+            return
         if not self.backend.is_loaded:
             self.backend.load(self._engine)
         # prewarm the chunk-shaped program so the first live chunk doesn't
         # pay the compile (a real-time session can't absorb minutes)
-        if self.mux is not None:
-            # warm through the mux's thread — it is the only device
-            # writer once sessions share the backend
-            self.mux.warm(self.streaming.sample_rate,
-                          self.streaming.chunk_duration)
-            return
         try:
             from audio_rag_tpu.audio.synth import speech_like
 

@@ -441,39 +441,78 @@ class WhisperJaxASR(BaseASR):
         chunk-relative (the session wrapper re-offsets). Returns one
         segment list per chunk; empty where the VAD gate or the
         no-speech gate dropped it.
+
+        Parity with per-chunk :meth:`transcribe`: rows are the VAD speech
+        spans (sliced, offset-carrying — the decoder never sees leading/
+        trailing non-speech), and an unset language auto-detects on
+        multilingual models. One delta, documented: detection runs once
+        per batch from the first speech row and applies to every row
+        (per-row detection would serialize N extra dispatches on the mux
+        thread); sessions that need distinct languages should pass
+        ``language``, which the mux keys batches on.
         """
         self.require_loaded()
         get_resource_manager().touch("asr")
         outs: list[list[TranscriptSegment]] = [[] for _ in chunks]
-        wavs = [decode_audio(c, sample_rate) for c in chunks]
+        wavs = [decode_audio(c, sample_rate)[0] for c in chunks]
         if self.config.vad_filter:
             # gate all chunks in ONE stacked VAD dispatch set — per-chunk
             # calls would serialize N ~30 ms interactions on the mux thread
             from audio_rag_tpu.asr.vad import speech_segments_batch
 
-            speech = speech_segments_batch(
-                [w for w, _ in wavs], SAMPLE_RATE, VADOptions(
+            all_spans = speech_segments_batch(
+                wavs, SAMPLE_RATE, VADOptions(
                     backend=self.config.vad_backend,
                     threshold=self.config.vad_threshold,
                 ))
         else:
-            speech = [True] * len(wavs)
+            all_spans = [[(0.0, len(w) / SAMPLE_RATE)] if len(w) else []
+                         for w in wavs]
+        # one row per speech span, like transcribe() — but bounded: if
+        # multi-span chunks would overflow the pad_to program bucket,
+        # collapse each chunk to its span ENVELOPE (first start → last
+        # end; still strips edge non-speech and keeps the true offset)
+        # rather than compile a bigger program mid-serving
+        n_rows = sum(len(s) for s in all_spans)
+        if pad_to and n_rows > pad_to:
+            all_spans = [[(s[0][0], s[-1][1])] if s else s
+                         for s in all_spans]
+        step = 2 * self.dims.n_audio_ctx * HOP_LENGTH  # one model window
         windows: list[tuple[float, np.ndarray]] = []
         idx: list[int] = []
-        for k, (wav, _sr) in enumerate(wavs):
-            if wav.size == 0 or not speech[k]:
-                continue
-            windows.append((0.0, wav))
-            idx.append(k)
+        for k, (wav, spans) in enumerate(zip(wavs, all_spans)):
+            for s, e in spans:
+                # window-split each span exactly like transcribe() so the
+                # two paths emit identical rows (streaming chunks are
+                # sub-window, but direct callers may pass longer spans)
+                s_idx = int(round(s * SAMPLE_RATE))
+                e_idx = min(int(round(e * SAMPLE_RATE)), len(wav))
+                for start in range(s_idx, e_idx, step):
+                    seg = wav[start: min(start + step, e_idx)]
+                    if seg.size >= int(0.2 * SAMPLE_RATE):  # sub-200ms
+                        windows.append((start / SAMPLE_RATE, seg))
+                        idx.append(k)
         if not windows:
             return outs
-        lang = language or self.config.language or "en"
+        lang = language or self.config.language
         from audio_rag_tpu.models.whisper import language_offset
 
-        try:
-            lang_offset = language_offset(lang)
-        except ValueError:
-            log.warning("unknown language %r; defaulting to en", lang)
+        if lang:
+            try:
+                lang_offset = language_offset(lang)
+            except ValueError:
+                log.warning("unknown language %r; defaulting to en", lang)
+                lang, lang_offset = "en", 0
+        elif self.dims.n_vocab >= 51865:
+            # auto-detect once per batch from the first speech row
+            # (transcribe() parity; see docstring for the per-batch delta)
+            from audio_rag_tpu.models.whisper import WHISPER_LANGUAGES
+
+            lang_offset, prob = self.detect_language(
+                windows[0][1][:N_SAMPLES], SAMPLE_RATE)
+            lang = WHISPER_LANGUAGES[lang_offset]
+            log.info("detected language %s (p=%.2f)", lang, prob)
+        else:
             lang, lang_offset = "en", 0
         # batch bucket: the live-session count varies per dispatch and
         # program identity includes B (a fresh shape costs a fresh
@@ -494,7 +533,7 @@ class WhisperJaxASR(BaseASR):
                 for seg in segs:
                     if not seg.words:
                         seg.words = _interpolate_words(seg)
-            outs[k] = segs
+            outs[k].extend(segs)  # k repeats when a chunk has 2+ spans
         return outs
 
     def detect_language(

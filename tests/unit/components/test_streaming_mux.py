@@ -137,6 +137,40 @@ class TestChunkBatchEquivalence:
         assert out[0] == []
         assert isinstance(out[1], list)
 
+    def test_vad_on_matches_per_chunk_spans(self):
+        """With the VAD gate on, batch rows are the speech SPANS (sliced,
+        offset-carrying) exactly like transcribe() — not the whole chunk
+        with t0=0."""
+        from audio_rag_tpu.asr.whisper_jax import WhisperJaxASR
+
+        b = WhisperJaxASR(ASRConfig(
+            model_size="test", compute_type="float32",
+            temperature_fallback=False, vad_filter=True,
+            vad_backend="energy",
+        ))
+        b.load()
+        try:
+            # speech / 0.7 s silence / speech → two spans (min_silence
+            # 500 ms keeps them separate); plus a leading-silence chunk
+            # whose span must carry its true offset
+            two = np.concatenate([
+                speech_like(int(SR * 0.4), SR, seed=1),
+                np.zeros(int(SR * 0.7), np.float32),
+                speech_like(int(SR * 0.4), SR, seed=2),
+            ])
+            lead = np.concatenate([
+                np.zeros(int(SR * 0.5), np.float32),
+                speech_like(int(SR * 0.5), SR, seed=3),
+            ])
+            for chunk in (two, lead):
+                got = b.transcribe_chunk_batch([chunk], SR)[0]
+                want = b.transcribe(chunk, SR)
+                assert [(s.text, s.start, s.end) for s in got] == \
+                    [(s.text, s.start, s.end) for s in want]
+            assert b.transcribe_chunk_batch([lead], SR)[0][0].start > 0.3
+        finally:
+            b.unload()
+
 
 class TestStreamingSessionWithMux:
     def test_session_replay_matches_unmuxed(self):
