@@ -1299,12 +1299,18 @@ def beam_decode(
         src_beam = flat_idx // V  # (B, K)
         new_tok = (flat_idx % V).astype(jnp.int32)
 
-        # reorder per-beam state by source beam
+        # reorder per-beam state by source beam. The KV caches reorder
+        # via a ONE-HOT MATMUL, not jnp indexing: XLA lowers a gather on
+        # the row axis of a (L, B*K, H, C, hd) array to a slow scalarized
+        # loop (measured 40 ms/step — 5x the caches' read+write cost,
+        # taking beam to 7.2x greedy RTF), while a 0/1 permutation matmul
+        # rides the MXU at memory speed and is numerically exact.
         gather = (jnp.arange(B)[:, None] * K + src_beam).reshape(-1)
         tokens = tokens.reshape(B * K, total)[gather].reshape(B, K, total)
         tokens = tokens.at[:, :, i + 1].set(new_tok)
-        sk = sk_n[:, gather]
-        sv = sv_n[:, gather]
+        onehot = jax.nn.one_hot(gather, B * K, dtype=sk_n.dtype)
+        sk = jnp.einsum("nb,lbhcd->lnhcd", onehot, sk_n)
+        sv = jnp.einsum("nb,lbhcd->lnhcd", onehot, sv_n)
         finished = finished.reshape(B * K)[gather].reshape(B, K)
         finished = finished | (new_tok == eot)
         return i + 1, tokens, new_lp, finished, sk, sv
