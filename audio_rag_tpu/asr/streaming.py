@@ -161,6 +161,11 @@ class StreamingASR(BaseASR):
         #: chunks batch into one device dispatch (the backend is then
         #: shared across sessions and this wrapper never unloads it)
         self.mux = mux
+        #: session-sticky language: seeded from config; when unset, the
+        #: first muxed chunk's detected language sticks for the session
+        #: (per-batch auto-detect costs an extra dispatch per round and a
+        #: speaker doesn't change language mid-stream); cleared on reset()
+        self._session_lang: str | None = self.config.language
         self.hbm_required_gb = backend.hbm_required_gb
         self.buffer = AudioBuffer(self.streaming.sample_rate)
         self.state = StreamState.IDLE
@@ -217,6 +222,7 @@ class StreamingASR(BaseASR):
 
     async def reset(self) -> None:
         await self.buffer.reset()
+        self._session_lang = self.config.language
         self.state = StreamState.LISTENING
 
     # -- streaming ---------------------------------------------------------
@@ -259,8 +265,14 @@ class StreamingASR(BaseASR):
             # concurrent sessions' chunks coalesce into one window-batch
             # dispatch; this session's worker thread just waits on its row
             segments = self.mux.submit(
-                chunk, self.streaming.sample_rate, word_timestamps=True
+                chunk, self.streaming.sample_rate, word_timestamps=True,
+                language=self._session_lang,
             ).result()
+            if self._session_lang is None:
+                for s in segments:
+                    if s.language:  # detected once, sticky for the session
+                        self._session_lang = s.language
+                        break
         else:
             segments = self.backend.transcribe(
                 chunk, self.streaming.sample_rate, word_timestamps=True
