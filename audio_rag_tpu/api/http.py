@@ -199,11 +199,14 @@ class WebSocket:
 
     async def close(self, code: int = 1000) -> None:
         if not self.closed:
-            self.closed = True
+            # send BEFORE setting closed: _send_frame drops frames once
+            # closed is set, which used to swallow every close code —
+            # clients saw abnormal 1006 closures instead of 4401/4429
             try:
                 await self._send_frame(0x8, struct.pack(">H", code))
             except ConnectionError:
                 pass
+            self.closed = True
 
 
 WSHandler = Callable[[Request, WebSocket], Awaitable[None]]

@@ -315,6 +315,34 @@ class TestWebSocketStreaming:
         assert "state" in body
         assert "max_sessions" in body
 
+    def test_ws_session_limit_refused_4429(self, server):
+        """Connections beyond streaming.max_sessions get an explicit
+        error + close code 4429 (the reference silently queues them
+        behind its process lock)."""
+        import websockets.sync.client as wsc
+        from websockets.exceptions import ConnectionClosed
+
+        rag_cfg = server["rag"].config
+        old = rag_cfg.streaming.max_sessions
+        rag_cfg.streaming.max_sessions = 1
+        url = (f"ws://127.0.0.1:{PORT}/api/v1/ws/transcribe"
+               f"?api_key=dev-key-basic")
+        try:
+            with wsc.connect(url) as ws1:
+                assert json.loads(ws1.recv(timeout=10))["status"] == \
+                    "listening"
+                with wsc.connect(url) as ws2:
+                    msg = json.loads(ws2.recv(timeout=10))
+                    assert msg["type"] == "error"
+                    assert "session limit" in msg["error"]
+                    with pytest.raises(ConnectionClosed) as ei:
+                        while True:
+                            ws2.recv(timeout=10)
+                    assert ei.value.rcvd.code == 4429
+                ws1.send(json.dumps({"command": "stop"}))
+        finally:
+            rag_cfg.streaming.max_sessions = old
+
     def test_concurrent_ws_sessions(self, server):
         """Two live sessions stream simultaneously (the reference allows
         one at a time); both get transcripts, chunks mux into batches."""
