@@ -174,8 +174,9 @@ class WebSocket:
             # continuation frames not needed for our clients
             continue
 
-    async def _send_frame(self, opcode: int, payload: bytes) -> None:
-        if self.closed:
+    async def _send_frame(self, opcode: int, payload: bytes,
+                          force: bool = False) -> None:
+        if self.closed and not force:
             return
         header = bytes([0x80 | opcode])
         n = len(payload)
@@ -198,15 +199,17 @@ class WebSocket:
         await self._send_frame(0x2, b)
 
     async def close(self, code: int = 1000) -> None:
-        if not self.closed:
-            # send BEFORE setting closed: _send_frame drops frames once
-            # closed is set, which used to swallow every close code —
-            # clients saw abnormal 1006 closures instead of 4401/4429
-            try:
-                await self._send_frame(0x8, struct.pack(">H", code))
-            except ConnectionError:
-                pass
-            self.closed = True
+        # flag first (idempotent even across concurrent closers), then
+        # force the close frame past _send_frame's closed-guard — the
+        # old order dropped every close code and clients saw 1006
+        if self.closed:
+            return
+        self.closed = True
+        try:
+            await self._send_frame(0x8, struct.pack(">H", code),
+                                   force=True)
+        except Exception:  # best-effort: socket may already be dead
+            pass
 
 
 WSHandler = Callable[[Request, WebSocket], Awaitable[None]]

@@ -145,11 +145,14 @@ class StreamingMux:
                 # two batch buckets only ({1, max}): each distinct B is a
                 # fresh transcribe program (minutes of trace+compile for
                 # the real sizes), and pad rows are ~free — the decode
-                # loop's weight reads are shared across rows
+                # loop's weight reads are shared across rows. pad_to is
+                # ALWAYS set: it also caps VAD span-splitting (a mid-chunk
+                # pause would otherwise emit 2+ rows → an unwarmed bucket
+                # → a minutes-long compile stalling every live session)
                 results = self.backend.transcribe_chunk_batch(
                     [p.chunk for p in batch], sample_rate,
                     word_timestamps=word_timestamps, language=language,
-                    pad_to=self.max_batch if len(batch) > 1 else None,
+                    pad_to=self.max_batch if len(batch) > 1 else 1,
                 )
             except Exception as exc:
                 for p in batch:
@@ -188,18 +191,26 @@ class StreamingMux:
                 self.backend.load(engine)
             if self.warmed:
                 return
+            # mark attempted BEFORE running: if warm fails, the session
+            # streams anyway (load() didn't raise) and a LATER session's
+            # retry would drive the backend directly while the mux thread
+            # dispatches live chunks — two device writers. Failed warm
+            # degrades to compile-on-first-use on the mux thread (slow but
+            # single-writer-safe), never to a concurrent retry.
+            self.warmed = True
             try:
                 from audio_rag_tpu.audio.synth import speech_like
 
                 warm = speech_like(
                     int(chunk_seconds * sample_rate), sample_rate, seed=0)
                 self.backend.transcribe_chunk_batch(
-                    [warm], sample_rate, word_timestamps=word_timestamps)
+                    [warm], sample_rate, word_timestamps=word_timestamps,
+                    pad_to=1)
                 if self.max_batch > 1:
                     self.backend.transcribe_chunk_batch(
                         [warm, warm], sample_rate,
                         word_timestamps=word_timestamps,
                         pad_to=self.max_batch)
-                self.warmed = True
             except Exception as exc:  # pragma: no cover - best-effort
-                log.warning("mux warmup skipped: %s", exc)
+                log.warning("mux warmup failed (first live batches will "
+                            "compile on the mux thread): %s", exc)

@@ -61,7 +61,7 @@ __all__ = ["WhisperJaxASR", "HBM_ESTIMATES"]
 #: static HBM estimates per model size (params + workspace), GB
 HBM_ESTIMATES: dict[str, float] = {
     "tiny": 0.3, "base": 0.5, "small": 1.2, "medium": 3.2,
-    "large-v2": 6.5, "large-v3": 6.5, "test": 0.05,
+    "large-v2": 6.5, "large-v3": 6.5, "test": 0.05, "test-ml": 0.1,
 }
 
 MAX_NEW_TOKENS = 224  # ≤ n_text_ctx/2, as Whisper decodes per window
@@ -436,20 +436,24 @@ class WhisperJaxASR(BaseASR):
         live sessions' chunks ride the same window-batch program the file
         path compiles, so the decode loop's weight reads — the memory
         -bound term that caps per-chunk latency — amortize across
-        sessions. Chunks longer than one model window are truncated (the
-        streaming wrapper never produces them). Timestamps are
-        chunk-relative (the session wrapper re-offsets). Returns one
-        segment list per chunk; empty where the VAD gate or the
-        no-speech gate dropped it.
+        sessions. Timestamps are chunk-relative (the session wrapper
+        re-offsets). Returns one segment list per chunk; empty where the
+        VAD gate or the no-speech gate dropped it.
 
         Parity with per-chunk :meth:`transcribe`: rows are the VAD speech
-        spans (sliced, offset-carrying — the decoder never sees leading/
-        trailing non-speech), and an unset language auto-detects on
-        multilingual models. One delta, documented: detection runs once
-        per batch from the first speech row and applies to every row
-        (per-row detection would serialize N extra dispatches on the mux
-        thread); sessions that need distinct languages should pass
-        ``language``, which the mux keys batches on.
+        spans (sliced, offset-carrying, window-split — the decoder never
+        sees leading/trailing non-speech), and an unset language
+        auto-detects on multilingual models. Two documented deltas:
+
+        * **bounded program set**: when span-splitting would emit more
+          rows than ``pad_to`` (a mid-chunk pause, or a chunk longer than
+          one model window), each chunk collapses to its span envelope
+          truncated to one window instead of compiling a fresh batch
+          bucket mid-serving;
+        * an unset language **detects per row in ONE batched dispatch**
+          (:meth:`detect_language_rows`) — rows are different sessions'
+          audio, and the prompt is a runtime array, so per-row language
+          tokens ride the same compiled transcribe program.
         """
         self.require_loaded()
         get_resource_manager().touch("asr")
@@ -468,35 +472,44 @@ class WhisperJaxASR(BaseASR):
         else:
             all_spans = [[(0.0, len(w) / SAMPLE_RATE)] if len(w) else []
                          for w in wavs]
-        # one row per speech span, like transcribe() — but bounded: if
-        # multi-span chunks would overflow the pad_to program bucket,
-        # collapse each chunk to its span ENVELOPE (first start → last
-        # end; still strips edge non-speech and keeps the true offset)
-        # rather than compile a bigger program mid-serving
-        n_rows = sum(len(s) for s in all_spans)
-        if pad_to and n_rows > pad_to:
-            all_spans = [[(s[0][0], s[-1][1])] if s else s
-                         for s in all_spans]
         step = 2 * self.dims.n_audio_ctx * HOP_LENGTH  # one model window
-        windows: list[tuple[float, np.ndarray]] = []
-        idx: list[int] = []
-        for k, (wav, spans) in enumerate(zip(wavs, all_spans)):
-            for s, e in spans:
-                # window-split each span exactly like transcribe() so the
-                # two paths emit identical rows (streaming chunks are
-                # sub-window, but direct callers may pass longer spans)
-                s_idx = int(round(s * SAMPLE_RATE))
-                e_idx = min(int(round(e * SAMPLE_RATE)), len(wav))
-                for start in range(s_idx, e_idx, step):
-                    seg = wav[start: min(start + step, e_idx)]
-                    if seg.size >= int(0.2 * SAMPLE_RATE):  # sub-200ms
-                        windows.append((start / SAMPLE_RATE, seg))
-                        idx.append(k)
+
+        def build(spans_per_chunk):
+            ws: list[tuple[float, np.ndarray]] = []
+            ix: list[int] = []
+            for k, (wav, spans) in enumerate(zip(wavs, spans_per_chunk)):
+                for s, e in spans:
+                    # window-split each span exactly like transcribe() so
+                    # the two paths emit identical rows
+                    s_idx = int(round(s * SAMPLE_RATE))
+                    e_idx = min(int(round(e * SAMPLE_RATE)), len(wav))
+                    for start in range(s_idx, e_idx, step):
+                        seg = wav[start: min(start + step, e_idx)]
+                        if seg.size >= int(0.2 * SAMPLE_RATE):  # <200ms
+                            ws.append((start / SAMPLE_RATE, seg))
+                            ix.append(k)
+            return ws, ix
+
+        windows, idx = build(all_spans)
+        if pad_to and len(windows) > pad_to:
+            # bounded program set: more rows than the warmed bucket (a
+            # mid-chunk pause split a chunk into 2+ spans, or a chunk
+            # exceeded one window) would compile a FRESH program mid-
+            # serving — minutes through the relay, stalling every live
+            # session. Collapse each chunk to its span ENVELOPE truncated
+            # to one model window: edge non-speech is still stripped and
+            # the offset stays true; only mid-chunk silence re-enters the
+            # decoder.
+            window_s = step / SAMPLE_RATE
+            envel = [[(s[0][0], min(s[-1][1], s[0][0] + window_s))]
+                     if s else [] for s in all_spans]
+            windows, idx = build(envel)
         if not windows:
             return outs
         lang = language or self.config.language
         from audio_rag_tpu.models.whisper import language_offset
 
+        lang_offset: int | list[int]
         if lang:
             try:
                 lang_offset = language_offset(lang)
@@ -504,14 +517,19 @@ class WhisperJaxASR(BaseASR):
                 log.warning("unknown language %r; defaulting to en", lang)
                 lang, lang_offset = "en", 0
         elif self.dims.n_vocab >= 51865:
-            # auto-detect once per batch from the first speech row
-            # (transcribe() parity; see docstring for the per-batch delta)
+            # auto-detect PER ROW in one batched dispatch — rows are
+            # different sessions' audio, and a single batch-wide
+            # detection would let one session's language stick to
+            # another session permanently (transcribe() parity per row)
             from audio_rag_tpu.models.whisper import WHISPER_LANGUAGES
 
-            lang_offset, prob = self.detect_language(
-                windows[0][1][:N_SAMPLES], SAMPLE_RATE)
-            lang = WHISPER_LANGUAGES[lang_offset]
-            log.info("detected language %s (p=%.2f)", lang, prob)
+            offs = self.detect_language_rows(
+                [w for _, w in windows],
+                pad_to=pad_to if pad_to and pad_to >= len(windows)
+                else None)
+            lang = [WHISPER_LANGUAGES[o] for o in offs]
+            lang_offset = offs
+            log.info("detected languages %s", sorted(set(lang)))
         else:
             lang, lang_offset = "en", 0
         # batch bucket: the live-session count varies per dispatch and
@@ -566,13 +584,61 @@ class WhisperJaxASR(BaseASR):
         lang, prob = run(self._params, mel)
         return int(np.asarray(lang)[0]), float(np.asarray(prob)[0])
 
+    def detect_language_rows(
+        self, rows: list[np.ndarray], pad_to: int | None = None
+    ) -> list[int]:
+        """Per-row language offsets for N audio rows in ONE dispatch.
+
+        The muxed-batch path: concurrent sessions' first chunks share a
+        batch, and each row must detect on ITS OWN audio — a single
+        detection applied batch-wide would let one session's language
+        stick to another session permanently. Mel is computed in-program
+        (the single-row :meth:`detect_language` pays a bare-op mel
+        dispatch; here one dispatch covers mel+encode+detect for all
+        rows). ``pad_to`` buckets the batch like the transcribe program
+        so the compiled set stays {1, max}."""
+        self.require_loaded()
+        from audio_rag_tpu.models.whisper import detect_language, encode
+
+        n = 2 * self.dims.n_audio_ctx * HOP_LENGTH
+        R = len(rows)
+        B = pad_to if pad_to and pad_to >= R else 1 << (R - 1).bit_length()
+        clips = np.zeros((B, n), np.float32)
+        for j, w in enumerate(rows):
+            clips[j, : min(len(w), n)] = w[:n]
+
+        def build():
+            @jax.jit
+            def run(params, clips):
+                mel = jax.vmap(
+                    lambda a: log_mel_spectrogram(a, n_mels=self.dims.n_mels)
+                )(clips)
+                enc = encode(params, self.dims, mel, dtype=self.dtype)
+                return detect_language(params, self.dims, enc,
+                                       self.tokens, self.dtype)
+
+            return run
+
+        run = self._engine.program(
+            ("whisper", "langrows", self.config.model_size), build)
+        lang, _prob = run(self._params, jnp.asarray(clips))
+        return [int(v) for v in np.asarray(lang)[:R]]
+
     # -- internals ---------------------------------------------------------
     def _transcribe_batch(
-        self, windows: list[tuple[float, np.ndarray]], lang: str,
-        want_words: bool = False, lang_offset: int = 0,
+        self, windows: list[tuple[float, np.ndarray]],
+        lang: str | list[str],
+        want_words: bool = False, lang_offset: int | list[int] = 0,
         pad_to: int | None = None, grouped: bool = False,
     ) -> list[TranscriptSegment] | list[list[TranscriptSegment]]:
+        """``lang``/``lang_offset`` may be per-row lists (muxed chunk
+        batches: concurrent sessions can speak different languages; the
+        prompt is a runtime array, so per-row language tokens reuse the
+        same compiled program)."""
         n_real = len(windows)
+        langs = lang if isinstance(lang, list) else [lang] * n_real
+        offsets = (lang_offset if isinstance(lang_offset, list)
+                   else [lang_offset] * n_real)
         B = max(pad_to or 0, n_real)  # zero-window rows pad the tail batch
         n_mel_samples = (
             2 * self.dims.n_audio_ctx * HOP_LENGTH
@@ -597,13 +663,15 @@ class WhisperJaxASR(BaseASR):
         mel_batch = self._mel_for_batch(win, contiguous)
 
         st = self.tokens
-        lang_id = st.lang_base + lang_offset
         prompt = np.tile(
             np.array(
-                [[st.sot, lang_id, st.transcribe, st.no_timestamps]], np.int32
+                [[st.sot, st.lang_base, st.transcribe, st.no_timestamps]],
+                np.int32,
             ),
             (B, 1),
         )
+        for j in range(n_real):  # per-row language tokens (pad rows: en)
+            prompt[j, 1] = st.lang_base + offsets[j]
         mel_j, prompt_j = self._place_batch(mel_batch, prompt)
         out = self._program(B)(self._params, mel_j, prompt_j)
         tokens = np.array(out[0])  # writable copies (fallback ladder mutates)
@@ -666,7 +734,7 @@ class WhisperJaxASR(BaseASR):
                 continue
             dur = len(seg_audio) / SAMPLE_RATE
             text_ids = self._strip_special(tokens[j])
-            segs = self._tokens_to_segments(text_ids, t0, dur, lang)
+            segs = self._tokens_to_segments(text_ids, t0, dur, langs[j])
             for s in segs:
                 s.avg_logprob = round(float(avg_lp[j]), 4)
             if want_words and window_weights is not None and segs:

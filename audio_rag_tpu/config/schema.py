@@ -38,7 +38,8 @@ class ASRConfig(BaseModel):
     backend: Literal["whisper-jax", "streaming-whisper", "fake"] = "whisper-jax"
     #: "test" is a tiny random-init preset for CI / weight-free environments
     model_size: Literal[
-        "tiny", "base", "small", "medium", "large-v2", "large-v3", "test"
+        "tiny", "base", "small", "medium", "large-v2", "large-v3",
+        "test", "test-ml"
     ] = "large-v3"
     device: Literal["tpu", "cpu", "auto"] = "auto"
     compute_type: Literal["bfloat16", "float32"] = "bfloat16"

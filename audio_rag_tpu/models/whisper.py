@@ -85,6 +85,9 @@ WHISPER_PRESETS: dict[str, WhisperDims] = {
     "large-v3": WhisperDims(128, 1500, 1280, 20, 32, 51866, 448, 1280, 20, 32),
     # tiny shapes for tests/CI
     "test": WhisperDims(80, 60, 64, 2, 2, 1024, 32, 64, 2, 2),
+    # tiny shapes with the REAL multilingual v2 vocab (51865): exercises
+    # language detection / per-row language tokens on the CPU mesh
+    "test-ml": WhisperDims(80, 60, 64, 2, 2, 51865, 32, 64, 2, 2),
 }
 
 

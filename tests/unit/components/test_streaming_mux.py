@@ -141,6 +141,7 @@ class TestChunkBatchEquivalence:
         """With the VAD gate on, batch rows are the speech SPANS (sliced,
         offset-carrying) exactly like transcribe() — not the whole chunk
         with t0=0."""
+        from audio_rag_tpu.asr.vad import VADOptions, speech_segments
         from audio_rag_tpu.asr.whisper_jax import WhisperJaxASR
 
         b = WhisperJaxASR(ASRConfig(
@@ -150,14 +151,17 @@ class TestChunkBatchEquivalence:
         ))
         b.load()
         try:
-            # speech / 0.7 s silence / speech → two spans (min_silence
-            # 500 ms keeps them separate); plus a leading-silence chunk
-            # whose span must carry its true offset
+            # speech / 1.4 s silence / speech → genuinely two spans
+            # (min_silence 500 ms + 300 ms hangover padding need a gap
+            # well past 0.8 s); plus a leading-silence chunk whose span
+            # must carry its true offset
             two = np.concatenate([
                 speech_like(int(SR * 0.4), SR, seed=1),
-                np.zeros(int(SR * 0.7), np.float32),
+                np.zeros(int(SR * 1.4), np.float32),
                 speech_like(int(SR * 0.4), SR, seed=2),
             ])
+            assert len(speech_segments(two, SR, VADOptions(
+                backend="energy"))) == 2, "fixture must be two spans"
             lead = np.concatenate([
                 np.zeros(int(SR * 0.5), np.float32),
                 speech_like(int(SR * 0.5), SR, seed=3),
@@ -168,8 +172,71 @@ class TestChunkBatchEquivalence:
                 assert [(s.text, s.start, s.end) for s in got] == \
                     [(s.text, s.start, s.end) for s in want]
             assert b.transcribe_chunk_batch([lead], SR)[0][0].start > 0.3
+
+            # bounded program set: pad_to=1 (what the mux passes for a
+            # single-chunk round) collapses the two spans to the envelope
+            # truncated at one model window — one row, true offset kept,
+            # non-empty transcript
+            env = b.transcribe_chunk_batch([two], SR, pad_to=1)[0]
+            assert env, "envelope collapse dropped the transcript"
+            window_s = 2 * b.dims.n_audio_ctx * 160 / SR
+            spans = speech_segments(two, SR, VADOptions(backend="energy"))
+            assert abs(env[0].start - spans[0][0]) < 0.05
+            assert env[-1].end <= spans[0][0] + window_s + 0.05
         finally:
             b.unload()
+
+
+class TestPerRowLanguage:
+    """Muxed batches carry per-row languages: rows are different
+    sessions' audio, so one batch-wide detection would let session A's
+    language stick to session B permanently (the round-3 review bug)."""
+
+    @pytest.fixture(scope="class")
+    def backend(self):
+        from audio_rag_tpu.asr.whisper_jax import WhisperJaxASR
+
+        b = WhisperJaxASR(ASRConfig(
+            model_size="test-ml", compute_type="float32",
+            temperature_fallback=False, vad_filter=False,
+        ))
+        b.load()
+        yield b
+        b.unload()
+
+    def test_detect_rows_is_row_wise(self, backend):
+        a = speech_like(int(SR * 1.0), SR, seed=10)
+        b_ = speech_like(int(SR * 1.0), SR, seed=11)
+        ab = backend.detect_language_rows([a, b_], pad_to=2)
+        ba = backend.detect_language_rows([b_, a], pad_to=2)
+        assert ab == [ba[1], ba[0]], \
+            "detection must be a function of each row's own audio"
+
+    def test_batch_language_matches_per_chunk(self, backend):
+        a = speech_like(int(SR * 1.0), SR, seed=10)
+        b_ = speech_like(int(SR * 1.0), SR, seed=11)
+        got = backend.transcribe_chunk_batch([a, b_], SR, pad_to=2)
+        for chunk, segs in zip((a, b_), got):
+            want = backend.transcribe(chunk, SR)
+            if segs and want:
+                assert segs[0].language == want[0].language
+
+    def test_session_language_sticks_from_own_audio(self, backend):
+        mux = StreamingMux(backend, max_batch=2)
+        mux.warmed = True  # programs compiled by the tests above
+        try:
+            cfg = ASRConfig(model_size="test-ml", compute_type="float32",
+                            temperature_fallback=False, vad_filter=False)
+            sess = StreamingASR(
+                cfg, StreamingConfig(chunk_duration=1.0,
+                                     overlap_duration=0.2), mux=mux)
+            sess.load()
+            audio = speech_like(SR * 3, SR, seed=12)
+            results = list(sess.process_stream(audio, SR))
+            assert results
+            assert sess._session_lang is not None
+        finally:
+            mux.stop()
 
 
 class TestStreamingSessionWithMux:
