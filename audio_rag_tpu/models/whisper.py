@@ -1278,6 +1278,9 @@ def beam_decode(
     sk = jnp.repeat(sk, K, axis=1)  # (L, B*K, H, C, hd)
     sv = jnp.repeat(sv, K, axis=1)
 
+    from audio_rag_tpu.ops.pallas_kernels import beam_reorder_kv, on_tpu
+    use_permute_kernel = on_tpu(enc) and (H * cache_len * hd) % 128 == 0
+
     def cond(state):
         i, _, _, finished, _, _ = state
         return (i < total - 1) & ~jnp.all(finished)
@@ -1303,17 +1306,23 @@ def beam_decode(
         new_tok = (flat_idx % V).astype(jnp.int32)
 
         # reorder per-beam state by source beam. The KV caches reorder
-        # via a ONE-HOT MATMUL, not jnp indexing: XLA lowers a gather on
-        # the row axis of a (L, B*K, H, C, hd) array to a slow scalarized
-        # loop (measured 40 ms/step — 5x the caches' read+write cost,
-        # taking beam to 7.2x greedy RTF), while a 0/1 permutation matmul
-        # rides the MXU at memory speed and is numerically exact.
+        # via the scalar-prefetch Pallas permute kernel when available:
+        # a jnp gather on the row axis of a (L, B*K, H, C, hd) array
+        # scalarizes (measured 40 ms/step — 5x the caches' read+write
+        # cost, beam 7.2x greedy RTF); the 0/1 one-hot MATMUL rides the
+        # MXU but pays ~3x ideal bandwidth on an internal transpose of
+        # the strided beam axis (beam 4.7x greedy); the permute kernel
+        # feeds the gather index into the input BlockSpec's index map —
+        # pure block DMAs at memory speed (see beam_reorder_kv lineage).
         gather = (jnp.arange(B)[:, None] * K + src_beam).reshape(-1)
         tokens = tokens.reshape(B * K, total)[gather].reshape(B, K, total)
         tokens = tokens.at[:, :, i + 1].set(new_tok)
-        onehot = jax.nn.one_hot(gather, B * K, dtype=sk_n.dtype)
-        sk = jnp.einsum("nb,lbhcd->lnhcd", onehot, sk_n)
-        sv = jnp.einsum("nb,lbhcd->lnhcd", onehot, sv_n)
+        if use_permute_kernel:
+            sk, sv = beam_reorder_kv(sk_n, sv_n, gather)
+        else:
+            onehot = jax.nn.one_hot(gather, B * K, dtype=sk_n.dtype)
+            sk = jnp.einsum("nb,lbhcd->lnhcd", onehot, sk_n)
+            sv = jnp.einsum("nb,lbhcd->lnhcd", onehot, sv_n)
         finished = finished.reshape(B * K)[gather].reshape(B, K)
         finished = finished | (new_tok == eot)
         return i + 1, tokens, new_lp, finished, sk, sv
