@@ -1278,8 +1278,18 @@ def beam_decode(
     sk = jnp.repeat(sk, K, axis=1)  # (L, B*K, H, C, hd)
     sv = jnp.repeat(sv, K, axis=1)
 
+    import os
+
     from audio_rag_tpu.ops.pallas_kernels import beam_reorder_kv, on_tpu
-    use_permute_kernel = on_tpu(enc) and (H * cache_len * hd) % 128 == 0
+    # The DMA permute kernel is measured SLOWER than the one-hot matmul
+    # at this (L, B·K, ...) layout (see beam_reorder_kv's lineage: the
+    # per-row copy decomposes into L strided ~583 KB extents and the DMA
+    # engine's fixed per-extent cost dominates). Opt-in only, kept for
+    # the beam-outermost layout where rows are contiguous.
+    use_permute_kernel = (
+        os.environ.get("BEAM_REORDER", "onehot") == "kernel"
+        and on_tpu(enc) and (H * cache_len * hd) % 128 == 0
+    )
 
     def cond(state):
         i, _, _, finished, _, _ = state
@@ -1305,15 +1315,12 @@ def beam_decode(
         src_beam = flat_idx // V  # (B, K)
         new_tok = (flat_idx % V).astype(jnp.int32)
 
-        # reorder per-beam state by source beam. The KV caches reorder
-        # via the scalar-prefetch Pallas permute kernel when available:
-        # a jnp gather on the row axis of a (L, B*K, H, C, hd) array
-        # scalarizes (measured 40 ms/step — 5x the caches' read+write
-        # cost, beam 7.2x greedy RTF); the 0/1 one-hot MATMUL rides the
-        # MXU but pays ~3x ideal bandwidth on an internal transpose of
-        # the strided beam axis (beam 4.7x greedy); the permute kernel
-        # feeds the gather index into the input BlockSpec's index map —
-        # pure block DMAs at memory speed (see beam_reorder_kv lineage).
+        # reorder per-beam state by source beam. Measured lineage on the
+        # (L, B*K, H, C, hd) caches (scripts/bench_beam_reorder.py): a
+        # jnp row-axis gather scalarizes (40 ms/step, beam 7.2x greedy);
+        # Pallas DMA permutes are extent-cost-bound at this layout
+        # (~19 ms); the 0/1 one-hot MATMUL (T5X trick) rides the MXU at
+        # 10.2 ms and is numerically exact — the production choice.
         gather = (jnp.arange(B)[:, None] * K + src_beam).reshape(-1)
         tokens = tokens.reshape(B * K, total)[gather].reshape(B, K, total)
         tokens = tokens.at[:, :, i + 1].set(new_tok)

@@ -193,12 +193,30 @@ def matmul_q8w(
     return out * scale[None, :]
 
 
-def _beam_reorder_kernel(idx_ref, k_in, v_in, k_out, v_out):
-    """Pure DMA: the scalar-prefetched ``idx`` drives the INPUT block's
-    index map, so each grid step copies one already-gathered row slab."""
-    del idx_ref  # consumed by the index maps, not the body
-    k_out[:] = k_in[:]
-    v_out[:] = v_in[:]
+def _beam_reorder_kernel(idx_ref, k_in, v_in, k_out, v_out, sems,
+                         *, n_chunks: int):
+    """One grid step per destination row: HBM→HBM strided DMAs copy the
+    row's (L, 1, S, 128) slab from its source-beam row. The refs stay in
+    ``pl.ANY`` (no VMEM staging, no blocking). Each cache's copy splits
+    into ``n_chunks`` DMAs along L, ALL in flight before any wait: a
+    single TPU DMA stream sustains only ~78 GB/s (measured — two
+    in-flight DMAs ran at 156 GB/s against a 601 GB/s copy floor), so
+    saturating HBM needs ~8+ concurrent DMAs."""
+    n = pl.program_id(0)
+    g = idx_ref[n]
+    L = k_in.shape[0]
+    step = L // n_chunks
+    copies = []
+    for c in range(n_chunks):
+        sl = pl.ds(c * step, step)
+        copies.append(pltpu.make_async_copy(
+            k_in.at[sl, g], k_out.at[sl, n], sems.at[0, c]))
+        copies.append(pltpu.make_async_copy(
+            v_in.at[sl, g], v_out.at[sl, n], sems.at[1, c]))
+    for cp in copies:
+        cp.start()
+    for cp in copies:
+        cp.wait()
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -208,21 +226,38 @@ def beam_reorder_kv(
     idx: jax.Array,  # (N,) int32: out[:, n] = in[:, idx[n]]
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
-    """Beam-search self-KV reorder as a scalar-prefetch permute kernel.
+    """Beam-search self-KV reorder as N pairs of HBM→HBM strided DMAs.
 
     Beam decode must restate both self caches by source beam every step;
     on the (L, B·K, H, C, hd) whisper layout that permutation is the
     entire beam-vs-greedy overhead. Measured lineage on a v5e (large-v3,
-    window batch 8 × beam 5, ~6 GB of caches touched per step):
+    window batch 8 × beam 5, C=228 → ~3 GB of caches touched per step;
+    ``scripts/bench_beam_reorder.py``, identity-copy floor 5.0 ms/step =
+    599 GB/s):
 
     * ``jnp`` row gather — XLA scalarizes the row-axis gather on a big
       device array: ~40 ms/step, beam RTF 7.2× greedy;
-    * 0/1 one-hot matmul (T5X trick) — rides the MXU, but pays ~3× the
-      caches' ideal read+write (an internal transpose of the strided
-      beam axis): beam 4.7× greedy;
-    * this kernel — the gather index feeds the INPUT BlockSpec's index
-      map (``PrefetchScalarGridSpec``), so the "reorder" is N·L block
-      DMAs at memory speed with zero FLOPs and no transpose.
+    * 0/1 one-hot matmul (T5X trick) — rides the MXU but pays an
+      internal transpose of the strided beam axis: 10.2 ms/step,
+      beam 4.7× greedy;
+    * block-pipeline permute (gather index feeding the input BlockSpec's
+      index map, grid (N, L)) — 18.8 ms/step: N·L=1280 invocations of
+      ~0.6 MB block DMAs are per-invocation-overhead-bound at ~10 µs
+      each; WORSE than the matmul;
+    * this kernel — the scalar-prefetched index drives ``.at[:, g]``
+      source slices of ``make_async_copy`` between ``pl.ANY`` (HBM)
+      refs: one strided DMA per (cache, row), N invocations, zero
+      FLOPs — and STILL 19.2 ms/step (156 GB/s): each strided DMA
+      decomposes into L ~583 KB extents and the engine's fixed
+      per-extent cost dominates; splitting into 16 concurrent DMAs
+      changes nothing. Even fully CONTIGUOUS rows (beam-outermost
+      (N, M, 128) probe) only reach 9.3 ms (321 GB/s) — the DMA path
+      never touches the 598 GB/s vector-copy floor.
+
+    VERDICT (probe run 2026-08-19): the one-hot matmul wins at the
+    production layout (10.2 ms); ``beam_decode`` uses it. This kernel
+    is kept opt-in (``BEAM_REORDER=kernel``) as the measured record of
+    the DMA formulations and for layouts where extents are large.
 
     Requires ``H·C·hd % 128 == 0`` (whisper text stacks have H·hd a
     multiple of 128, so any cache length works); callers fall back to
@@ -237,22 +272,19 @@ def beam_reorder_kv(
     k4 = sk.reshape(L, N, S2, 128)
     v4 = sv.reshape(L, N, S2, 128)
 
-    def in_map(n, l, g):
-        return (l, g[n], 0, 0)
+    # 8 chunks x 2 caches = 16 DMAs in flight per row (L permitting)
+    n_chunks = next(c for c in (8, 4, 2, 1) if L % c == 0)
 
-    def out_map(n, l, g):
-        return (l, n, 0, 0)
-
-    spec_in = pl.BlockSpec((None, None, S2, 128), in_map)
-    spec_out = pl.BlockSpec((None, None, S2, 128), out_map)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(N, L),
-        in_specs=[spec_in, spec_in],
-        out_specs=[spec_out, spec_out],
+        grid=(N,),
+        in_specs=[any_spec, any_spec],
+        out_specs=[any_spec, any_spec],
+        scratch_shapes=[pltpu.SemaphoreType.DMA((2, n_chunks))],
     )
     ko, vo = pl.pallas_call(
-        _beam_reorder_kernel,
+        functools.partial(_beam_reorder_kernel, n_chunks=n_chunks),
         out_shape=[jax.ShapeDtypeStruct(k4.shape, k4.dtype),
                    jax.ShapeDtypeStruct(v4.shape, v4.dtype)],
         grid_spec=grid_spec,
