@@ -67,6 +67,13 @@ class APIConfig(BaseModel):
     #: the server's concurrent-QPS ceiling from one-dispatch-per-request
     #: toward the fused batch path's throughput
     coalesce_queries: bool = True
+    #: require an API key on GET /metrics. Default open: in-cluster
+    #: Prometheus scrape (the Helm annotations) can't carry per-tenant
+    #: keys, and the endpoint is operational gauges only — but it DOES
+    #: expose queue depths and resident model names, so deployments
+    #: exposing the port beyond the cluster should set this true
+    #: (AUDIO_RAG_METRICS_AUTH=1)
+    metrics_require_auth: bool = False
 
     @classmethod
     def from_env(cls) -> "APIConfig":
@@ -79,4 +86,7 @@ class APIConfig(BaseModel):
                 pass
         if os.environ.get("AUDIO_RAG_API_PORT"):
             cfg.port = int(os.environ["AUDIO_RAG_API_PORT"])
+        if os.environ.get("AUDIO_RAG_METRICS_AUTH"):
+            cfg.metrics_require_auth = os.environ[
+                "AUDIO_RAG_METRICS_AUTH"] not in ("0", "false", "")
         return cfg

@@ -177,6 +177,12 @@ def register_metrics_route(app: App) -> None:
 
     @app.get("/metrics")
     async def metrics(request: Request) -> Response:
+        config = app.state.get("config")
+        if config is not None and getattr(
+                config, "metrics_require_auth", False):
+            from audio_rag_tpu.api.deps import authenticate
+
+            authenticate(request, config)
         body = _metrics.render(_gauges(app)).encode()
         return Response(body, 200, headers={
             "content-type": "text/plain; version=0.0.4; charset=utf-8",

@@ -93,11 +93,15 @@ def register_query_routes(app: App) -> None:
 
             result = await loop.run_in_executor(app.state["executor"], run)
         context = None
-        if body.include_context:
-            context = rag.querying.get_context_for_llm(
-                body.query, top_k=body.top_k,
-                search_type=body.search_type, collection=body.collection,
-            )
+        if body.include_context and result.results:
+            # format from THIS request's results — re-running
+            # get_context_for_llm here would dispatch a second device
+            # query from the event-loop thread, racing the coalescer's
+            # batch on the device executor and blocking the loop (and
+            # every WS session) for the relay round trip
+            from audio_rag_tpu.pipeline.query import format_context
+
+            context = format_context(result.results)
         audio_b64 = None
         if body.speak_answer and getattr(result, "audio", None):
             import base64

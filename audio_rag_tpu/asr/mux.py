@@ -9,29 +9,29 @@ one row of a B-row program whose decode-loop weight reads — the
 memory-bound term that dominates per-chunk latency — are shared across
 rows, so N concurrent chunks cost barely more than one.
 
-This is the ASR analog of :class:`~audio_rag_tpu.engine.query_coalescer.
-QueryCoalescer`: chunks that arrive while a dispatch is in flight
-accumulate and ride the next batch (continuous-batching style — no
-artificial wait window; the in-flight dispatch IS the window). All device
-work happens on the mux's single thread, which also restores the
-one-device-writer invariant that per-session worker threads would
-otherwise break when sharing one backend.
+Built on :class:`~audio_rag_tpu.utils.coalescer.KeyedCoalescer` (shared
+with the query path's :class:`~audio_rag_tpu.engine.query_coalescer.
+QueryCoalescer`): chunks that arrive while a dispatch is in flight
+accumulate and ride the next batch. All device work happens on the mux's
+single thread, which also restores the one-device-writer invariant that
+per-session worker threads would otherwise break when sharing one
+backend.
 
-Chunks batch only when their decode-relevant parameters agree
-(``word_timestamps`` / ``language`` / sample rate — they select the
-compiled program and the prompt); mixed keys ship in consecutive rounds.
+Chunks batch only when their program-relevant parameters agree
+(``word_timestamps`` / sample rate); mixed keys ship in consecutive
+rounds. ``language`` is NOT part of the key: the language prompt token is
+a runtime array, so sessions with different sticky languages share one
+compiled program and one dispatch (per-row language tokens).
 """
 
 from __future__ import annotations
 
-import queue
 import threading
 from concurrent.futures import Future
-from dataclasses import dataclass, field
 
 import numpy as np
 
-from audio_rag_tpu.core.types import TranscriptSegment
+from audio_rag_tpu.utils.coalescer import KeyedCoalescer
 from audio_rag_tpu.utils.logging import get_logger
 
 log = get_logger(__name__)
@@ -39,15 +39,11 @@ log = get_logger(__name__)
 __all__ = ["StreamingMux"]
 
 
-@dataclass
-class _Pending:
-    chunk: np.ndarray
-    key: tuple  # (sample_rate, word_timestamps, language)
-    future: Future = field(default_factory=Future)
-
-
-class StreamingMux:
+class StreamingMux(KeyedCoalescer):
     """Batches concurrent sessions' chunks into one ASR dispatch."""
+
+    worker_name = "asr-mux"
+    join_timeout_s = 30.0
 
     def __init__(self, backend, max_batch: int | None = None,
                  linger_ms: float = 8.0):
@@ -68,18 +64,18 @@ class StreamingMux:
         ms of linger per dispatch is noise against a live session's
         chunk cadence (seconds)."""
         self.backend = backend
-        self.max_batch = max_batch or getattr(
-            backend.config, "window_batch_size", 8)
-        self.linger_s = linger_ms / 1e3
         self._ready_lock = threading.Lock()
-        self._queue: "queue.Queue[_Pending | None]" = queue.Queue()
-        self._stopped = False
-        self.batches_run = 0
-        self.chunks_served = 0
         self.warmed = False
-        self._thread = threading.Thread(
-            target=self._loop, name="asr-mux", daemon=True)
-        self._thread.start()
+        super().__init__(
+            max_batch=max_batch or getattr(
+                backend.config, "window_batch_size", 8),
+            linger_s=linger_ms / 1e3,
+        )
+
+    #: served-chunk counter under its domain name (base: items_served)
+    @property
+    def chunks_served(self) -> int:
+        return self.items_served
 
     # -- client API ------------------------------------------------------
     def submit(
@@ -91,79 +87,31 @@ class StreamingMux:
     ) -> Future:
         """Enqueue one chunk; the future resolves to its
         ``list[TranscriptSegment]`` (chunk-relative timestamps)."""
-        if self._stopped:
-            raise RuntimeError("mux stopped")
-        p = _Pending(chunk, (sample_rate, word_timestamps, language))
-        self._queue.put(p)
-        return p.future
+        return self._submit((chunk, language),
+                            (sample_rate, word_timestamps))
 
-    def stop(self) -> None:
-        self._stopped = True
-        self._queue.put(None)
-        self._thread.join(timeout=30.0)
-        # fail stragglers that raced the stop flag instead of leaving
-        # their futures hanging forever
-        while True:
-            try:
-                p = self._queue.get_nowait()
-            except queue.Empty:
-                break
-            if p is not None and not p.future.done():
-                p.future.set_exception(RuntimeError("mux stopped"))
-
-    # -- worker ------------------------------------------------------------
-    def _loop(self) -> None:
-        while True:
-            item = self._queue.get()
-            if item is None:
-                return
-            batch = [item]
-            # drain whatever accumulated while the previous batch ran,
-            # lingering linger_s past the last arrival so simultaneously
-            # woken sessions (serialized by the single host CPU) all make
-            # the batch; only same-key chunks ride together, the rest
-            # requeue (each round ships one key group, so no key can
-            # starve another)
-            requeue = []
-            while len(batch) < self.max_batch:
-                try:
-                    nxt = self._queue.get(timeout=self.linger_s)
-                except queue.Empty:
-                    break
-                if nxt is None:
-                    self._queue.put(None)
-                    break
-                if nxt.key == item.key:
-                    batch.append(nxt)
-                else:
-                    requeue.append(nxt)
-            for p in requeue:
-                self._queue.put(p)
-
-            sample_rate, word_timestamps, language = item.key
-            try:
-                # two batch buckets only ({1, max}): each distinct B is a
-                # fresh transcribe program (minutes of trace+compile for
-                # the real sizes), and pad rows are ~free — the decode
-                # loop's weight reads are shared across rows. pad_to is
-                # ALWAYS set: it also caps VAD span-splitting (a mid-chunk
-                # pause would otherwise emit 2+ rows → an unwarmed bucket
-                # → a minutes-long compile stalling every live session)
-                results = self.backend.transcribe_chunk_batch(
-                    [p.chunk for p in batch], sample_rate,
-                    word_timestamps=word_timestamps, language=language,
-                    pad_to=self.max_batch if len(batch) > 1 else 1,
-                )
-            except Exception as exc:
-                for p in batch:
-                    if not p.future.done():
-                        p.future.set_exception(exc)
-                continue
-            self.batches_run += 1
-            self.chunks_served += len(batch)
-            for p, segs in zip(batch, results):
-                if not p.future.done():
-                    p.future.set_result(segs)
+    # -- dispatch ----------------------------------------------------------
+    def _run_batch(self, payloads: list, key: tuple):
+        sample_rate, word_timestamps = key
+        chunks = [chunk for chunk, _ in payloads]
+        # per-chunk languages ride ONE dispatch (the language prompt
+        # token is a runtime array, not part of program identity), so
+        # sessions with different sticky languages still share a batch
+        languages = [lang for _, lang in payloads]
+        language = (languages[0] if len(set(languages)) == 1
+                    else languages)
+        # two batch buckets only ({1, max}): each distinct B is a
+        # fresh transcribe program (minutes of trace+compile for
+        # the real sizes), and pad rows are ~free — the decode
+        # loop's weight reads are shared across rows. pad_to is
+        # ALWAYS set: it also caps VAD span-splitting (a mid-chunk
+        # pause would otherwise emit 2+ rows → an unwarmed bucket
+        # → a minutes-long compile stalling every live session)
+        return self.backend.transcribe_chunk_batch(
+            chunks, sample_rate,
+            word_timestamps=word_timestamps, language=language,
+            pad_to=self.max_batch if len(chunks) > 1 else 1,
+        )
 
     # -- load + warmup -------------------------------------------------------
     def ensure_ready(self, engine=None, sample_rate: int = 16000,

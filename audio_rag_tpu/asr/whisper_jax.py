@@ -506,32 +506,54 @@ class WhisperJaxASR(BaseASR):
             windows, idx = build(envel)
         if not windows:
             return outs
-        lang = language or self.config.language
         from audio_rag_tpu.models.whisper import language_offset
 
-        lang_offset: int | list[int]
-        if lang:
-            try:
-                lang_offset = language_offset(lang)
-            except ValueError:
-                log.warning("unknown language %r; defaulting to en", lang)
-                lang, lang_offset = "en", 0
-        elif self.dims.n_vocab >= 51865:
-            # auto-detect PER ROW in one batched dispatch — rows are
-            # different sessions' audio, and a single batch-wide
-            # detection would let one session's language stick to
-            # another session permanently (transcribe() parity per row)
-            from audio_rag_tpu.models.whisper import WHISPER_LANGUAGES
-
-            offs = self.detect_language_rows(
-                [w for _, w in windows],
-                pad_to=pad_to if pad_to and pad_to >= len(windows)
-                else None)
-            lang = [WHISPER_LANGUAGES[o] for o in offs]
-            lang_offset = offs
-            log.info("detected languages %s", sorted(set(lang)))
+        # language may be per CHUNK (muxed sessions with different
+        # sticky languages share one dispatch — the prompt is a runtime
+        # array, so per-row language tokens ride the same program)
+        if isinstance(language, list):
+            chunk_langs = [l or self.config.language for l in language]
         else:
-            lang, lang_offset = "en", 0
+            chunk_langs = [language or self.config.language] * len(chunks)
+        row_langs: list[str | None] = [chunk_langs[k] for k in idx]
+        offs = [0] * len(windows)
+        to_detect: list[int] = []
+        for j, l in enumerate(row_langs):
+            if l:
+                try:
+                    offs[j] = language_offset(l)
+                except ValueError:
+                    log.warning("unknown language %r; defaulting to en", l)
+                    row_langs[j] = "en"
+            else:
+                to_detect.append(j)
+        if to_detect:
+            if self.dims.n_vocab >= 51865:
+                # auto-detect PER ROW in one batched dispatch — rows are
+                # different sessions' audio, and a single batch-wide
+                # detection would let one session's language stick to
+                # another session permanently (transcribe() parity per
+                # row). pad_to keeps the detect program bucket warmed.
+                from audio_rag_tpu.models.whisper import WHISPER_LANGUAGES
+
+                det = self.detect_language_rows(
+                    [windows[j][1] for j in to_detect],
+                    pad_to=pad_to if pad_to and pad_to >= len(to_detect)
+                    else None)
+                for j, o in zip(to_detect, det):
+                    offs[j] = o
+                    row_langs[j] = WHISPER_LANGUAGES[o]
+                log.info("detected languages %s",
+                         sorted({row_langs[j] for j in to_detect}))
+            else:
+                for j in to_detect:
+                    row_langs[j] = "en"
+        lang: str | list[str]
+        lang_offset: int | list[int]
+        if len(set(row_langs)) == 1:
+            lang, lang_offset = row_langs[0], offs[0]
+        else:
+            lang, lang_offset = list(row_langs), offs
         # batch bucket: the live-session count varies per dispatch and
         # program identity includes B (a fresh shape costs a fresh
         # trace+compile — minutes for the real sizes). Callers that want

@@ -61,7 +61,13 @@ def extractive_headers(
     """
     import math
 
-    texts = [c.text.lower().split() for c in chunks]
+    from audio_rag_tpu.text.tokenizer import norm_tokens
+
+    # norm_tokens (not raw split): a punctuated token like
+    # "quadratically." would dodge the w-not-in-own exclusion and quote
+    # junk like "(see" into the header; the store's lexical stats
+    # tokenize the same way, so header terms match what search indexes
+    texts = [norm_tokens(c.text) for c in chunks]
     n = len(texts)
     df: dict[str, int] = {}
     for words in texts:

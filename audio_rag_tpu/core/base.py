@@ -116,8 +116,13 @@ class BaseASR(DeviceBackend):
         Device backends may override to run the whole batch as ONE
         dispatch (WhisperJaxASR rides its window-batch program — the
         streaming-mux path, ``asr/mux.py``; ``pad_to`` fixes the batch
-        shape so the compiled-program set stays bounded). Default:
-        per-chunk loop."""
+        shape so the compiled-program set stays bounded). ``language``
+        may be a per-chunk list (muxed sessions speak different
+        languages). Default: per-chunk loop."""
+        if isinstance(kw.get("language"), list):
+            langs = kw.pop("language")
+            return [self.transcribe(c, sample_rate, language=l, **kw)
+                    for c, l in zip(chunks, langs)]
         return [self.transcribe(c, sample_rate, **kw) for c in chunks]
 
 

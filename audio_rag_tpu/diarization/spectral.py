@@ -27,6 +27,27 @@ def _knn_binarize(A: np.ndarray, p: float = 0.3) -> np.ndarray:
     return np.where(keep, A, 0.0)
 
 
+def _nearest_centroid_labels(
+    embeddings: np.ndarray,  # (N, D) L2-normalized
+    sub_embeddings: np.ndarray,  # (M, D) the clustered subsample
+    sub_labels: np.ndarray,  # (M,) labels over the subsample
+) -> np.ndarray:
+    """Assign every window to the nearest subsample-cluster centroid.
+
+    ``_kmeans`` can strand a center (argmin assigns it no points), so a
+    label in ``range(max+1)`` may have no members — skip those rather than
+    taking ``mean`` of an empty group (a NaN centroid wins every argmax,
+    silently collapsing the file to one bogus speaker).
+    """
+    present = [j for j in range(int(sub_labels.max()) + 1)
+               if np.any(sub_labels == j)]
+    C = np.stack([sub_embeddings[sub_labels == j].mean(axis=0)
+                  for j in present])
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-10)
+    near = np.argmax(embeddings @ C.T, axis=1)
+    return np.asarray(present, np.int32)[near]
+
+
 def estimate_num_speakers(
     eigvals: np.ndarray, max_speakers: int
 ) -> int:
@@ -97,13 +118,9 @@ def spectral_cluster(
             num_speakers=num_speakers, min_speakers=min_speakers,
             seed=seed,
         )
-        k = int(sub.max()) + 1
-        if k == 1:
+        if int(sub.max()) == 0:
             return np.zeros(n, np.int32)
-        C = np.stack([embeddings[idx][sub == j].mean(axis=0)
-                      for j in range(k)])
-        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-10)
-        return np.argmax(embeddings @ C.T, axis=1).astype(np.int32)
+        return _nearest_centroid_labels(embeddings, embeddings[idx], sub)
 
     A = embeddings @ embeddings.T
     A = np.clip((A + 1.0) / 2.0, 0.0, 1.0)  # cosine → [0,1]

@@ -32,7 +32,22 @@ from audio_rag_tpu.utils.tracing import span
 
 log = get_logger(__name__)
 
-__all__ = ["QueryPipeline", "QueryResult"]
+__all__ = ["QueryPipeline", "QueryResult", "format_context"]
+
+
+def format_context(results: list[RetrievalResult]) -> str:
+    """XML-ish context block for external LLM consumers
+    (reference query.py:228-264)."""
+    parts = ["<context>"]
+    for i, r in enumerate(results, 1):
+        parts.append(
+            f'  <excerpt id="{i}" speaker="{r.speaker or "unknown"}" '
+            f'start="{r.start:.1f}" end="{r.end:.1f}">'
+        )
+        parts.append(f"    {r.text}")
+        parts.append("  </excerpt>")
+    parts.append("</context>")
+    return "\n".join(parts)
 
 
 @dataclass
@@ -363,13 +378,4 @@ class QueryPipeline:
             query, top_k=top_k, search_type=search_type,
             collection=collection, generate_answer=False,
         )
-        parts = ["<context>"]
-        for i, r in enumerate(res.results, 1):
-            parts.append(
-                f'  <excerpt id="{i}" speaker="{r.speaker or "unknown"}" '
-                f'start="{r.start:.1f}" end="{r.end:.1f}">'
-            )
-            parts.append(f"    {r.text}")
-            parts.append("  </excerpt>")
-        parts.append("</context>")
-        return "\n".join(parts)
+        return format_context(res.results)

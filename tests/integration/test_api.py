@@ -409,6 +409,20 @@ class TestMetrics:
             assert " " in line, line
             float(line.rsplit(" ", 1)[1])
 
+    def test_metrics_auth_gate(self, server):
+        """metrics_require_auth closes the scrape endpoint to
+        unauthenticated clients (queue depths / resident models leak
+        when the port is exposed beyond the cluster)."""
+        cfg = server["app"].state["config"]
+        cfg.metrics_require_auth = True
+        try:
+            r = httpx.get(f"{BASE}/metrics")
+            assert r.status_code == 401
+            r = httpx.get(f"{BASE}/metrics", headers=KEY)
+            assert r.status_code == 200
+        finally:
+            cfg.metrics_require_auth = False
+
     def test_metrics_route_counts_increment(self, server):
         r1 = httpx.get(f"{BASE}/metrics")
         httpx.get(f"{BASE}/health/live")

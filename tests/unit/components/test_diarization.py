@@ -118,6 +118,30 @@ class TestSubsampledClustering:
         for j in np.unique(labels):
             assert np.unique(true[labels == j]).size == 1
 
+    def test_stranded_kmeans_label_does_not_nan_centroids(self):
+        """_kmeans can strand a center (argmin assigns it no points), so
+        a subsample label in range(max+1) may be EMPTY. mean() of that
+        empty group is a NaN centroid, and argmax picks a NaN column for
+        EVERY window — the whole file silently collapsed to one bogus
+        speaker before the fix."""
+        import numpy as np
+
+        from audio_rag_tpu.diarization.spectral import (
+            _nearest_centroid_labels,
+        )
+
+        X, true = self._clustered_embeddings(200, k=2)
+        sub_idx = np.arange(0, 200, 4)
+        # labels {0, 2}: label 1 is stranded (no members)
+        sub_labels = np.where(true[sub_idx] == 0, 0, 2).astype(np.int32)
+        with np.errstate(invalid="raise"):  # empty-mean would warn/raise
+            labels = _nearest_centroid_labels(X, X[sub_idx], sub_labels)
+        assert not np.isnan(labels).any()
+        assert set(np.unique(labels).tolist()) == {0, 2}
+        # assignment follows the true clusters, not a NaN column
+        for j in np.unique(labels):
+            assert np.unique(true[labels == j]).size == 1
+
     def test_single_speaker_long_file(self, monkeypatch):
         import numpy as np
 

@@ -91,6 +91,24 @@ class TestMuxWithFakeBackend:
         finally:
             mux.stop()
 
+    def test_mixed_languages_share_one_batch(self):
+        """Language is NOT a batch key: the language prompt token is a
+        runtime array, so sessions with different sticky languages ride
+        ONE dispatch (splitting them would double per-chunk latency for
+        multilingual serving)."""
+        backend = FakeASR()
+        mux = StreamingMux(backend, max_batch=4, linger_ms=80.0)
+        try:
+            chunk = speech_like(SR, SR, seed=0)
+            futs = [mux.submit(chunk, SR, language=lang)
+                    for lang in ("en", "de", None, "fr")]
+            results = [f.result(timeout=30) for f in futs]
+            assert all(r for r in results)
+            assert mux.batches_run == 1, \
+                "different languages must not split batches"
+        finally:
+            mux.stop()
+
     def test_stop_fails_pending(self):
         backend = FakeASR()
         mux = StreamingMux(backend)
@@ -220,6 +238,19 @@ class TestPerRowLanguage:
             want = backend.transcribe(chunk, SR)
             if segs and want:
                 assert segs[0].language == want[0].language
+
+    def test_mixed_fixed_languages_match_per_chunk(self, backend):
+        """A per-chunk language LIST batches sessions with different
+        sticky languages into one dispatch, each row keeping its own
+        language token (per-chunk transcribe parity)."""
+        a = speech_like(int(SR * 1.0), SR, seed=10)
+        b_ = speech_like(int(SR * 1.0), SR, seed=11)
+        got = backend.transcribe_chunk_batch(
+            [a, b_], SR, language=["en", "de"], pad_to=2)
+        for chunk, lang, segs in zip((a, b_), ("en", "de"), got):
+            want = backend.transcribe(chunk, SR, language=lang)
+            assert [(s.text, s.language) for s in segs] == \
+                [(s.text, s.language) for s in want]
 
     def test_session_language_sticks_from_own_audio(self, backend):
         mux = StreamingMux(backend, max_batch=2)
