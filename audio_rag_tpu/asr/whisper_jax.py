@@ -80,25 +80,28 @@ class WhisperJaxASR(BaseASR):
         self.dims: WhisperDims = WHISPER_PRESETS[size]
         self.tokens = SpecialTokens.for_dims(self.dims)
         self.hbm_required_gb = HBM_ESTIMATES.get(size, 6.5)
-        if self.config.decoder_int8:
-            # the int8 weight copies coexist with the bf16 params — count
-            # them so the ResourceManager can't over-admit co-resident
-            # models past the real budget
+        # decode-loop weight quantization width: int4 > int8 > off
+        qbits = 4 if self.config.decoder_int4 else (
+            8 if self.config.decoder_int8 else 0)
+        if qbits:
+            # the quantized weight copies coexist with the bf16 params —
+            # count them so the ResourceManager can't over-admit
+            # co-resident models past the real budget
             from audio_rag_tpu.models.whisper import q8_param_bytes
 
-            self.hbm_required_gb += q8_param_bytes(self.dims) / 1e9
+            self.hbm_required_gb += q8_param_bytes(self.dims, qbits) / 1e9
         self.dtype = (
             jnp.bfloat16 if self.config.compute_type == "bfloat16"
             else jnp.float32
         )
         self._params = None
         self._params_q8 = None
-        # instance-level int8 switches: start from config, downgraded at
-        # load time under tensor parallelism (the int8 Pallas kernels are
-        # single-device programs GSPMD can't partition; TP already halves+
-        # the per-chip weight read the int8 path exists to shrink)
+        # instance-level quantization switches: start from config,
+        # downgraded at load time under tensor parallelism (the int8/int4
+        # Pallas kernels are single-device programs GSPMD can't partition;
+        # TP already halves+ the per-chip weight read they exist to shrink)
         self._cross_kv_int8 = self.config.cross_kv_int8
-        self._decoder_int8 = self.config.decoder_int8
+        self._decoder_qbits = qbits
         self._tokenizer = None
 
     # -- lifecycle ---------------------------------------------------------
@@ -107,10 +110,11 @@ class WhisperJaxASR(BaseASR):
         self._engine = engine
         rm = get_resource_manager()
         rm.ensure_hbm(self.hbm_required_gb, for_model="asr")
-        # re-derive the int8 switches from config on every load: a reload
-        # on a different mesh (TP → single-chip) must re-enable them
+        # re-derive the quantization switches from config on every load: a
+        # reload on a different mesh (TP → single-chip) must re-enable them
         self._cross_kv_int8 = self.config.cross_kv_int8
-        self._decoder_int8 = self.config.decoder_int8
+        self._decoder_qbits = 4 if self.config.decoder_int4 else (
+            8 if self.config.decoder_int8 else 0)
         params = self._init_or_restore()
         if self.dtype == jnp.bfloat16:
             # compute_type="bfloat16" means bf16 STORAGE too (faster-whisper's
@@ -129,7 +133,7 @@ class WhisperJaxASR(BaseASR):
             from audio_rag_tpu.models.whisper import whisper_param_spec
 
             spec = whisper_param_spec(self.dims)
-            if self._cross_kv_int8 or self._decoder_int8:
+            if self._cross_kv_int8 or self._decoder_qbits:
                 log.info(
                     "whisper TP: disabling int8 paths (Pallas kernels are "
                     "single-device; per-chip HBM traffic is already split "
@@ -138,16 +142,17 @@ class WhisperJaxASR(BaseASR):
                 # hbm_required_gb keeps the q8 increment from __init__ — a
                 # small conservative overcount under TP
                 self._cross_kv_int8 = False
-                self._decoder_int8 = False
+                self._decoder_qbits = 0
         self._params = engine.put_params("whisper", params, spec)
         self._params_q8 = None
-        if self._decoder_int8:
+        if self._decoder_qbits:
             from audio_rag_tpu.models.whisper import quantize_decoder_weights
 
-            # one-time per-out-channel int8 of the decode-loop weight
-            # matmuls (per-layer buffers; see quantize_decoder_weights)
+            # one-time int8/int4 of the decode-loop weight matmuls
+            # (per-layer buffers; see quantize_decoder_weights)
+            bits = self._decoder_qbits
             self._params_q8 = jax.jit(
-                lambda p: quantize_decoder_weights(p, self.dims)
+                lambda p: quantize_decoder_weights(p, self.dims, bits)
             )(self._params)
         rm.register_model("asr", self.hbm_required_gb, self)
         self._tokenizer = self._make_text_decoder()
@@ -269,7 +274,7 @@ class WhisperJaxASR(BaseASR):
             ("whisper", "transcribe", self.config.model_size, strategy,
              batch, temperature,
              max_new, self._cross_kv_int8,
-             self._decoder_int8, self.config.speculative_k), build
+             self._decoder_qbits, self.config.speculative_k), build
         )
 
     def _mel_for_batch(self, win: np.ndarray, contiguous: bool) -> jax.Array:

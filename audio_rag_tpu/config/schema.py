@@ -111,6 +111,14 @@ class ASRConfig(BaseModel):
     #: ``cross_kv_int8``. Note the int8 copies cost extra HBM at load time
     #: (~0.8 GB for large-v3; accounted in the backend's hbm_required_gb).
     decoder_int8: bool = False
+    #: int4-quantize the same decode-loop weight matmuls (group-wise
+    #: scales, ``ops/pallas_kernels.matmul_q4w`` — the weight regime the
+    #: reference itself serves via ollama Q4). Halves the int8 weight
+    #: bytes again; takes precedence over ``decoder_int8``. Quantization
+    #: error is inherently larger than int8's (≲7 % per weight at group
+    #: amax vs ≲0.4 %) — unvalidated on real checkpoints in this
+    #: zero-egress image; prefer int8 where WER headroom is unknown.
+    decoder_int4: bool = False
     checkpoint_path: str | None = None
 
 
@@ -285,6 +293,13 @@ class GenerationConfig(BaseModel):
     #: weights. configs/production.yaml enables it with that caveat. The
     #: int8 copies cost extra HBM (accounted in hbm_required_gb).
     decoder_int8: bool = False
+    #: int4-quantize the same matmuls (group-wise scales, Pallas
+    #: ``matmul_q4w``) — the weight regime the reference itself serves
+    #: (its default generation model is ollama ``llama3.2:3b`` = Q4_K_M).
+    #: Halves the int8 weight bytes again on the weight-read-bound decode
+    #: loop; takes precedence over ``decoder_int8``. Larger quantization
+    #: error than int8 (zero-egress: unvalidated on real weights).
+    decoder_int4: bool = False
     #: speculative multi-token greedy decode for the wave path (same
     #: mechanism as ``ASRConfig.speculative_k``): n-gram prompt-lookup
     #: drafts verified in one teacher-forced block step — exact greedy

@@ -47,12 +47,16 @@ class LLMGenerator(BaseGenerator):
             else "llama-3.2-3b"
         self.dims: LLMDims = LLM_PRESETS[name]
         self.hbm_required_gb = HBM_BY_MODEL.get(name, 7.0)
-        if self.config.decoder_int8:
-            # int8 weight copies coexist with the bf16 params — account
-            # for them so the ResourceManager HBM budget stays honest
+        # decode-loop weight quantization width: int4 > int8 > off
+        self._decoder_qbits = 4 if self.config.decoder_int4 else (
+            8 if self.config.decoder_int8 else 0)
+        if self._decoder_qbits:
+            # quantized weight copies coexist with the bf16 params —
+            # account for them so the ResourceManager budget stays honest
             from audio_rag_tpu.models.llm import q8_param_bytes
 
-            self.hbm_required_gb += q8_param_bytes(self.dims) / 1e9
+            self.hbm_required_gb += q8_param_bytes(
+                self.dims, self._decoder_qbits) / 1e9
         self._params = None
         self._params_q8 = None
         self._tok = None
@@ -117,19 +121,20 @@ class LLMGenerator(BaseGenerator):
         ) else None
         self._params = engine.put_params("llm", params, spec)
         self._params_q8 = None
-        if spec is not None and self.config.decoder_int8:
-            # the int8 Pallas matmuls are single-device programs GSPMD
+        if spec is not None and self._decoder_qbits:
+            # the int8/int4 Pallas matmuls are single-device programs GSPMD
             # can't partition — under TP the decode loop runs the bf16
             # einsum path (per-chip weight reads are already split)
-            log.info("llm TP: disabling decoder_int8 (Pallas kernels are "
-                     "single-device)")
-        if spec is None and self.config.decoder_int8:
+            log.info("llm TP: disabling decoder int%d (Pallas kernels are "
+                     "single-device)", self._decoder_qbits)
+        if spec is None and self._decoder_qbits:
             from audio_rag_tpu.models.llm import quantize_llm_weights
 
-            # one-time per-out-channel int8 of the decode-loop matmuls
+            # one-time int8/int4 of the decode-loop matmuls
             # (per-layer buffers; see quantize_llm_weights)
+            bits = self._decoder_qbits
             self._params_q8 = jax.jit(
-                lambda p: quantize_llm_weights(p, self.dims)
+                lambda p: quantize_llm_weights(p, self.dims, bits)
             )(self._params)
         self._tok = get_tokenizer(self.config.checkpoint_path,
                                   vocab_size=self.dims.vocab)

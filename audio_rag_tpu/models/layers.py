@@ -82,23 +82,84 @@ def quantize_linear(w: jax.Array) -> Params:
     return {"w8": w8, "s": s}
 
 
+def quantize_linear_q4(w: jax.Array) -> Params:
+    """Group-wise symmetric int4 for a (din, dout) weight matrix.
+
+    Returns {"w4" (din/2, dout) int8 — din rows 2r/2r+1 nibble-packed,
+    "s" (din/group, dout) f32}. Group size is :func:`~audio_rag_tpu.ops.
+    pallas_kernels.q4_group`'s choice for ``din`` (≤128, Q4_0/GPTQ-class
+    granularity — per-out-channel scaling alone is far too coarse at 4
+    bits). Halves the decode loops' weight bytes again vs int8; this is
+    the weight regime the reference itself serves (ollama Q4_K_M).
+    """
+    from audio_rag_tpu.ops.pallas_kernels import q4_group
+
+    w = w.astype(jnp.float32)
+    din, dout = w.shape
+    group = q4_group(din)
+    g = w.reshape(din // group, group, dout)
+    s = jnp.maximum(jnp.max(jnp.abs(g), axis=1), 1e-9) / 7.0
+    q = jnp.clip(jnp.round(g / s[:, None, :]), -7, 7).astype(jnp.int8)
+    q = q.reshape(din, dout)
+    packed = (q[0::2] & jnp.int8(0x0F)) | (q[1::2] << 4)
+    return {"w4": packed.astype(jnp.int8), "s": s}
+
+
+def _dequant_q4(p4: Params) -> jax.Array:
+    """Reference dequant of :func:`quantize_linear_q4` output, (din, dout)
+    f32 — the same math as the Pallas kernel: exact int4 values × scales
+    rounded to bf16, product kept in f32. (On a real TPU the MXU rounds
+    the product operand to bf16 — a ≤0.2 % relative difference, ~17×
+    below the int4 quantization noise itself; interpret mode and this
+    fallback share the unrounded-product semantics exactly.)"""
+    w4, s = p4["w4"], p4["s"]
+    wi = w4.astype(jnp.int32)
+    lo = (wi << 28) >> 28
+    hi = wi >> 4
+    din = w4.shape[0] * 2
+    q = jnp.stack([lo, hi], axis=1).reshape(din, -1)  # re-interleave rows
+    group = din // s.shape[0]
+    sb = jnp.repeat(s.astype(jnp.bfloat16).astype(jnp.float32), group, axis=0)
+    return q.astype(jnp.float32) * sb
+
+
 def linear_q8(p: Params, p8: Params, x: jax.Array,
               dtype: jnp.dtype = jnp.bfloat16) -> jax.Array:
-    """:func:`linear` with int8 weights, dequantized in VMEM on TPU.
+    """:func:`linear` with quantized weights, dequantized in VMEM on TPU.
 
-    ``p`` supplies the bias; ``p8`` the quantized weights from
-    :func:`quantize_linear`. Measured per matmul on a v5e at decode
-    shapes (B=16): 1.27× faster than bf16 at (1280, 1280), 1.7× at the
-    MLP's (1280, 5120)/(5120, 1280). Falls back to a dequantized einsum
+    ``p`` supplies the bias; ``p8`` the quantized weights — int8 from
+    :func:`quantize_linear` ({"w8", "s"}) or int4 from
+    :func:`quantize_linear_q4` ({"w4", "s"}); the kernel is picked by
+    key. Measured per matmul on a v5e at decode shapes (B=16): int8
+    1.27× faster than bf16 at (1280, 1280), 1.7× at the MLP's
+    (1280, 5120)/(5120, 1280). Falls back to a dequantized einsum
     off-TPU or when dims aren't tile-aligned (tests, tiny presets).
     """
-    from audio_rag_tpu.ops.pallas_kernels import matmul_q8w, on_tpu
+    from audio_rag_tpu.ops.pallas_kernels import (
+        matmul_q4w,
+        matmul_q8w,
+        on_tpu,
+        q4_tiles,
+    )
 
     *lead, din = x.shape
-    dout = p8["w8"].shape[1]
+    wq = p8.get("w4", p8.get("w8"))
+    dout = wq.shape[1]
     rows = x.reshape(-1, din)
     n = rows.shape[0]
-    if on_tpu(p8["w8"]) and din % 128 == 0 and dout % 128 == 0:
+    if "w4" in p8:
+        tiles = q4_tiles(din)
+        if (on_tpu(wq) and dout % 128 == 0 and tiles is not None
+                and tiles[0] == din // p8["s"].shape[0]):
+            npad = -(-n // 16) * 16
+            if npad != n:
+                rows = jnp.pad(rows, ((0, npad - n), (0, 0)))
+            y = matmul_q4w(rows.astype(jnp.bfloat16), p8["w4"], p8["s"])[:n]
+        else:
+            y = jnp.dot(rows.astype(jnp.bfloat16).astype(jnp.float32),
+                        _dequant_q4(p8),
+                        preferred_element_type=jnp.float32)
+    elif on_tpu(wq) and din % 128 == 0 and dout % 128 == 0:
         npad = -(-n // 16) * 16
         if npad != n:
             rows = jnp.pad(rows, ((0, npad - n), (0, 0)))

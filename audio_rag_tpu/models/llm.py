@@ -31,6 +31,7 @@ from audio_rag_tpu.models.layers import (
     make_causal_mask,
     mha_init,
     quantize_linear,
+    quantize_linear_q4,
     rms_norm,
     rms_norm_init,
     rope_frequencies,
@@ -292,10 +293,15 @@ def _rope_tables(dims: LLMDims, head_dim: int):
     return jnp.asarray(cos), jnp.asarray(sin)
 
 
-def quantize_llm_weights(params: Params, dims: LLMDims) -> Params:
-    """Per-out-channel int8 of every weight matrix the decode loop re-reads
-    each token (attention + swiglu linears and the lm_head — ≈2.5 GB/step
-    bf16 on llama-3.2-1b, with the 128k-vocab head alone 0.5 GB).
+def quantize_llm_weights(params: Params, dims: LLMDims,
+                         bits: int = 8) -> Params:
+    """Per-out-channel int8 (``bits=8``) or group-wise int4 (``bits=4``)
+    of every weight matrix the decode loop re-reads each token (attention
+    + swiglu linears and the lm_head — ≈2.5 GB/step bf16 on
+    llama-3.2-1b, with the 128k-vocab head alone 0.5 GB). int4 halves the
+    int8 bytes again — the same weight regime the reference serves
+    through ollama (Q4_K_M) — with Q4_0/GPTQ-class group scales
+    (:func:`~audio_rag_tpu.models.layers.quantize_linear_q4`).
 
     Per-layer lists, not stacked: XLA re-sinks "free" slices of stacked
     arrays into the loop body and Mosaic then re-materializes the Pallas
@@ -306,18 +312,26 @@ def quantize_llm_weights(params: Params, dims: LLMDims) -> Params:
     matrices: the decode step is launch-bound (7 small Pallas calls per
     layer × n_layers each pay a fixed dispatch/pipeline cost that dwarfs
     their HBM read at M=16 rows), and fusing cuts the launches per layer
-    from 7 to 4. Per-out-channel quantization makes the fused matmul
-    bitwise identical to the split ones — each output column sees the
-    same int8 weights, scale, and f32 accumulation order over din — so
-    this concatenates the individually-quantized matrices.
+    from 7 to 4. Per-column quantization (out-channel for int8, (group,
+    out-channel) for int4 — both span only the dout axis within one din)
+    makes the fused matmul bitwise identical to the split ones — each
+    output column sees the same quantized weights, scales, and f32
+    accumulation order over din — so this concatenates the
+    individually-quantized matrices.
     """
+    if bits not in (8, 4):
+        raise ValueError(f"bits must be 8 or 4, got {bits}")
+    quant = quantize_linear if bits == 8 else quantize_linear_q4
+    wkey = "w8" if bits == 8 else "w4"
+    saxis = 0 if bits == 8 else 1  # int8: (dout,); int4: (din/G, dout)
+
     def q(p):
-        return quantize_linear(p["w"])
+        return quant(p["w"])
 
     def qcat(*ps):
-        qs = [quantize_linear(p["w"]) for p in ps]
-        return {"w8": jnp.concatenate([e["w8"] for e in qs], axis=1),
-                "s": jnp.concatenate([e["s"] for e in qs])}
+        qs = [quant(p["w"]) for p in ps]
+        return {wkey: jnp.concatenate([e[wkey] for e in qs], axis=1),
+                "s": jnp.concatenate([e["s"] for e in qs], axis=saxis)}
 
     blocks = []
     for layer in range(dims.n_layers):
@@ -332,18 +346,24 @@ def quantize_llm_weights(params: Params, dims: LLMDims) -> Params:
     return {"blocks": blocks, "lm_head": q(params["lm_head"])}
 
 
-def q8_param_bytes(dims: LLMDims) -> int:
-    """HBM bytes of the :func:`quantize_llm_weights` copies (int8 weights
-    + fp32 per-out-channel scales). They coexist with the bf16 params, so
-    generator backends add this to hbm_required_gb when ``decoder_int8``
-    is on (~1.2 GB for llama-3.2-1b, ~3.2 GB for 3b)."""
+def q8_param_bytes(dims: LLMDims, bits: int = 8) -> int:
+    """HBM bytes of the :func:`quantize_llm_weights` copies (int8/int4
+    weights + fp32 scales: per-out-channel at 8 bits, per-(din-group,
+    out-channel) at 4). They coexist with the bf16 params, so generator
+    backends add this to hbm_required_gb when ``decoder_int8``/``_int4``
+    is on (~1.2 GB for llama-3.2-1b int8, ~0.7 GB int4)."""
     d = dims.d_model
     kv_d = dims.n_kv_heads * (d // dims.n_heads)
-    per_layer = 2 * d * d + 2 * d * kv_d + 3 * d * dims.d_ff
-    w = dims.n_layers * per_layer + d * dims.vocab
-    scales = dims.n_layers * (d + kv_d * 2 + d + 2 * dims.d_ff + d) \
-        + dims.vocab
-    return w + 4 * scales
+    mats = [(d, d + 2 * kv_d), (d, d), (d, 2 * dims.d_ff),
+            (dims.d_ff, d)] * dims.n_layers + [(d, dims.vocab)]
+    w = sum(din * dout for din, dout in mats)
+    if bits == 8:
+        scales = sum(dout for _, dout in mats)
+        return w + 4 * scales
+    from audio_rag_tpu.ops.pallas_kernels import q4_group
+
+    scales = sum((din // q4_group(din)) * dout for din, dout in mats)
+    return w // 2 + 4 * scales
 
 
 def llm_decode_step(

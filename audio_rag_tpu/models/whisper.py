@@ -44,6 +44,7 @@ from audio_rag_tpu.models.layers import (
     mlp,
     mlp_init,
     quantize_linear,
+    quantize_linear_q4,
     sinusoid_positions,
 )
 
@@ -539,9 +540,12 @@ def _cross_with_kv(
     return out
 
 
-def quantize_decoder_weights(params: Params, dims: WhisperDims) -> Params:
-    """Per-out-channel int8 of every weight matrix the decode loop re-reads
-    each token (attention/cross/MLP linears + the logits head).
+def quantize_decoder_weights(params: Params, dims: WhisperDims,
+                             bits: int = 8) -> Params:
+    """Per-out-channel int8 (``bits=8``) or group-wise int4 (``bits=4``,
+    :func:`~audio_rag_tpu.models.layers.quantize_linear_q4`) of every
+    weight matrix the decode loop re-reads each token (attention/cross/
+    MLP linears + the logits head).
 
     The decode loop's weight term is ≈1.6 GB/step bf16 on large-v3; int8
     halves it and :func:`linear_q8`'s Pallas kernel dequantizes in VMEM.
@@ -557,9 +561,12 @@ def quantize_decoder_weights(params: Params, dims: WhisperDims) -> Params:
     :func:`decoder_step` does.
     """
     dec = params["decoder"]
+    if bits not in (8, 4):
+        raise ValueError(f"bits must be 8 or 4, got {bits}")
+    quant = quantize_linear if bits == 8 else quantize_linear_q4
 
     def q(p):
-        return quantize_linear(p["w"])
+        return quant(p["w"])
 
     blocks = []
     for layer in range(dims.n_text_layer):
@@ -575,20 +582,28 @@ def quantize_decoder_weights(params: Params, dims: WhisperDims) -> Params:
     vocab_pad = -(-vocab // 128) * 128
     wt = jnp.pad(table.astype(jnp.float32).T,
                  ((0, 0), (0, vocab_pad - vocab)))
-    return {"blocks": blocks, "logits": quantize_linear(wt)}
+    return {"blocks": blocks, "logits": quant(wt)}
 
 
-def q8_param_bytes(dims: WhisperDims) -> int:
-    """HBM bytes of the :func:`quantize_decoder_weights` copies (int8
-    weights + fp32 per-out-channel scales). The quantized copies coexist
-    with the bf16 params, so backends must add this to their HBM budget
-    when ``decoder_int8`` is enabled (~0.8 GB for large-v3)."""
+def q8_param_bytes(dims: WhisperDims, bits: int = 8) -> int:
+    """HBM bytes of the :func:`quantize_decoder_weights` copies (int8/int4
+    weights + fp32 scales: per-out-channel at 8 bits, per-(din-group,
+    out-channel) at 4). The quantized copies coexist with the bf16
+    params, so backends must add this to their HBM budget when
+    ``decoder_int8``/``decoder_int4`` is enabled (~0.8 GB for large-v3
+    int8, ~0.45 GB int4)."""
     d = dims.n_text_state
     vocab_pad = -(-dims.n_vocab // 128) * 128
     # per layer: attn q/k/v/o (4·d²) + cross q/o (2·d²) + mlp up/down (8·d²)
-    w = dims.n_text_layer * 14 * d * d + d * vocab_pad
-    scales = dims.n_text_layer * (6 * d + 2 * 4 * d) + vocab_pad
-    return w + 4 * scales
+    mats = ([(d, d)] * 6 + [(d, 4 * d), (4 * d, d)]) * dims.n_text_layer \
+        + [(d, vocab_pad)]
+    w = sum(din * dout for din, dout in mats)
+    if bits == 8:
+        return w + 4 * sum(dout for _, dout in mats)
+    from audio_rag_tpu.ops.pallas_kernels import q4_group
+
+    scales = sum((din // q4_group(din)) * dout for din, dout in mats)
+    return w // 2 + 4 * scales
 
 
 def decoder_step(

@@ -25,6 +25,9 @@ __all__ = [
     "attend_auto",
     "decode_cross_attention_q8",
     "matmul_q8w",
+    "matmul_q4w",
+    "q4_tiles",
+    "q4_group",
     "beam_reorder_kv",
 ]
 
@@ -191,6 +194,141 @@ def matmul_q8w(
         interpret=interpret,
     )(x.astype(jnp.bfloat16), w8)
     return out * scale[None, :]
+
+
+def q4_tiles(din: int, cap: int = 2048) -> tuple[int, int] | None:
+    """(group, din_tile) for :func:`matmul_q4w`, or None if unsupported.
+
+    Constraints (all from TPU tile rules, see the kernel docstring):
+    the x halves need ``din_tile/2 % 128 == 0`` → din_tile a multiple of
+    256; the f32 scale block needs ``din_tile/group % 8 == 0`` → din_tile
+    a multiple of 8·group; and quantization groups must tile evenly →
+    group | din_tile | din. Prefers the largest group ≤128 (smaller
+    groups cost scale bytes, larger ones quantization error), then the
+    largest feasible din_tile (fewer grid steps).
+    """
+    import math
+
+    for group in (128, 112, 96, 80, 64, 48, 32, 16):
+        step = math.lcm(256, 8 * group)
+        best = None
+        for t in range(step, min(din, cap) + 1, step):
+            if din % t == 0:
+                best = t
+        if best is not None:
+            return group, best
+    return None
+
+
+def q4_group(din: int) -> int:
+    """Quantization group size for int4 along a ``din`` axis: the kernel's
+    :func:`q4_tiles` choice when the dims are kernel-tileable, else the
+    largest even divisor ≤128 (tiny test models quantize fine and run the
+    dequant-einsum fallback — ``linear_q8`` routes by tileability)."""
+    tiles = q4_tiles(din)
+    if tiles is not None:
+        return tiles[0]
+    if din % 2:
+        raise ValueError(f"int4 packing needs an even din, got {din}")
+    return next(g for g in (128, 96, 64, 48, 32, 16, 8, 4, 2)
+                if din % g == 0)
+
+
+def _matmul_q4w_kernel(xe_ref, xo_ref, w_ref, s_ref, o_ref, *, group: int,
+                       interpret: bool):
+    """One (dout-tile, din-tile) step of x @ W4: unpack the nibble-packed
+    weight tile, dequantize with per-group scales in VMEM, and accumulate
+    two partial dots (even/odd original rows) into the revisited f32
+    output block. The din grid dim is innermost so the output block stays
+    resident across the reduction. Values are defined in bf16 (dequant =
+    int4 × bf16 scale, rounded to bf16); under ``interpret`` the dot
+    operands upcast to f32 — bit-identical values, since XLA:CPU's
+    DotThunk can't execute a bf16×bf16→f32 dot — while TPU keeps the
+    native bf16 MXU path."""
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    w = w_ref[:].astype(jnp.int32)            # (dt/2, dout_t) packed
+    lo = ((w << 28) >> 28).astype(jnp.bfloat16)   # even din rows, in [-8,7]
+    hi = (w >> 4).astype(jnp.bfloat16)            # odd din rows (arith shift)
+    s = s_ref[:].astype(jnp.bfloat16)         # (dt/group, dout_t)
+    ng, dout_t = s.shape
+    sh = jnp.broadcast_to(s[:, None, :], (ng, group // 2, dout_t))
+    sh = sh.reshape(lo.shape)
+    dt = jnp.float32 if interpret else jnp.bfloat16
+    acc = jnp.dot(xe_ref[:].astype(dt), (lo * sh).astype(dt),
+                  preferred_element_type=jnp.float32)
+    acc += jnp.dot(xo_ref[:].astype(dt), (hi * sh).astype(dt),
+                   preferred_element_type=jnp.float32)
+    o_ref[:] += acc
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def matmul_q4w(
+    x: jax.Array,      # (B, din) bf16/f32 — B padded to ≥16 by the caller
+    w4: jax.Array,     # (din/2, dout) int8: din rows 2r/2r+1 in low/high nibble
+    scale: jax.Array,  # (din/group, dout) f32 — symmetric per-group scales
+    interpret: bool = False,
+) -> jax.Array:
+    """x @ dequant(w4, scale) with in-VMEM int4 dequant; returns (B, dout) f32.
+
+    The decode loops are weight-read-bound; int8 (:func:`matmul_q8w`)
+    halved the bytes vs bf16 and int4 halves them again — this is the
+    same weight format regime the reference serves through ollama
+    (llama.cpp Q4, reference ``config/schema.py`` generation model
+    ``llama3.2:3b`` = Q4_K_M), with group-wise scales like Q4_0/GPTQ
+    (per-out-channel scaling alone is far too coarse at 4 bits).
+
+    Layout: din rows are packed in adjacent pairs — byte ``w4[r, n]``
+    holds row ``2r`` in its low nibble and ``2r+1`` in its high nibble —
+    so a din-tile of the packed array decodes to that tile's even and odd
+    rows separately and the kernel takes the matching strided halves of x
+    (``x[:, 0::2]``, ``x[:, 1::2]``, cheap XLA slices fused into the
+    operand) and accumulates two dots. Values are sign-extended via
+    int32 shifts; the fallback einsum (``models/layers._dequant_q4``,
+    same int4 values × bf16-rounded scales) matches the interpret-mode
+    kernel to f32-accumulation order; on a real TPU the MXU additionally
+    rounds the dequantized product operand to bf16 (≤0.2 % relative,
+    ~17× below the int4 quantization noise).
+
+    Tile choice is :func:`q4_tiles`; group scales ride as an f32 block
+    (bf16 scale blocks would need 16-row sublane tiles that the odd
+    dims here can't always satisfy) and are cast to bf16 in VMEM so the
+    kernel and fallback see identical scale values.
+    """
+    B, din = x.shape
+    dout = w4.shape[1]
+    if w4.shape[0] * 2 != din or din % scale.shape[0]:
+        raise ValueError(f"matmul_q4w shape mismatch: x {x.shape}, "
+                         f"w4 {w4.shape}, scale {scale.shape}")
+    group = din // scale.shape[0]
+    tiles = q4_tiles(din)
+    dout_t = _largest_tile(dout, cap=2048)
+    if tiles is None or tiles[0] != group or dout_t is None or B % 16:
+        raise ValueError(
+            f"matmul_q4w needs q4_tiles-compatible shapes (got din={din}, "
+            f"group={group}, dout={dout}, B={B}; expected {tiles})")
+    din_t = tiles[1]
+    xe = x[:, 0::2].astype(jnp.bfloat16)  # even din rows (B, din/2)
+    xo = x[:, 1::2].astype(jnp.bfloat16)
+    out = pl.pallas_call(
+        functools.partial(_matmul_q4w_kernel, group=group,
+                          interpret=interpret),
+        out_shape=jax.ShapeDtypeStruct((B, dout), jnp.float32),
+        grid=(dout // dout_t, din // din_t),  # din innermost (reduction)
+        in_specs=[
+            pl.BlockSpec((B, din_t // 2), lambda j, i: (0, i)),
+            pl.BlockSpec((B, din_t // 2), lambda j, i: (0, i)),
+            pl.BlockSpec((din_t // 2, dout_t), lambda j, i: (i, j)),
+            pl.BlockSpec((din_t // group, dout_t), lambda j, i: (i, j)),
+        ],
+        out_specs=pl.BlockSpec((B, dout_t), lambda j, i: (0, j)),
+        interpret=interpret,
+    )(xe, xo, w4, scale)
+    return out
 
 
 def _beam_reorder_kernel(idx_ref, k_in, v_in, k_out, v_out, sems,

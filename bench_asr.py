@@ -30,6 +30,7 @@ AUDIO_MINUTES = float(os.environ.get("BENCH_AUDIO_MINUTES", 8.0))
 WINDOW_BATCH = int(os.environ.get("BENCH_WINDOW_BATCH", 16))
 CROSS_KV_INT8 = os.environ.get("BENCH_CROSS_KV_INT8", "0") == "1"
 DECODER_INT8 = os.environ.get("BENCH_DECODER_INT8", "0") == "1"
+DECODER_INT4 = os.environ.get("BENCH_DECODER_INT4", "0") == "1"
 #: "greedy" (default) or "beam" — beam is faster-whisper's default
 #: strategy; the shared-cross-KV beam path should stay ≤1.6x greedy cost
 DECODE = os.environ.get("BENCH_DECODE", "greedy")
@@ -57,7 +58,7 @@ def main() -> None:
         compute_type="bfloat16", vad_filter=False,
         window_batch_size=WINDOW_BATCH,
         cross_kv_int8=CROSS_KV_INT8,
-        decoder_int8=DECODER_INT8,
+        decoder_int8=DECODER_INT8, decoder_int4=DECODER_INT4,
         decode=DECODE, beam_size=BEAM_SIZE, speculative_k=SPEC_K,
         # random-init logprobs (~ -10.8) trip the avg-logprob quality gate
         # that trained weights pass, so the temperature-fallback ladder
@@ -99,6 +100,8 @@ def main() -> None:
             "audio_minutes": AUDIO_MINUTES,
             "window_batch": WINDOW_BATCH,
             "decode": DECODE,
+            "decoder_quant": "int4" if DECODER_INT4 else (
+                "int8" if DECODER_INT8 else "bf16"),
             "beam_size": BEAM_SIZE if DECODE == "beam" else None,
             "speculative_k": SPEC_K,
             "note": "random-init large-v3 (same FLOPs); full 224-token "

@@ -36,6 +36,7 @@ def main() -> None:
     import os
 
     decoder_int8 = os.environ.get("BENCH_DECODER_INT8", "0") == "1"
+    decoder_int4 = os.environ.get("BENCH_DECODER_INT4", "0") == "1"
     #: speculative block decode for the wave path (0 = off). Random-init
     #: greedy decode settles into repetition loops, which the n-gram
     #: drafter accepts at a high rate — an upper-bound-ish acceptance
@@ -45,7 +46,8 @@ def main() -> None:
     idle_seg = int(os.environ.get("BENCH_IDLE_SEG", 0))
     gen = LLMGenerator(GenerationConfig(
         model=model, temperature=0.0, use_scheduler=False,
-        decoder_int8=decoder_int8, speculative_k=spec_k,
+        decoder_int8=decoder_int8, decoder_int4=decoder_int4,
+        speculative_k=spec_k,
     ))
     gen.load()
     prompts = [
