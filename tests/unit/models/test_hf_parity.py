@@ -100,6 +100,35 @@ class TestWhisperParity:
         np.testing.assert_allclose(np.asarray(ref[1]), np.asarray(got[1]),
                                    atol=0.1)
 
+    def test_int4_decode_path_on_converted_checkpoint(self, hf_and_ours):
+        """The int4 decode path (decoder_int4) through a CONVERTED HF
+        whisper checkpoint: same greedy tokens as full precision on this
+        fixed seed, avg logprob within int4 tolerance (~16x int8's noise,
+        hence the looser atol). Complements the representable-weight
+        exactness test in tests/unit/ops/test_matmul_q4w.py."""
+        from audio_rag_tpu.models.whisper import (
+            encode,
+            greedy_decode,
+            quantize_decoder_weights,
+        )
+
+        model, params, dims = hf_and_ours
+        rng = np.random.default_rng(1)
+        mel = rng.standard_normal((2, 80, 120)).astype(np.float32)
+        jp = jax.tree.map(jnp.asarray, params)
+        enc = encode(jp, dims, jnp.asarray(mel), dtype=jnp.float32)
+        prompt = jnp.asarray(np.tile([[1, 5]], (2, 1)).astype(np.int32))
+        ref = greedy_decode(jp, dims, enc, prompt, 12, eot=2,
+                            dtype=jnp.float32)
+        q4 = quantize_decoder_weights(jp, dims, bits=4)
+        assert "w4" in q4["blocks"][0]["mlp_up"]
+        got = greedy_decode(jp, dims, enc, prompt, 12, eot=2,
+                            dtype=jnp.float32, cross_kv_quantize=True,
+                            decoder_q8=q4)
+        np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(got[0]))
+        np.testing.assert_allclose(np.asarray(ref[1]), np.asarray(got[1]),
+                                   atol=0.3)
+
 
 class TestXLMRobertaParity:
     def test_encoder_states_match(self, tmp_path):
