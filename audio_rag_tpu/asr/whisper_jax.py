@@ -100,9 +100,15 @@ class WhisperJaxASR(BaseASR):
         # downgraded at load time under tensor parallelism (the int8/int4
         # Pallas kernels are single-device programs GSPMD can't partition;
         # TP already halves+ the per-chip weight read they exist to shrink)
-        self._cross_kv_int8 = self.config.cross_kv_int8
+        self._cross_kv_bits = self._config_cross_kv_bits()
         self._decoder_qbits = qbits
         self._tokenizer = None
+
+    def _config_cross_kv_bits(self) -> int:
+        """Cross-KV quantization width from config: int4 > int8 > off."""
+        if getattr(self.config, "cross_kv_int4", False):
+            return 4
+        return 8 if self.config.cross_kv_int8 else 0
 
     # -- lifecycle ---------------------------------------------------------
     def _load(self) -> None:
@@ -112,7 +118,7 @@ class WhisperJaxASR(BaseASR):
         rm.ensure_hbm(self.hbm_required_gb, for_model="asr")
         # re-derive the quantization switches from config on every load: a
         # reload on a different mesh (TP → single-chip) must re-enable them
-        self._cross_kv_int8 = self.config.cross_kv_int8
+        self._cross_kv_bits = self._config_cross_kv_bits()
         self._decoder_qbits = 4 if self.config.decoder_int4 else (
             8 if self.config.decoder_int8 else 0)
         params = self._init_or_restore()
@@ -133,15 +139,15 @@ class WhisperJaxASR(BaseASR):
             from audio_rag_tpu.models.whisper import whisper_param_spec
 
             spec = whisper_param_spec(self.dims)
-            if self._cross_kv_int8 or self._decoder_qbits:
+            if self._cross_kv_bits or self._decoder_qbits:
                 log.info(
-                    "whisper TP: disabling int8 paths (Pallas kernels are "
-                    "single-device; per-chip HBM traffic is already split "
-                    "%d-way)", engine.mesh.shape["model"],
+                    "whisper TP: disabling int8/int4 paths (Pallas kernels "
+                    "are single-device; per-chip HBM traffic is already "
+                    "split %d-way)", engine.mesh.shape["model"],
                 )
                 # hbm_required_gb keeps the q8 increment from __init__ — a
                 # small conservative overcount under TP
-                self._cross_kv_int8 = False
+                self._cross_kv_bits = 0
                 self._decoder_qbits = 0
         self._params = engine.put_params("whisper", params, spec)
         self._params_q8 = None
@@ -229,7 +235,8 @@ class WhisperJaxASR(BaseASR):
                         params, self.dims, enc, prompt, max_new,
                         self.tokens.eot, beam_size=beam, dtype=self.dtype,
                         decoder_q8=q8,
-                        cross_kv_quantize=self._cross_kv_int8,
+                        cross_kv_quantize=bool(self._cross_kv_bits),
+                        cross_kv_bits=self._cross_kv_bits or 8,
                     )
                     B = toks.shape[0]
                     return (toks, jnp.zeros((B,), jnp.float32),
@@ -247,7 +254,8 @@ class WhisperJaxASR(BaseASR):
                         spec_k=self.config.speculative_k,
                         dtype=self.dtype,
                         no_speech_id=self.tokens.no_speech,
-                        cross_kv_quantize=self._cross_kv_int8,
+                        cross_kv_quantize=bool(self._cross_kv_bits),
+                        cross_kv_bits=self._cross_kv_bits or 8,
                         decoder_q8=q8,
                     )
                     return toks, lp, nsp, enc
@@ -257,7 +265,8 @@ class WhisperJaxASR(BaseASR):
                     temperature=temperature,
                     rng=jax.random.PRNGKey(int(temperature * 100)),
                     no_speech_id=self.tokens.no_speech,
-                    cross_kv_quantize=self._cross_kv_int8,
+                    cross_kv_quantize=bool(self._cross_kv_bits),
+                    cross_kv_bits=self._cross_kv_bits or 8,
                     decoder_q8=q8,
                 )
                 return toks, lp, nsp, enc
@@ -273,7 +282,7 @@ class WhisperJaxASR(BaseASR):
         return engine.program(
             ("whisper", "transcribe", self.config.model_size, strategy,
              batch, temperature,
-             max_new, self._cross_kv_int8,
+             max_new, self._cross_kv_bits,
              self._decoder_qbits, self.config.speculative_k), build
         )
 

@@ -103,6 +103,18 @@ class ASRConfig(BaseModel):
     #: this zero-egress image. configs/production.yaml enables it with that
     #: caveat; disable here if a WER regression is observed on real audio.
     cross_kv_int8: bool = False
+    #: int4-quantize the cross K/V instead (nibble-packed along head_dim,
+    #: per-CHANNEL scales — per-head is too coarse at 4 bits;
+    #: ``ops/pallas_kernels.decode_cross_attention_q4``). With int8
+    #: weights the cross-KV read is ~2/3 of the decode step's remaining
+    #: HBM traffic (1.97 of ~3.1 GB/step at window batch 16, large-v3),
+    #: so this is the largest per-step lever; it also halves the int8
+    #: KV's HBM residency. Takes precedence over ``cross_kv_int8``.
+    #: Quantization error is ~16× int8's — greedy parity holds on the
+    #: whisper-tiny HF checkpoint (test_hf_parity.py) but real-audio WER
+    #: is unvalidated in this zero-egress image; prefer int8 where WER
+    #: headroom is unknown.
+    cross_kv_int4: bool = False
     #: int8-quantize the decode loop's WEIGHT matmuls (attention/cross/MLP
     #: linears + logits head, per-out-channel scales) — the other half of
     #: the per-step HBM bytes. Same Pallas in-VMEM dequant pattern

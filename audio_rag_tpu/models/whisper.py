@@ -322,17 +322,28 @@ def encode(
 def precompute_cross_kv(
     params: Params, dims: WhisperDims, enc: jax.Array,
     dtype: jnp.dtype = jnp.bfloat16, quantize: bool = False,
+    bits: int = 8,
 ):
     """Per-layer cross K/V from encoder states: (L, B, H, Ta, D) each.
 
-    ``quantize=True`` returns (k_i8, v_i8, k_scale, v_scale) with int8
-    tensors TRANSPOSED to (L, B, H, D, Ta) and per-(L, B, H) fp32 scales.
+    ``quantize=True`` returns (k_q, v_q, k_scale, v_scale):
+
+    * ``bits=8``: int8 tensors TRANSPOSED to (L, B, H, D, Ta) with
+      per-(L, B, H) fp32 scales.
+    * ``bits=4``: int4 nibble-packed (L, B, H, D/2, Ta) — byte row ``r``
+      holds head-dim ``r`` (low nibble) and ``r + D/2`` (high) — with
+      per-(L, B, H, 1, D) CHANNEL scales (amax over time): 4-bit needs
+      finer granularity than per-head, and the channel axis is the one
+      whose scales fold into q / the output for free (the time axis
+      would need in-kernel scale operands).
+
     The decode loop re-reads the ENTIRE cross KV every generated token —
-    the dominant per-step HBM term with bf16-resident weights — and int8
-    halves that traffic. On TPU the decode path dequantizes in VMEM via
-    the Pallas kernel (``ops/pallas_kernels.decode_cross_attention_q8``);
-    off-TPU the scales fold into q (K side) / the attention output (V
-    side) around einsums, so no bf16 copy ever materializes.
+    the dominant per-step HBM term (with int8 weights it is ~2/3 of the
+    step's traffic; int4 makes it a quarter of the bf16 bytes). On TPU
+    the decode path dequantizes in VMEM via the Pallas kernels
+    (``ops/pallas_kernels.decode_cross_attention_q8``/``_q4``); off-TPU
+    the scales fold into q (K side) / the attention output (V side)
+    around einsums, so no bf16 copy ever materializes.
     """
     head_dim = dims.n_text_state // dims.n_text_head
     B, Ta, _ = enc.shape
@@ -347,6 +358,8 @@ def precompute_cross_kv(
     ck, cv = jax.vmap(per_layer)(params["decoder"]["blocks"])
     if not quantize:
         return ck, cv
+    if bits not in (8, 4):
+        raise ValueError(f"cross-KV bits must be 8 or 4, got {bits}")
 
     def quant(x):
         amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(3, 4),
@@ -359,8 +372,20 @@ def precompute_cross_kv(
         # decode kernel (ops/pallas_kernels.decode_cross_attention_q8)
         return q.transpose(0, 1, 2, 4, 3), scale
 
-    k_q, k_s = quant(ck)
-    v_q, v_s = quant(cv)
+    def quant4(x):  # x (L, B, H, Ta, D)
+        xf = x.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(xf), axis=3, keepdims=True)  # (L,B,H,1,D)
+        scale = jnp.maximum(amax, 1e-9) / 7.0
+        q = jnp.clip(jnp.round(xf / scale), -7, 7).astype(jnp.int8)
+        qt = q.transpose(0, 1, 2, 4, 3)  # (L, B, H, D, Ta)
+        half = head_dim // 2
+        packed = (qt[:, :, :, :half] & jnp.int8(0x0F)) \
+            | (qt[:, :, :, half:] << 4)
+        return packed.astype(jnp.int8), scale
+
+    qfn = quant if bits == 8 else quant4
+    k_q, k_s = qfn(ck)
+    v_q, v_s = qfn(cv)
     return k_q, v_q, k_s, v_s
 
 
@@ -470,6 +495,17 @@ def decoder_forward(
     return logits, new_cache, (cross_w if collect_cross_weights else None)
 
 
+def _unpack_kv4(x4: jax.Array) -> jax.Array:
+    """(…, D/2, Ta) half-split nibble-packed int4 → (…, D, Ta) int8 values
+    (as int8; exact in bf16/f32). Fallback-path inverse of
+    :func:`precompute_cross_kv`'s ``quant4`` packing — on TPU the decode
+    kernel unpacks in VMEM instead and this never materializes."""
+    xi = x4.astype(jnp.int32)
+    lo = (xi << 28) >> 28
+    hi = xi >> 4
+    return jnp.concatenate([lo, hi], axis=-2).astype(jnp.int8)
+
+
 def _cross_with_kv(
     p: Params, x: jax.Array, k: jax.Array, v: jax.Array, n_heads: int,
     dtype: jnp.dtype, return_weights: bool,
@@ -488,6 +524,9 @@ def _cross_with_kv(
     B, T, d_model = x.shape
     head_dim = d_model // n_heads
     quantized = k.dtype == jnp.int8
+    # int4 cross-KV is nibble-packed along head_dim (see
+    # precompute_cross_kv): distinguished from int8 by the halved axis
+    packed4 = quantized and k.shape[-2] == head_dim // 2
     xn = layer_norm(p["ln_cross"], x)
     if q8 is None:
         q = linear(p["cross"]["q"], xn, dtype)
@@ -506,17 +545,24 @@ def _cross_with_kv(
         # K beams of a row ride the kernel's M dimension (shared K/V read
         # once per row). Larger T (teacher-forced) takes the einsum path.
         from audio_rag_tpu.ops.pallas_kernels import (
+            decode_cross_attention_q4,
             decode_cross_attention_q8,
             on_tpu,
         )
 
         if on_tpu(k):
-            o = decode_cross_attention_q8(q, k, v, k_scale, v_scale)
+            kern = decode_cross_attention_q4 if packed4 \
+                else decode_cross_attention_q8
+            o = kern(q, k, v, k_scale, v_scale)
             o = o.astype(dtype).transpose(0, 2, 1, 3).reshape(B, T, d_model)
             return out_proj(o)
 
     if quantized:
-        # fallback einsums on the transposed layout (CPU, teacher-forced)
+        # fallback einsums on the transposed layout (CPU, teacher-forced);
+        # the scale folds are shape-agnostic between int8's per-(B, H)
+        # (B, H, 1, 1) and int4's per-channel (B, H, 1, D)
+        if packed4:
+            k, v = _unpack_kv4(k), _unpack_kv4(v)
         q = (q.astype(jnp.float32) * k_scale).astype(dtype)
         logits = jnp.einsum("bhqd,bhdk->bhqk", q * scale, k.astype(dtype),
                             preferred_element_type=jnp.float32)
@@ -872,6 +918,7 @@ def speculative_greedy_decode(
     dtype: jnp.dtype = jnp.bfloat16,
     no_speech_id: int | None = None,
     cross_kv_quantize: bool = False,
+    cross_kv_bits: int = 8,
     decoder_q8: Params | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Greedy decode with speculative multi-token steps — output is
@@ -904,7 +951,8 @@ def speculative_greedy_decode(
     cache_len = min(dims.n_text_ctx, total) + k
 
     cross_kv = precompute_cross_kv(params, dims, enc, dtype,
-                                   quantize=cross_kv_quantize)
+                                   quantize=cross_kv_quantize,
+                                   bits=cross_kv_bits)
     sk = jnp.zeros((L, B, H, cache_len, head_dim), dtype)
     sv = jnp.zeros_like(sk)
 
@@ -1016,6 +1064,7 @@ def greedy_decode(
     rng: jax.Array | None = None,
     no_speech_id: int | None = None,
     cross_kv_quantize: bool = False,
+    cross_kv_bits: int = 8,
     decoder_q8: Params | None = None,  # quantize_decoder_weights output
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Batched greedy/sampled decode with static KV cache.
@@ -1038,7 +1087,8 @@ def greedy_decode(
         rng = jax.random.PRNGKey(0)
 
     cross_kv = precompute_cross_kv(params, dims, enc, dtype,
-                                   quantize=cross_kv_quantize)
+                                   quantize=cross_kv_quantize,
+                                   bits=cross_kv_bits)
 
     sk = jnp.zeros((L, B, H, cache_len, head_dim), dtype)
     sv = jnp.zeros((L, B, H, cache_len, head_dim), dtype)
@@ -1216,6 +1266,7 @@ def beam_decode(
     dtype: jnp.dtype = jnp.bfloat16,
     decoder_q8: Params | None = None,  # quantize_decoder_weights output
     cross_kv_quantize: bool = False,
+    cross_kv_bits: int = 8,
 ) -> jax.Array:
     """Beam search (faster-whisper's default strategy, beam_size=5).
 
@@ -1247,7 +1298,8 @@ def beam_decode(
 
     # cross KV over B rows only — beams share their group's KV
     cross_kv = precompute_cross_kv(params, dims, enc, dtype,
-                                   quantize=cross_kv_quantize)
+                                   quantize=cross_kv_quantize,
+                                   bits=cross_kv_bits)
 
     # prime the self cache over B rows (the prompt is identical across
     # beams), then replicate it K× — priming compute is 1/K of the old

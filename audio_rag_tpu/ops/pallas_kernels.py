@@ -24,6 +24,7 @@ __all__ = [
     "flash_attention",
     "attend_auto",
     "decode_cross_attention_q8",
+    "decode_cross_attention_q4",
     "matmul_q8w",
     "matmul_q4w",
     "q4_tiles",
@@ -125,6 +126,93 @@ def decode_cross_attention_q8(
         out_specs=pl.BlockSpec((None, M, hd, lanes), lambda b: (b, 0, 0, 0)),
         interpret=interpret,
     )(qf, k8, v8)
+    o = out[:, :, :, :H].transpose(0, 3, 1, 2)  # (B, H, M, hd)
+    return o * vs
+
+
+def _decode_cross_q4_kernel(q_ref, k_ref, v_ref, o_ref, *, n_heads: int):
+    """int4 variant of :func:`_decode_cross_kernel`: K/V arrive
+    nibble-packed along the HEAD-DIM axis in half-split order — byte row
+    ``r`` of the (H, hd/2, Ta) block holds head-dim ``r`` in its low
+    nibble and ``r + hd/2`` in its high nibble — so the unpacked halves
+    are CONTIGUOUS head-dim ranges: the q·K contraction becomes two dots
+    against contiguous q slices and the P·V products write contiguous
+    output halves joined by one concatenate (no lane interleave, which
+    Mosaic would have to relayout). Sign extension via int32 shifts; the
+    per-channel scales are folded into q (K side) / the output (V side)
+    by the caller exactly like the int8 kernel's per-head scales — only
+    the broadcast axis differs."""
+    H = n_heads
+    q = q_ref[:]  # (M, hd, 128) f32, per-channel K scales folded in
+    qt = q[:, :, :H].transpose(2, 0, 1)  # (H, M, hd)
+    half = qt.shape[2] // 2
+
+    k = k_ref[:].astype(jnp.int32)  # (H, hd/2, Ta) packed
+    klo = ((k << 28) >> 28).astype(jnp.float32)   # head dims [0, hd/2)
+    khi = (k >> 4).astype(jnp.float32)            # head dims [hd/2, hd)
+    dn = (((2,), (1,)), ((0,), (0,)))
+    s = jax.lax.dot_general(qt[:, :, :half], klo, dn,
+                            preferred_element_type=jnp.float32)
+    s += jax.lax.dot_general(qt[:, :, half:], khi, dn,
+                             preferred_element_type=jnp.float32)
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)   # (H, M, Ta)
+
+    v = v_ref[:].astype(jnp.int32)
+    vlo = ((v << 28) >> 28).astype(jnp.float32)
+    vhi = (v >> 4).astype(jnp.float32)
+    dn = (((2,), (2,)), ((0,), (0,)))
+    o_lo = jax.lax.dot_general(p, vlo, dn,
+                               preferred_element_type=jnp.float32)
+    o_hi = jax.lax.dot_general(p, vhi, dn,
+                               preferred_element_type=jnp.float32)
+    o = jnp.concatenate([o_lo, o_hi], axis=2)    # (H, M, hd)
+    o_ref[:] = jnp.pad(o.transpose(1, 2, 0),
+                       ((0, 0), (0, 0), (0, o_ref.shape[2] - H)))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def decode_cross_attention_q4(
+    q: jax.Array,   # (B, H, M, hd) — M decode queries (1 greedy, K beams)
+    k4: jax.Array,  # (B, H, hd/2, Ta) int8 — half-split nibble-packed int4
+    v4: jax.Array,  # (B, H, hd/2, Ta) int8
+    ks: jax.Array,  # (B, H, 1, hd) f32 — per-channel symmetric K scales
+    vs: jax.Array,  # (B, H, 1, hd) f32
+    interpret: bool = False,
+) -> jax.Array:
+    """softmax(q.K/sqrt(hd)).V over int4 K/V; returns (B, H, M, hd) f32.
+
+    Quarter-width cross-KV: with int8 weights + int8 cross-KV the whisper
+    decode step's HBM traffic is ~2/3 cross-KV reads (1.97 of ~3.1
+    GB/step at window batch 16, large-v3), so int4 KV is the largest
+    remaining per-step lever. int4 needs finer scale granularity than
+    int8's per-(B, H): scales here are per-(B, H, head-dim-CHANNEL),
+    amax over the time axis — the channel axis is the contraction axis
+    for q·K, so K scales fold into q, and the output axis for P·V, so V
+    scales fold into the output; neither enters the kernel (same
+    no-scalar-operand structure as :func:`decode_cross_attention_q8`,
+    just a (B, H, 1, hd) broadcast instead of (B, H, 1, 1)).
+    """
+    B, H, M, hd = q.shape
+    Ta = k4.shape[-1]
+    scale = hd ** -0.5
+    lanes = -(-H // 128) * 128
+    qf = (q.astype(jnp.float32) * (scale * ks))  # (B, H, M, hd)
+    qf = jnp.pad(qf.transpose(0, 2, 3, 1),
+                 ((0, 0), (0, 0), (0, 0), (0, lanes - H)))
+    out = pl.pallas_call(
+        functools.partial(_decode_cross_q4_kernel, n_heads=H),
+        out_shape=jax.ShapeDtypeStruct((B, M, hd, lanes), jnp.float32),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((None, M, hd, lanes), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((None, H, hd // 2, Ta), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((None, H, hd // 2, Ta), lambda b: (b, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, M, hd, lanes), lambda b: (b, 0, 0, 0)),
+        interpret=interpret,
+    )(qf, k4, v4)
     o = out[:, :, :, :H].transpose(0, 3, 1, 2)  # (B, H, M, hd)
     return o * vs
 

@@ -29,6 +29,7 @@ import os
 AUDIO_MINUTES = float(os.environ.get("BENCH_AUDIO_MINUTES", 8.0))
 WINDOW_BATCH = int(os.environ.get("BENCH_WINDOW_BATCH", 16))
 CROSS_KV_INT8 = os.environ.get("BENCH_CROSS_KV_INT8", "0") == "1"
+CROSS_KV_INT4 = os.environ.get("BENCH_CROSS_KV_INT4", "0") == "1"
 DECODER_INT8 = os.environ.get("BENCH_DECODER_INT8", "0") == "1"
 DECODER_INT4 = os.environ.get("BENCH_DECODER_INT4", "0") == "1"
 #: "greedy" (default) or "beam" — beam is faster-whisper's default
@@ -57,7 +58,7 @@ def main() -> None:
         backend="whisper-jax", model_size="large-v3",
         compute_type="bfloat16", vad_filter=False,
         window_batch_size=WINDOW_BATCH,
-        cross_kv_int8=CROSS_KV_INT8,
+        cross_kv_int8=CROSS_KV_INT8, cross_kv_int4=CROSS_KV_INT4,
         decoder_int8=DECODER_INT8, decoder_int4=DECODER_INT4,
         decode=DECODE, beam_size=BEAM_SIZE, speculative_k=SPEC_K,
         # random-init logprobs (~ -10.8) trip the avg-logprob quality gate
@@ -102,6 +103,8 @@ def main() -> None:
             "decode": DECODE,
             "decoder_quant": "int4" if DECODER_INT4 else (
                 "int8" if DECODER_INT8 else "bf16"),
+            "cross_kv_quant": "int4" if CROSS_KV_INT4 else (
+                "int8" if CROSS_KV_INT8 else "bf16"),
             "beam_size": BEAM_SIZE if DECODE == "beam" else None,
             "speculative_k": SPEC_K,
             "note": "random-init large-v3 (same FLOPs); full 224-token "

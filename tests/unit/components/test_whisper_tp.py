@@ -91,7 +91,7 @@ def test_backend_loads_tp_and_transcribes():
             segs = asr.transcribe(audio, 16000)
             q_leaf = asr._params["decoder"]["blocks"]["attn"]["q"]["w"]
             spec = getattr(q_leaf.sharding, "spec", None)
-            return segs, spec, asr._cross_kv_int8, asr._params_q8
+            return segs, spec, asr._cross_kv_bits, asr._params_q8
         finally:
             asr.unload()
             set_engine(None)
@@ -104,7 +104,7 @@ def test_backend_loads_tp_and_transcribes():
         tp_mesh, cross_kv_int8=True, decoder_int8=True
     )
     assert spec_tp == P(None, None, "model")
-    assert kv8_tp is False and q8_tp is None  # int8 gated off under TP
+    assert kv8_tp == 0 and q8_tp is None  # int8 gated off under TP
 
     # single-device, int8 off: the same full-precision computation —
     # TP-sharded output must match it exactly
@@ -121,7 +121,7 @@ def test_backend_loads_tp_and_transcribes():
     asr = WhisperJaxASR(ASRConfig(**base_cfg, cross_kv_int8=True))
     try:
         asr.load()
-        assert asr._cross_kv_int8 is True
+        assert asr._cross_kv_bits == 8
     finally:
         asr.unload()
         set_engine(None)

@@ -101,11 +101,12 @@ class TestWhisperParity:
                                    atol=0.1)
 
     def test_int4_decode_path_on_converted_checkpoint(self, hf_and_ours):
-        """The int4 decode path (decoder_int4) through a CONVERTED HF
-        whisper checkpoint: same greedy tokens as full precision on this
-        fixed seed, avg logprob within int4 tolerance (~16x int8's noise,
-        hence the looser atol). Complements the representable-weight
-        exactness test in tests/unit/ops/test_matmul_q4w.py."""
+        """The FULL int4 decode profile (decoder_int4 + cross_kv_int4)
+        through a CONVERTED HF whisper checkpoint: same greedy tokens as
+        full precision on this fixed seed, avg logprob within int4
+        tolerance (~16x int8's noise, hence the looser atol). Complements
+        the representable-weight exactness test in
+        tests/unit/ops/test_matmul_q4w.py."""
         from audio_rag_tpu.models.whisper import (
             encode,
             greedy_decode,
@@ -124,7 +125,7 @@ class TestWhisperParity:
         assert "w4" in q4["blocks"][0]["mlp_up"]
         got = greedy_decode(jp, dims, enc, prompt, 12, eot=2,
                             dtype=jnp.float32, cross_kv_quantize=True,
-                            decoder_q8=q4)
+                            cross_kv_bits=4, decoder_q8=q4)
         np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(got[0]))
         np.testing.assert_allclose(np.asarray(ref[1]), np.asarray(got[1]),
                                    atol=0.3)
