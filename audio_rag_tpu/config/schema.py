@@ -105,11 +105,14 @@ class ASRConfig(BaseModel):
     cross_kv_int8: bool = False
     #: int4-quantize the cross K/V instead (nibble-packed along head_dim,
     #: per-CHANNEL scales — per-head is too coarse at 4 bits;
-    #: ``ops/pallas_kernels.decode_cross_attention_q4``). With int8
-    #: weights the cross-KV read is ~2/3 of the decode step's remaining
-    #: HBM traffic (1.97 of ~3.1 GB/step at window batch 16, large-v3),
-    #: so this is the largest per-step lever; it also halves the int8
-    #: KV's HBM residency. Takes precedence over ``cross_kv_int8``.
+    #: ``ops/pallas_kernels.decode_cross_attention_q4``). Measured on
+    #: chip this is a CAPACITY lever, not a speed lever: the in-VMEM
+    #: nibble unpack costs more than the bandwidth it saves (kernel
+    #: 0.128 ms/layer-step vs int8's 0.067; all-int4 full clip RTF
+    #: 0.0067 vs int8's 0.0059 — docs/PERFORMANCE.md "int4 decode
+    #: paths"). Enable it to halve the KV's HBM residency — e.g. it
+    #: frees ~250 MB at beam-5/window-batch-16, which otherwise OOMs by
+    #: ~30 MB. Takes precedence over ``cross_kv_int8``.
     #: Quantization error is ~16× int8's — greedy parity holds on the
     #: whisper-tiny HF checkpoint (test_hf_parity.py) but real-audio WER
     #: is unvalidated in this zero-egress image; prefer int8 where WER
@@ -126,10 +129,15 @@ class ASRConfig(BaseModel):
     #: int4-quantize the same decode-loop weight matmuls (group-wise
     #: scales, ``ops/pallas_kernels.matmul_q4w`` — the weight regime the
     #: reference itself serves via ollama Q4). Halves the int8 weight
-    #: bytes again; takes precedence over ``decoder_int8``. Quantization
-    #: error is inherently larger than int8's (≲7 % per weight at group
-    #: amax vs ≲0.4 %) — unvalidated on real checkpoints in this
-    #: zero-egress image; prefer int8 where WER headroom is unknown.
+    #: bytes again — but measured on chip the unpack cost loses at every
+    #: matmul shape except the very wide vocab projection (q4w 0.100 ms
+    #: vs q8w 0.186 at (1280, 51968); all-int4 full clip RTF 0.0067 vs
+    #: int8's 0.0059 — docs/PERFORMANCE.md "int4 decode paths"), so this
+    #: is a footprint option, not the speed profile. Takes precedence
+    #: over ``decoder_int8``. Quantization error is inherently larger
+    #: than int8's (≲7 % per weight at group amax vs ≲0.4 %) —
+    #: unvalidated on real checkpoints in this zero-egress image; prefer
+    #: int8 where WER headroom is unknown.
     decoder_int4: bool = False
     checkpoint_path: str | None = None
 
@@ -309,8 +317,12 @@ class GenerationConfig(BaseModel):
     #: ``matmul_q4w``) — the weight regime the reference itself serves
     #: (its default generation model is ollama ``llama3.2:3b`` = Q4_K_M).
     #: Halves the int8 weight bytes again on the weight-read-bound decode
-    #: loop; takes precedence over ``decoder_int8``. Larger quantization
-    #: error than int8 (zero-egress: unvalidated on real weights).
+    #: loop — but measured per-matmul the unpack cost loses except at the
+    #: vocab-projection shape (docs/PERFORMANCE.md "int4 decode paths";
+    #: the 128k-row lm_head is ~22 % of 1b's weight bytes, so a mixed
+    #: int8+int4-lm_head profile is the candidate, not all-int4). Takes
+    #: precedence over ``decoder_int8``. Larger quantization error than
+    #: int8 (zero-egress: unvalidated on real weights).
     decoder_int4: bool = False
     #: speculative multi-token greedy decode for the wave path (same
     #: mechanism as ``ASRConfig.speculative_k``): n-gram prompt-lookup

@@ -12,6 +12,16 @@ Measured lineage (v5e), ms per layer-step:
   q8, per-(b, h) grid                0.198   (fixed invocation cost > savings)
   q8, per-row grid + per-head dots   0.140   (M=1 dot latency x 40)
   q8, per-row grid + batched dots    0.058   (production kernel; 2.7x)
+  q4, nibble-packed batched dots     0.128   (unpack VPU cost > bandwidth
+                                              saved — int4 is a capacity
+                                              lever, not a speed lever;
+                                              same run re-measured q8 0.067)
+
+Weights (two-point differenced; small shapes are relay-noise-dominated —
+only the wide vocab projection is trustworthy): (1280, 51968) bf16
+0.215 ms / q8w 0.186 / q4w 0.100 — the one shape where int4 wins.
+Full-clip arbiter: all-int4 RTF 0.0067 vs all-int8 0.0059
+(docs/bench_runs/asr_int4_wb16.json).
 
 Run: python scripts/bench_decode_kernels.py [cross|weights]
 """
