@@ -111,7 +111,7 @@ class ASRConfig(BaseModel):
     #: 0.128 ms/layer-step vs int8's 0.067; all-int4 full clip RTF
     #: 0.0067 vs int8's 0.0059 — docs/PERFORMANCE.md "int4 decode
     #: paths"). Enable it to halve the KV's HBM residency — e.g. it
-    #: frees ~250 MB at beam-5/window-batch-16, which otherwise OOMs by
+    #: frees ~1 GB at beam-5/window-batch-16, which otherwise OOMs by
     #: ~30 MB. Takes precedence over ``cross_kv_int8``.
     #: Quantization error is ~16× int8's — greedy parity holds on the
     #: whisper-tiny HF checkpoint (test_hf_parity.py) but real-audio WER
