@@ -31,7 +31,7 @@ log = get_logger(__name__)
 
 __all__ = ["load_state_dict", "convert_whisper", "convert_xlmr_encoder",
            "convert_bgem3", "convert_reranker", "convert_llama",
-           "convert_vad_torch"]
+           "convert_vad_torch", "convert_speaker"]
 
 
 def load_state_dict(model_dir: str | Path) -> dict[str, np.ndarray]:
@@ -45,7 +45,8 @@ def load_state_dict(model_dir: str | Path) -> dict[str, np.ndarray]:
         for f in st_files:
             tensors.update(load_file(str(f)))
         return tensors
-    bin_files = sorted(d.glob("pytorch_model*.bin")) or sorted(d.glob("*.pt"))
+    bin_files = (sorted(d.glob("pytorch_model*.bin"))
+                 or sorted(d.glob("*.pt")) or sorted(d.glob("*.ckpt")))
     if not bin_files:
         raise FileNotFoundError(f"no checkpoint tensors found in {d}")
     import torch
@@ -269,6 +270,92 @@ def convert_llama(model_dir: str | Path) -> dict[str, Any]:
     }
 
 
+# -- ECAPA speaker encoder -------------------------------------------------
+
+def convert_speaker(model_dir: str | Path) -> dict[str, Any]:
+    """speechbrain ``spkrec-ecapa-voxceleb``-format ECAPA-TDNN checkpoint
+    → :func:`audio_rag_tpu.models.ecapa.ecapa_embed` tree.
+
+    Replaces the titanet_large download the reference's diarizer does at
+    runtime (``diarization/nemo.py:45-100``). Layout expectations (the
+    names the speechbrain release ships in ``embedding_model.ckpt``; an
+    optional ``embedding_model.`` prefix is stripped):
+
+    * ``blocks.0`` frontend TDNN; ``blocks.1..3`` SE-Res2Net blocks with
+      ``tdnn1`` / ``res2net_block.blocks.{j}`` / ``tdnn2`` /
+      ``se_block.conv1|conv2`` (+ optional ``shortcut``);
+    * ``mfa`` aggregation TDNN, ``asp`` attentive pooling
+      (``asp.tdnn``, ``asp.conv``), ``asp_bn``, ``fc``.
+
+    Eval-mode BatchNorm folds to a per-channel affine here
+    (``s = γ/√(var+ε)``, ``o = β − mean·s``, ε=1e-5 — it sits after the
+    ReLU so it cannot fold into the conv); torch Conv1d weights
+    (C_out, C_in, K) transpose to (K, C_in, C_out), and 1×1 convs used
+    as channel mixes (SE gates, ASP projection, fc) squeeze to the
+    framework's (d_in, d_out) linear layout. Parity with the published
+    equations is pinned by ``tests/unit/models/test_ecapa_parity.py``.
+    """
+    sd = load_state_dict(model_dir)
+    pre = "embedding_model." \
+        if any(k.startswith("embedding_model.") for k in sd) else ""
+
+    def conv(p: str) -> dict[str, np.ndarray]:
+        w = np.asarray(sd[f"{p}.conv.weight"])  # (C_out, C_in, K)
+        out = {"w": np.ascontiguousarray(w.transpose(2, 1, 0))}
+        out["b"] = (np.asarray(sd[f"{p}.conv.bias"])
+                    if f"{p}.conv.bias" in sd
+                    else np.zeros(w.shape[0], np.float32))
+        return out
+
+    def bn(p: str) -> dict[str, np.ndarray]:
+        g = np.asarray(sd[f"{p}.norm.weight"])
+        b = np.asarray(sd[f"{p}.norm.bias"])
+        mean = np.asarray(sd[f"{p}.norm.running_mean"])
+        var = np.asarray(sd[f"{p}.norm.running_var"])
+        s = g / np.sqrt(var + 1e-5)
+        return {"s": s.astype(np.float32),
+                "o": (b - mean * s).astype(np.float32)}
+
+    def tdnn(p: str) -> dict:
+        return {"conv": conv(f"{p}.conv"), "bn": bn(f"{p}.norm")}
+
+    def lin1x1(p: str) -> dict[str, np.ndarray]:
+        c = conv(p)
+        return {"w": np.ascontiguousarray(c["w"][0]), "b": c["b"]}
+
+    def layer(i: int) -> dict:
+        p = f"{pre}blocks.{i}"
+        n_res = 1 + max(
+            int(k[len(f"{p}.res2net_block.blocks."):].split(".")[0])
+            for k in sd if k.startswith(f"{p}.res2net_block.blocks.")
+        )
+        out = {
+            "tdnn1": tdnn(f"{p}.tdnn1"),
+            "res2net": [tdnn(f"{p}.res2net_block.blocks.{j}")
+                        for j in range(n_res)],
+            "tdnn2": tdnn(f"{p}.tdnn2"),
+            "se": {"c1": lin1x1(f"{p}.se_block.conv1"),
+                   "c2": lin1x1(f"{p}.se_block.conv2")},
+        }
+        if f"{p}.shortcut.conv.weight" in sd:
+            out["shortcut"] = conv(f"{p}.shortcut")
+        return out
+
+    n_layers = 1 + max(
+        int(k[len(pre) + 7:].split(".")[0])
+        for k in sd if k.startswith(f"{pre}blocks.")
+    )
+    return {
+        "frontend": tdnn(f"{pre}blocks.0"),
+        "layers": [layer(i) for i in range(1, n_layers)],
+        "mfa": tdnn(f"{pre}mfa"),
+        "asp": {"tdnn": tdnn(f"{pre}asp.tdnn"),
+                "conv": lin1x1(f"{pre}asp.conv")},
+        "asp_bn": bn(f"{pre}asp_bn"),
+        "fc": lin1x1(f"{pre}fc"),
+    }
+
+
 def convert_vad_torch(sd: dict) -> dict[str, Any]:
     """Torch conv-VAD state dict → :func:`models.speaker.vad_scores` params.
 
@@ -299,6 +386,7 @@ CONVERTERS: dict[str, tuple[Callable, str]] = {
     "bgem3": (convert_bgem3, "bgem3"),
     "reranker": (convert_reranker, "reranker"),
     "llama": (convert_llama, "llm"),
+    "speaker": (convert_speaker, "speaker"),
 }
 
 

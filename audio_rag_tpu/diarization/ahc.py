@@ -36,7 +36,10 @@ from audio_rag_tpu.diarization.clustering import (
     windows_to_segments,
 )
 from audio_rag_tpu.engine.engine import get_engine
-from audio_rag_tpu.models.speaker import SPEAKER_PRESETS, init_speaker_encoder
+from audio_rag_tpu.models.speaker import (
+    SPEAKER_PRESETS,
+    resolve_speaker_params,
+)
 from audio_rag_tpu.resources.manager import get_resource_manager
 from audio_rag_tpu.utils.decorators import timed
 
@@ -113,15 +116,9 @@ class AHCDiarizer(BaseDiarizer):
         self._engine = engine
         rm = get_resource_manager()
         rm.ensure_hbm(self.hbm_required_gb, for_model="diarization")
-        params = None
-        if self.config.checkpoint_path:
-            from audio_rag_tpu.checkpoint import restore_params
-
-            params = restore_params(self.config.checkpoint_path, "speaker")
-        if params is None:
-            import jax
-
-            params = init_speaker_encoder(jax.random.PRNGKey(0), self.dims)
+        self.dims, params, _src = resolve_speaker_params(
+            self.config.checkpoint_path, self.dims,
+            allow_asset=self.config.model != "test")
         self._params = engine.put_params("speaker", params)
         rm.register_model("diarization", self.hbm_required_gb, self)
 

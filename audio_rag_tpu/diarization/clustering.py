@@ -25,7 +25,7 @@ from audio_rag_tpu.diarization.spectral import spectral_cluster
 from audio_rag_tpu.engine.engine import get_engine
 from audio_rag_tpu.models.speaker import (
     SPEAKER_PRESETS,
-    init_speaker_encoder,
+    resolve_speaker_params,
     speaker_embed,
 )
 from audio_rag_tpu.ops.mel import log_mel_spectrogram
@@ -49,21 +49,34 @@ _EMBED_BATCHES = (64, 512)
 _embed_programs: dict = {}
 
 
-def _embed_program(dims):
+def _embed_program(dims, kind: str = "tdnn"):
     """Jitted (params, frames (B, win_n)) → (B, emb_dim) fp32, cached per
-    SpeakerDims. Params are explicit args (never closures) so the program
-    survives engine drop_params/reload without re-tracing."""
-    fn = _embed_programs.get(dims)
+    (SpeakerDims, encoder kind). Params are explicit args (never
+    closures) so the program survives engine drop_params/reload without
+    re-tracing. ``kind="ecapa"`` routes converted real-weight
+    checkpoints through the speechbrain-style fbank frontend +
+    :func:`ecapa_embed` instead of the small TDNN."""
+    fn = _embed_programs.get((dims, kind))
     if fn is None:
-        @jax.jit
-        def fn(params, frames):
-            mels = jax.vmap(
-                lambda a: log_mel_spectrogram(a, n_mels=dims.n_mels,
-                                              global_norm=False)
-            )(frames)
-            return speaker_embed(params, dims, mels, dtype=jnp.float32)
+        if kind == "ecapa":
+            from audio_rag_tpu.models.ecapa import ecapa_embed, ecapa_fbank
 
-        _embed_programs[dims] = fn
+            @jax.jit
+            def fn(params, frames):
+                fb = jax.vmap(
+                    lambda a: ecapa_fbank(a, n_mels=dims.n_mels)
+                )(frames)
+                return ecapa_embed(params, fb, dtype=jnp.float32)
+        else:
+            @jax.jit
+            def fn(params, frames):
+                mels = jax.vmap(
+                    lambda a: log_mel_spectrogram(a, n_mels=dims.n_mels,
+                                                  global_norm=False)
+                )(frames)
+                return speaker_embed(params, dims, mels, dtype=jnp.float32)
+
+        _embed_programs[(dims, kind)] = fn
     return fn
 
 
@@ -90,7 +103,10 @@ def window_embeddings(
     for i, t in enumerate(starts):
         seg = wav[int(t * sr): int(t * sr) + win_n]
         frames[i, : len(seg)] = seg
-    fn = _embed_program(dims)
+    from audio_rag_tpu.models.ecapa import is_ecapa_params
+
+    fn = _embed_program(
+        dims, "ecapa" if is_ecapa_params(params) else "tdnn")
     chunks: list[np.ndarray] = []
     base = 0
     n = frames.shape[0]
@@ -147,13 +163,10 @@ class ClusteringDiarizer(BaseDiarizer):
         self._engine = engine
         rm = get_resource_manager()
         rm.ensure_hbm(self.hbm_required_gb, for_model="diarization")
-        params = None
-        if self.config.checkpoint_path:
-            from audio_rag_tpu.checkpoint import restore_params
-
-            params = restore_params(self.config.checkpoint_path, "speaker")
-        if params is None:
-            params = init_speaker_encoder(jax.random.PRNGKey(0), self.dims)
+        self.dims, params, src = resolve_speaker_params(
+            self.config.checkpoint_path, self.dims,
+            allow_asset=self.config.model != "test")
+        log.info("speaker encoder source=%s dims=%s", src, self.dims)
         self._params = engine.put_params("speaker", params)
         rm.register_model("diarization", self.hbm_required_gb, self)
 

@@ -29,6 +29,9 @@ __all__ = [
     "SPEAKER_PRESETS",
     "init_speaker_encoder",
     "speaker_embed",
+    "speaker_dims_from_params",
+    "load_speaker_asset",
+    "resolve_speaker_params",
     "init_vad",
     "vad_scores",
 ]
@@ -45,6 +48,8 @@ class SpeakerDims:
 
 SPEAKER_PRESETS: dict[str, SpeakerDims] = {
     "titanet-jax": SpeakerDims(80, 512, 3, 192, 5),
+    #: the committed trained asset's shape (scripts/train_speaker.py)
+    "small": SpeakerDims(80, 128, 3, 128, 5),
     "test": SpeakerDims(80, 32, 2, 16, 3),
 }
 
@@ -111,6 +116,81 @@ def speaker_embed(
     stats = jnp.concatenate([mu, jnp.sqrt(var + 1e-6)], axis=-1)
     emb = linear(params["proj"], stats.astype(dtype), dtype).astype(jnp.float32)
     return emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-9)
+
+
+# -- trained-asset resolution ---------------------------------------------
+
+
+def speaker_dims_from_params(params: Params) -> SpeakerDims:
+    """Infer :class:`SpeakerDims` from a param tree's shapes (works for
+    both the small TDNN and converted ECAPA trees)."""
+    from audio_rag_tpu.models.ecapa import ecapa_emb_dim, is_ecapa_params
+
+    if is_ecapa_params(params):
+        k, n_mels, channels = params["frontend"]["conv"]["w"].shape
+        return SpeakerDims(int(n_mels), int(channels),
+                           len(params["layers"]), ecapa_emb_dim(params),
+                           int(k))
+    blocks = params["blocks"]
+    k, n_mels, channels = blocks[0]["conv"]["w"].shape
+    emb_dim = params["proj"]["w"].shape[1]
+    return SpeakerDims(int(n_mels), int(channels), len(blocks),
+                       int(emb_dim), int(k))
+
+
+def load_speaker_asset() -> tuple[SpeakerDims, Params] | None:
+    """The committed trained speaker encoder
+    (``assets/speaker_small.npz``, produced by
+    ``scripts/train_speaker.py``), or ``None`` when absent. The npz
+    stores the blocks list under string indices; rebuild the list."""
+    import pathlib
+
+    from audio_rag_tpu.checkpoint import load_npz_asset
+
+    path = (pathlib.Path(__file__).resolve().parents[1] / "assets"
+            / "speaker_small.npz")
+    tree = load_npz_asset(path)
+    if tree is None:
+        return None
+    blocks = tree["blocks"]
+    if isinstance(blocks, dict):
+        tree = dict(tree)
+        tree["blocks"] = [blocks[k] for k in
+                          sorted(blocks, key=lambda s: int(s))]
+    return speaker_dims_from_params(tree), tree
+
+
+def resolve_speaker_params(
+    checkpoint_path: str | None, dims: SpeakerDims,
+    allow_asset: bool = True,
+) -> tuple[SpeakerDims, Params, str]:
+    """Speaker-encoder weights by precedence: explicit converted
+    checkpoint (``convert_speaker``) → committed trained asset → random
+    init (with a loud warning — clustering on random embeddings is only
+    good for plumbing tests). Returns ``(dims, params, source)``; dims
+    follow the loaded weights, not the config preset, so the caller must
+    adopt them. ``allow_asset=False`` (the ``model="test"`` preset)
+    skips the asset so plumbing tests keep their tiny random encoder.
+    """
+    from audio_rag_tpu.utils.logging import get_logger
+
+    logger = get_logger(__name__)
+    if checkpoint_path:
+        from audio_rag_tpu.checkpoint import restore_params
+
+        params = restore_params(checkpoint_path, "speaker")
+        if params is not None:
+            return speaker_dims_from_params(params), params, "checkpoint"
+        logger.warning("speaker checkpoint missing at %s; falling back",
+                       checkpoint_path)
+    if allow_asset:
+        asset = load_speaker_asset()
+        if asset is not None:
+            return asset[0], asset[1], "asset"
+        logger.warning(
+            "no trained speaker encoder available - diarization will "
+            "cluster RANDOM-INIT embeddings (labels will be meaningless)")
+    return dims, init_speaker_encoder(jax.random.PRNGKey(0), dims), "random"
 
 
 # -- VAD -------------------------------------------------------------------
