@@ -214,11 +214,21 @@ class WhisperJaxASR(BaseASR):
             cap = min(cap, self.config.max_decode_tokens)
         return cap
 
-    def _program(self, batch: int, temperature: float = 0.0):
+    def _program(self, batch: int, temperature: float = 0.0,
+                 prompt_len: int = 4):
         engine = self._engine
         strategy = self.config.decode
         beam = self.config.beam_size
-        max_new = self._max_new()
+        # conditioned decode carries up to n_text_ctx/2−1 previous tokens
+        # in the prompt; new tokens shrink so prompt+decode fit the text
+        # context (whisper's own cap — faster-whisper does the same)
+        max_new = min(self._max_new(), self.dims.n_text_ctx - prompt_len)
+        # conditioning prompts (>16 tokens) skip the speculative path: its
+        # priming unrolls per prompt token (a 228-token prompt would be a
+        # thousands-of-blocks program through the minutes-per-program
+        # relay); plain greedy primes via the layer scan instead
+        speculative_k = (self.config.speculative_k
+                         if prompt_len <= 16 else 0)
 
         def build():
             @functools.partial(jax.jit, static_argnames=())
@@ -241,7 +251,7 @@ class WhisperJaxASR(BaseASR):
                     B = toks.shape[0]
                     return (toks, jnp.zeros((B,), jnp.float32),
                             jnp.zeros((B,), jnp.float32), enc)
-                if self.config.speculative_k > 0 and temperature <= 0.0:
+                if speculative_k > 0 and temperature <= 0.0:
                     # n-gram-drafted block verification: exactly greedy's
                     # output, ≥1 token per weight/cross-KV read
                     from audio_rag_tpu.models.whisper import (
@@ -251,7 +261,7 @@ class WhisperJaxASR(BaseASR):
                     toks, lp, nsp = speculative_greedy_decode(
                         params, self.dims, enc, prompt, max_new,
                         self.tokens.eot,
-                        spec_k=self.config.speculative_k,
+                        spec_k=speculative_k,
                         dtype=self.dtype,
                         no_speech_id=self.tokens.no_speech,
                         cross_kv_quantize=bool(self._cross_kv_bits),
@@ -283,7 +293,7 @@ class WhisperJaxASR(BaseASR):
             ("whisper", "transcribe", self.config.model_size, strategy,
              batch, temperature,
              max_new, self._cross_kv_bits,
-             self._decoder_qbits, self.config.speculative_k), build
+             self._decoder_qbits, speculative_k, prompt_len), build
         )
 
     def _mel_for_batch(self, win: np.ndarray, contiguous: bool) -> jax.Array:
@@ -402,6 +412,19 @@ class WhisperJaxASR(BaseASR):
             log.info("detected language %s (p=%.2f)", lang, prob)
         else:
             lang = "en"
+
+        if self.config.condition_on_previous_text:
+            # faster-whisper's default conditioning chains each window's
+            # prompt on the previous window's output — inherently
+            # sequential, so the window batch degrades to 1. Parity mode,
+            # not the speed profile (docs/PERFORMANCE.md).
+            segments = self._transcribe_conditioned(
+                windows, lang, lang_offset, want_words=word_timestamps)
+            if word_timestamps:
+                for seg in segments:
+                    if not seg.words:
+                        seg.words = _interpolate_words(seg)
+            return segments
 
         segments: list[TranscriptSegment] = []
         bs = self.config.window_batch_size
@@ -661,16 +684,88 @@ class WhisperJaxASR(BaseASR):
         return [int(v) for v in np.asarray(lang)[:R]]
 
     # -- internals ---------------------------------------------------------
+    def _prompt_buckets(self) -> list[int]:
+        """Allowed previous-context lengths. Static shapes mean every
+        distinct prompt length is a distinct compiled program, so the
+        context truncates DOWN to one of these instead of using its exact
+        length (faster-whisper uses exact lengths; the deviation is only
+        in how much context conditions the window, never in its
+        content). Steady state on real speech accumulates > cap tokens
+        within a window or two, so the full-cap bucket — exact
+        faster-whisper semantics — dominates."""
+        cap = self.dims.n_text_ctx // 2 - 1  # faster-whisper's prompt cap
+        return sorted({b for b in (4, 8, 16, 32, 64, 128, cap) if b <= cap})
+
+    def _transcribe_conditioned(
+        self, windows: list[tuple[float, np.ndarray]],
+        lang: str, lang_offset: int, want_words: bool,
+    ) -> list[TranscriptSegment]:
+        """faster-whisper's ``condition_on_previous_text`` semantics
+        (openai/whisper ``transcribe()`` — the default the reference
+        inherits at ``asr/whisper.py:120-126``):
+
+        * each window's prompt = ``<|startofprev|>`` + the accumulated
+          decoded tokens since the last reset (truncated to the last
+          n_text_ctx/2−1, here bucketed — see :meth:`_prompt_buckets`)
+          + the normal SOT sequence;
+        * every window's decoded tokens (text + timestamp) append to the
+          history;
+        * a window whose final decode temperature exceeds
+          ``prompt_reset_on_temperature`` RESETS the history — the next
+          window starts unconditioned (a low-quality window must not
+          poison the following prompt).
+
+        Windows decode sequentially (window k's prompt needs k−1's
+        output) — the reference pays the same serialization inside
+        CTranslate2; our batched unconditioned mode is the speed
+        profile. Long prompts prime through the decoder layer scan, not
+        per-token unrolling (models/whisper.py greedy_decode long-prompt
+        path), so the compiled-program set stays small.
+        """
+        cap = self.dims.n_text_ctx // 2 - 1
+        buckets = self._prompt_buckets()
+        history: list[int] = []
+        reset_since = 0
+        segments: list[TranscriptSegment] = []
+        for t0, seg in windows:
+            prev = history[reset_since:][-cap:]
+            prev_ids: list[int] | None = None
+            if prev:
+                b = max((b for b in buckets if b <= len(prev)),
+                        default=None)
+                if b:
+                    prev_ids = prev[-b:]
+            per_window, meta = self._transcribe_batch(
+                [(t0, seg)], lang, want_words=want_words,
+                lang_offset=lang_offset, prev_ids=prev_ids,
+                return_meta=True,
+            )
+            segments.extend(per_window[0])
+            history.extend(meta["clean_ids"][0])
+            if float(meta["final_temp"][0]) > \
+                    self.config.prompt_reset_on_temperature:
+                reset_since = len(history)
+        return segments
+
     def _transcribe_batch(
         self, windows: list[tuple[float, np.ndarray]],
         lang: str | list[str],
         want_words: bool = False, lang_offset: int | list[int] = 0,
         pad_to: int | None = None, grouped: bool = False,
-    ) -> list[TranscriptSegment] | list[list[TranscriptSegment]]:
+        prev_ids: list[int] | None = None,
+        return_meta: bool = False,
+    ) -> Any:
         """``lang``/``lang_offset`` may be per-row lists (muxed chunk
         batches: concurrent sessions can speak different languages; the
         prompt is a runtime array, so per-row language tokens reuse the
-        same compiled program)."""
+        same compiled program).
+
+        ``prev_ids`` (single-window conditioned mode only) prepends
+        ``<|startofprev|> + prev_ids`` to the SOT sequence — the
+        faster-whisper conditioning prompt. ``return_meta`` additionally
+        returns ``{"clean_ids", "final_temp"}`` so the conditioned
+        caller can maintain its token history and apply the
+        reset-on-temperature rule."""
         n_real = len(windows)
         langs = lang if isinstance(lang, list) else [lang] * n_real
         offsets = (lang_offset if isinstance(lang_offset, list)
@@ -699,17 +794,18 @@ class WhisperJaxASR(BaseASR):
         mel_batch = self._mel_for_batch(win, contiguous)
 
         st = self.tokens
-        prompt = np.tile(
-            np.array(
-                [[st.sot, st.lang_base, st.transcribe, st.no_timestamps]],
-                np.int32,
-            ),
-            (B, 1),
-        )
+        sot_seq = [st.sot, st.lang_base, st.transcribe, st.no_timestamps]
+        if prev_ids:
+            assert B == 1, "conditioned prompts run single-window"
+            prompt = np.array([[st.sot_prev, *prev_ids, *sot_seq]],
+                              np.int32)
+        else:
+            prompt = np.tile(np.array([sot_seq], np.int32), (B, 1))
+        P = prompt.shape[1]
         for j in range(n_real):  # per-row language tokens (pad rows: en)
-            prompt[j, 1] = st.lang_base + offsets[j]
+            prompt[j, P - 3] = st.lang_base + offsets[j]
         mel_j, prompt_j = self._place_batch(mel_batch, prompt)
-        out = self._program(B)(self._params, mel_j, prompt_j)
+        out = self._program(B, prompt_len=P)(self._params, mel_j, prompt_j)
         tokens = np.array(out[0])  # writable copies (fallback ladder mutates)
         avg_lp = np.array(out[1])
         no_speech = np.asarray(out[2])
@@ -726,19 +822,22 @@ class WhisperJaxASR(BaseASR):
         # behavior) instead of being stuck with a confident repetition. The
         # full batch reruns (static shapes); only failing rows update, and
         # rows that pass leave the ladder.
+        final_temp = np.zeros(B, np.float32)
         if self.config.temperature_fallback and self.config.decode == "greedy":
-            failed = self._gates_failed(tokens, avg_lp)
+            failed = self._gates_failed(tokens, avg_lp, prompt_len=P)
             for temp in self.config.fallback_temperatures:
                 if not failed.any():
                     break
-                out_t = self._program(B, float(temp))(
+                out_t = self._program(B, float(temp), prompt_len=P)(
                     self._params, mel_j, prompt_j
                 )
                 t_tokens = np.asarray(out_t[0])
                 t_lp = np.asarray(out_t[1])
                 tokens[failed] = t_tokens[failed]
                 avg_lp[failed] = t_lp[failed]
-                failed = failed & self._gates_failed(tokens, avg_lp)
+                final_temp[failed] = temp
+                failed = failed & self._gates_failed(tokens, avg_lp,
+                                                     prompt_len=P)
 
         # no-speech gate: Whisper drops windows where p(no_speech) is high
         # AND the transcript is low-confidence
@@ -755,7 +854,7 @@ class WhisperJaxASR(BaseASR):
                 # pad rows keep an empty token list (length-B lists keep the
                 # align program's shapes, but junk decodes of the silent pad
                 # rows must not inflate the pow-2 token bucket)
-                ids = self._strip_special(tokens[j]) if j < n_real else []
+                ids = self._strip_special(tokens[j], P) if j < n_real else []
                 clean_per_window.append(
                     [i for i in ids if i < self.tokens.timestamp_base]
                 )
@@ -764,20 +863,26 @@ class WhisperJaxASR(BaseASR):
             )
 
         per_window: list[list[TranscriptSegment]] = []
+        clean_ids_out: list[list[int]] = []
         for j, (t0, seg_audio) in enumerate(windows):
+            text_ids = self._strip_special(tokens[j], P)
+            clean_ids_out.append([] if silent[j] else text_ids)
             if silent[j]:
                 per_window.append([])  # whisper's no-speech gate
                 continue
             dur = len(seg_audio) / SAMPLE_RATE
-            text_ids = self._strip_special(tokens[j])
             segs = self._tokens_to_segments(text_ids, t0, dur, langs[j])
             for s in segs:
                 s.avg_logprob = round(float(avg_lp[j]), 4)
             if want_words and window_weights is not None and segs:
                 self._apply_word_times(
-                    segs, window_weights[j], clean_per_window[j], dur, t0
+                    segs, window_weights[j], clean_per_window[j], dur, t0,
+                    prompt_len=P,
                 )
             per_window.append(segs)
+        if return_meta:
+            meta = {"clean_ids": clean_ids_out, "final_temp": final_temp}
+            return per_window, meta
         if grouped:
             return per_window
         return [s for segs in per_window for s in segs]
@@ -843,12 +948,13 @@ class WhisperJaxASR(BaseASR):
     def _apply_word_times(
         self, segs: list[TranscriptSegment], weights: np.ndarray,
         clean_ids: list[int], dur: float, t0: float,
+        prompt_len: int = 4,
     ) -> None:
         from audio_rag_tpu.asr.word_timing import attention_to_word_times
 
         if not clean_ids:
             return
-        P = 4  # prompt length
+        P = prompt_len
         # token → word map: with the id-map fallback every token is a word;
         # HF tokenizers start a word at a leading-space piece
         token_word = self._token_word_map(clean_ids)
@@ -884,8 +990,8 @@ class WhisperJaxASR(BaseASR):
             return out
         return list(range(len(ids)))  # fallback: token == word
 
-    def _gates_failed(self, tokens: np.ndarray, avg_lp: np.ndarray
-                      ) -> np.ndarray:
+    def _gates_failed(self, tokens: np.ndarray, avg_lp: np.ndarray,
+                      prompt_len: int = 4) -> np.ndarray:
         """Per-window bool mask: True where a quality gate trips
         (low avg logprob OR repetition-loop compression ratio)."""
         failed = avg_lp < self.config.logprob_threshold
@@ -895,24 +1001,26 @@ class WhisperJaxASR(BaseASR):
                 if failed[j]:
                     continue
                 text = self._tokenizer([
-                    i for i in self._strip_special(tokens[j])
+                    i for i in self._strip_special(tokens[j], prompt_len)
                     if i < self.tokens.timestamp_base
                 ])
                 if _compression_ratio(text) > thr:
                     failed[j] = True
         return failed
 
-    def _strip_special(self, ids: np.ndarray) -> list[int]:
+    def _strip_special(self, ids: np.ndarray,
+                       prompt_len: int = 4) -> list[int]:
         """Drop the prompt and control tokens; keep text + timestamp tokens.
 
         Control ids occupy [eot, timestamp_base); timestamp tokens are
         >= timestamp_base (kept — they delimit segments); everything else
         is text. Holds for both the real vocab (controls 50257+) and the
-        test preset (controls 0..6).
+        test preset (controls 0..6). ``prompt_len`` covers conditioned
+        prompts (``<|startofprev|>`` + previous tokens + SOT sequence).
         """
         st = self.tokens
         keep: list[int] = []
-        for i in ids.tolist()[4:]:  # skip SOT/lang/task/no-ts prompt
+        for i in ids.tolist()[prompt_len:]:  # skip the prompt
             if i == st.eot:
                 break
             if st.eot <= i < st.timestamp_base:

@@ -70,6 +70,25 @@ class ASRConfig(BaseModel):
     #: than 2.4× signals a repetition loop → retry at higher temperature)
     compression_ratio_threshold: float = 2.4
     no_speech_threshold: float = Field(default=0.6, ge=0.0, le=1.0)
+    #: faster-whisper's default decode conditioning (reference
+    #: ``asr/whisper.py:120-126`` inherits it): each 30 s window's prompt
+    #: carries the previous windows' decoded tokens (``<|startofprev|>``
+    #: + up to n_text_ctx/2−1 of them), improving cross-window
+    #: consistency on real weights. OFF by default here because it
+    #: chains windows — window k's prompt needs window k−1's output — so
+    #: the window batch serializes to 1 and RTF rises ~an order of
+    #: magnitude (measured in docs/PERFORMANCE.md "Conditioned decode");
+    #: set True for transcript parity with the reference's defaults.
+    #: Previous-token context truncates DOWN to a small bucket set
+    #: (¼/½/full of the cap) so the compiled-program set stays bounded —
+    #: steady state on real speech uses the full-cap bucket, matching
+    #: faster-whisper exactly.
+    condition_on_previous_text: bool = False
+    #: reset the conditioning history after any window that needed a
+    #: fallback temperature above this (faster-whisper's
+    #: ``prompt_reset_on_temperature``): a low-quality window must not
+    #: poison the next window's prompt
+    prompt_reset_on_temperature: float = Field(default=0.5, ge=0.0)
     #: batch 30s windows together instead of sequential decode
     window_batch_size: int = Field(default=8, ge=1)
     #: compute each time-CONTIGUOUS window batch's mel as ONE time-axis-

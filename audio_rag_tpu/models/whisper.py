@@ -101,6 +101,7 @@ class SpecialTokens:
     lang_base: int = 50259  # <|en|> = lang_base
     translate: int = 50358
     transcribe: int = 50359
+    sot_prev: int = 50361  # <|startofprev|>: conditioning-prompt prefix
     no_speech: int = 50362
     no_timestamps: int = 50363
     timestamp_base: int = 50364
@@ -110,15 +111,15 @@ class SpecialTokens:
         if dims.n_vocab == 51866:  # large-v3 adds <|yue|>, shifting post-lang ids
             return cls(
                 eot=50257, sot=50258, lang_base=50259, translate=50359,
-                transcribe=50360, no_speech=50363, no_timestamps=50364,
-                timestamp_base=50365,
+                transcribe=50360, sot_prev=50362, no_speech=50363,
+                no_timestamps=50364, timestamp_base=50365,
             )
         if dims.n_vocab < 51865:  # test vocab: specials at the top, like real
             v = dims.n_vocab
             return cls(
                 eot=v - 8, sot=v - 7, lang_base=v - 6, translate=v - 5,
-                transcribe=v - 4, no_speech=v - 3, no_timestamps=v - 2,
-                timestamp_base=v - 1,
+                transcribe=v - 4, sot_prev=v - 9, no_speech=v - 3,
+                no_timestamps=v - 2, timestamp_base=v - 1,
             )
         return cls()
 
