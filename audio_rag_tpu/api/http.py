@@ -33,6 +33,15 @@ MAX_HEADER_BYTES = 64 * 1024
 DEFAULT_MAX_BODY = 600 * 1024 * 1024
 WS_MAGIC = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 
+# -- abuse bounds (uvicorn gives the reference these for free; a
+# first-party server must enforce them itself or a single slowloris
+# client pins an asyncio task forever) ------------------------------------
+DEFAULT_HEADER_TIMEOUT = 10.0    # s to receive the full request head
+DEFAULT_BODY_TIMEOUT = 300.0     # s to receive the body (500 MB uploads)
+DEFAULT_WS_IDLE_TIMEOUT = 300.0  # s between WS frames (pings reset it)
+DEFAULT_MAX_CONNECTIONS = 256    # concurrent connections before 503 shed
+DEFAULT_MAX_WS_FRAME = 16 * 1024 * 1024  # bytes; larger frames → 1009
+
 
 class HTTPError(Exception):
     def __init__(self, status: int, detail: str = "",
@@ -128,37 +137,62 @@ def _compile(pattern: str) -> re.Pattern:
     return re.compile(f"^{regex}/?$")
 
 
+class _FrameTooBig(Exception):
+    pass
+
+
 class WebSocket:
-    """Server-side RFC6455 connection (post-handshake)."""
+    """Server-side RFC6455 connection (post-handshake).
+
+    ``idle_timeout`` bounds the wait for each frame (a half-sent frame
+    header counts — truncated-frame stalls close the same way); pings
+    reset it. ``max_frame_bytes`` rejects frames whose declared length
+    exceeds the cap with close code 1009 before buffering anything.
+    """
 
     def __init__(self, reader: asyncio.StreamReader,
-                 writer: asyncio.StreamWriter):
+                 writer: asyncio.StreamWriter,
+                 idle_timeout: float | None = DEFAULT_WS_IDLE_TIMEOUT,
+                 max_frame_bytes: int = DEFAULT_MAX_WS_FRAME):
         self._r = reader
         self._w = writer
         self.closed = False
+        self.idle_timeout = idle_timeout
+        self.max_frame_bytes = max_frame_bytes
+
+    async def _read_frame(self) -> tuple[int, bytes]:
+        hdr = await self._r.readexactly(2)
+        fin_op, mask_len = hdr
+        opcode = fin_op & 0x0F
+        masked = mask_len & 0x80
+        length = mask_len & 0x7F
+        if length == 126:
+            (length,) = struct.unpack(">H", await self._r.readexactly(2))
+        elif length == 127:
+            (length,) = struct.unpack(">Q", await self._r.readexactly(8))
+        if length > self.max_frame_bytes:
+            raise _FrameTooBig
+        mask = await self._r.readexactly(4) if masked else b"\x00" * 4
+        payload = await self._r.readexactly(length) if length else b""
+        if masked:
+            payload = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+        return opcode, payload
 
     async def recv(self) -> tuple[str, Any] | None:
         """Returns ("text", str) | ("bytes", bytes) | None on close."""
         while True:
             try:
-                hdr = await self._r.readexactly(2)
+                opcode, payload = await asyncio.wait_for(
+                    self._read_frame(), self.idle_timeout)
+            except (asyncio.TimeoutError, TimeoutError):
+                await self.close(1001)  # idle/stalled client: going away
+                return None
+            except _FrameTooBig:
+                await self.close(1009)  # message too big
+                return None
             except (asyncio.IncompleteReadError, ConnectionError):
                 self.closed = True
                 return None
-            fin_op, mask_len = hdr
-            opcode = fin_op & 0x0F
-            masked = mask_len & 0x80
-            length = mask_len & 0x7F
-            if length == 126:
-                (length,) = struct.unpack(">H", await self._r.readexactly(2))
-            elif length == 127:
-                (length,) = struct.unpack(">Q", await self._r.readexactly(8))
-            mask = await self._r.readexactly(4) if masked else b"\x00" * 4
-            payload = await self._r.readexactly(length) if length else b""
-            if masked:
-                payload = bytes(
-                    b ^ mask[i % 4] for i, b in enumerate(payload)
-                )
             if opcode == 0x8:  # close
                 await self.close()
                 return None
@@ -217,13 +251,23 @@ WSHandler = Callable[[Request, WebSocket], Awaitable[None]]
 
 class App:
     def __init__(self, max_body_bytes: int = DEFAULT_MAX_BODY,
-                 upload_dir: str | None = None):
+                 upload_dir: str | None = None,
+                 header_timeout: float | None = DEFAULT_HEADER_TIMEOUT,
+                 body_timeout: float | None = DEFAULT_BODY_TIMEOUT,
+                 ws_idle_timeout: float | None = DEFAULT_WS_IDLE_TIMEOUT,
+                 max_connections: int = DEFAULT_MAX_CONNECTIONS,
+                 max_ws_frame_bytes: int = DEFAULT_MAX_WS_FRAME):
         self._routes: list[tuple[str, re.Pattern, Handler, str]] = []
         self._ws_routes: list[tuple[re.Pattern, WSHandler]] = []
         self._middleware: list[Middleware] = []
         self._error_handlers: dict[type, Callable] = {}
         self.max_body_bytes = max_body_bytes
         self.upload_dir = upload_dir
+        self.header_timeout = header_timeout
+        self.body_timeout = body_timeout
+        self.ws_idle_timeout = ws_idle_timeout
+        self.max_ws_frame_bytes = max_ws_frame_bytes
+        self._conn_sema = asyncio.Semaphore(max_connections)
         self.state: dict[str, Any] = {}
         self._on_startup: list[Callable[[], Awaitable[None]]] = []
         self._on_shutdown: list[Callable[[], Awaitable[None]]] = []
@@ -318,9 +362,16 @@ class App:
         self, reader: asyncio.StreamReader
     ) -> Request | None:
         try:
-            head = await reader.readuntil(b"\r\n\r\n")
-        except (asyncio.IncompleteReadError, asyncio.LimitOverrunError,
-                ConnectionError):
+            # wait_for bounds a slowloris client drip-feeding header
+            # bytes; the stream limit (serve() passes MAX_HEADER_BYTES)
+            # bounds oversized heads with LimitOverrunError
+            head = await asyncio.wait_for(
+                reader.readuntil(b"\r\n\r\n"), self.header_timeout)
+        except (asyncio.TimeoutError, TimeoutError):
+            raise HTTPError(408, "timed out reading request head") from None
+        except asyncio.LimitOverrunError:
+            raise HTTPError(431, "headers too large") from None
+        except (asyncio.IncompleteReadError, ConnectionError):
             return None
         if len(head) > MAX_HEADER_BYTES:
             raise HTTPError(431, "headers too large")
@@ -344,10 +395,19 @@ class App:
                       query=query, headers=headers)
 
         ctype = headers.get("content-type", "")
-        if ctype.startswith("multipart/form-data"):
-            await self._read_multipart(reader, req, ctype, length)
-        elif length:
-            req.body = await reader.readexactly(length)
+        try:
+            if ctype.startswith("multipart/form-data"):
+                await asyncio.wait_for(
+                    self._read_multipart(reader, req, ctype, length),
+                    self.body_timeout)
+            elif length:
+                req.body = await asyncio.wait_for(
+                    reader.readexactly(length), self.body_timeout)
+        except (asyncio.TimeoutError, TimeoutError):
+            raise HTTPError(408, "timed out reading request body") from None
+        except asyncio.IncompleteReadError:
+            # client hung up mid-body: nobody is listening for a reply
+            return None
         return req
 
     async def _read_multipart(
@@ -454,6 +514,26 @@ class App:
     async def _handle_conn(
         self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter
     ) -> None:
+        if self._conn_sema.locked():
+            # at the cap: shed immediately instead of queueing behind
+            # (possibly deliberately) slow connections
+            try:
+                writer.write(Response.json(
+                    {"error": "too many connections"}, 503,
+                    {"retry-after": "1"},
+                ).encode())
+                await writer.drain()
+            except Exception:
+                pass
+            finally:
+                writer.close()
+            return
+        async with self._conn_sema:
+            await self._handle_conn_inner(reader, writer)
+
+    async def _handle_conn_inner(
+        self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter
+    ) -> None:
         try:
             try:
                 req = await self._read_request(reader)
@@ -508,7 +588,9 @@ class App:
             + f"sec-websocket-accept: {accept}\r\n\r\n".encode()
         )
         await writer.drain()
-        ws = WebSocket(reader, writer)
+        ws = WebSocket(reader, writer,
+                       idle_timeout=self.ws_idle_timeout,
+                       max_frame_bytes=self.max_ws_frame_bytes)
         try:
             await handler(req, ws)
         except ConnectionError:

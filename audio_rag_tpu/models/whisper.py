@@ -356,37 +356,48 @@ def precompute_cross_kv(
         v = v.reshape(B, Ta, dims.n_text_head, head_dim).transpose(0, 2, 1, 3)
         return k, v
 
-    ck, cv = jax.vmap(per_layer)(params["decoder"]["blocks"])
     if not quantize:
-        return ck, cv
+        return jax.vmap(per_layer)(params["decoder"]["blocks"])
     if bits not in (8, 4):
         raise ValueError(f"cross-KV bits must be 8 or 4, got {bits}")
 
+    # single-layer quantizers on (B, H, Ta, D); element math identical to
+    # the old stacked form
     def quant(x):
-        amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(3, 4),
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(2, 3),
                        keepdims=True)
         scale = jnp.maximum(amax, 1e-9) / 127.0
         q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
                      -127, 127).astype(jnp.int8)
-        # TRANSPOSE to (L, B, H, head_dim, Ta): int8 min tile is (32, 128),
+        # TRANSPOSE to (B, H, head_dim, Ta): int8 min tile is (32, 128),
         # so the long time axis must be the lane dimension for the Pallas
         # decode kernel (ops/pallas_kernels.decode_cross_attention_q8)
-        return q.transpose(0, 1, 2, 4, 3), scale
+        return q.transpose(0, 1, 3, 2), scale
 
-    def quant4(x):  # x (L, B, H, Ta, D)
+    def quant4(x):  # x (B, H, Ta, D)
         xf = x.astype(jnp.float32)
-        amax = jnp.max(jnp.abs(xf), axis=3, keepdims=True)  # (L,B,H,1,D)
+        amax = jnp.max(jnp.abs(xf), axis=2, keepdims=True)  # (B,H,1,D)
         scale = jnp.maximum(amax, 1e-9) / 7.0
         q = jnp.clip(jnp.round(xf / scale), -7, 7).astype(jnp.int8)
-        qt = q.transpose(0, 1, 2, 4, 3)  # (L, B, H, D, Ta)
+        qt = q.transpose(0, 1, 3, 2)  # (B, H, D, Ta)
         half = head_dim // 2
-        packed = (qt[:, :, :, :half] & jnp.int8(0x0F)) \
-            | (qt[:, :, :, half:] << 4)
+        packed = (qt[:, :, :half] & jnp.int8(0x0F)) | (qt[:, :, half:] << 4)
         return packed.astype(jnp.int8), scale
 
     qfn = quant if bits == 8 else quant4
-    k_q, k_s = qfn(ck)
-    v_q, v_s = qfn(cv)
+
+    # quantize layer-BY-layer (lax.map = scan): the stacked bf16 K/V and
+    # the fp32 quantization intermediates never materialize across all L
+    # layers at once. The old vmapped form's fp32 temps were 2×7.3 GB at
+    # window batch 32 on large-v3 — THE wb32 OOM, not the resident cache
+    # (the int8 cache itself is 3.9 GB). Per-layer temps are 1/L of that;
+    # same FLOPs, one-time cost before the decode loop.
+    def per_layer_q(p):
+        k, v = per_layer(p)
+        return qfn(k), qfn(v)
+
+    (k_q, k_s), (v_q, v_s) = jax.lax.map(
+        per_layer_q, params["decoder"]["blocks"])
     return k_q, v_q, k_s, v_s
 
 
