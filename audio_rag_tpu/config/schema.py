@@ -343,6 +343,14 @@ class GenerationConfig(BaseModel):
     #: precedence over ``decoder_int8``. Larger quantization error than
     #: int8 (zero-egress: unvalidated on real weights).
     decoder_int4: bool = False
+    #: MIXED profile: with ``decoder_int8``, int4-quantize ONLY the
+    #: vocab projection (group-wise ``matmul_q4w``) — the one matmul
+    #: where the on-chip table shows int4 beating int8 (its dout≈128k
+    #: amortizes the in-VMEM unpack; the head is ~22 % of 1b's weight
+    #: bytes). Ignored when ``decoder_int4`` already makes everything
+    #: int4 or when no decoder quantization is on. Measured A/B in
+    #: docs/PERFORMANCE.md "LLM serving".
+    lm_head_int4: bool = False
     #: speculative multi-token greedy decode for the wave path (same
     #: mechanism as ``ASRConfig.speculative_k``): n-gram prompt-lookup
     #: drafts verified in one teacher-forced block step — exact greedy

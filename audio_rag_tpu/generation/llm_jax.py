@@ -47,16 +47,20 @@ class LLMGenerator(BaseGenerator):
             else "llama-3.2-3b"
         self.dims: LLMDims = LLM_PRESETS[name]
         self.hbm_required_gb = HBM_BY_MODEL.get(name, 7.0)
-        # decode-loop weight quantization width: int4 > int8 > off
+        # decode-loop weight quantization width: int4 > int8 > off;
+        # lm_head_int4 narrows just the vocab projection (mixed profile)
         self._decoder_qbits = 4 if self.config.decoder_int4 else (
             8 if self.config.decoder_int8 else 0)
+        self._lm_head_bits = 4 if (
+            self._decoder_qbits and getattr(self.config, "lm_head_int4",
+                                            False)) else None
         if self._decoder_qbits:
             # quantized weight copies coexist with the bf16 params —
             # account for them so the ResourceManager budget stays honest
             from audio_rag_tpu.models.llm import q8_param_bytes
 
             self.hbm_required_gb += q8_param_bytes(
-                self.dims, self._decoder_qbits) / 1e9
+                self.dims, self._decoder_qbits, self._lm_head_bits) / 1e9
         self._params = None
         self._params_q8 = None
         self._tok = None
@@ -133,8 +137,10 @@ class LLMGenerator(BaseGenerator):
             # one-time int8/int4 of the decode-loop matmuls
             # (per-layer buffers; see quantize_llm_weights)
             bits = self._decoder_qbits
+            lm_bits = self._lm_head_bits
             self._params_q8 = jax.jit(
-                lambda p: quantize_llm_weights(p, self.dims, bits)
+                lambda p: quantize_llm_weights(p, self.dims, bits,
+                                               lm_head_bits=lm_bits)
             )(self._params)
         self._tok = get_tokenizer(self.config.checkpoint_path,
                                   vocab_size=self.dims.vocab)

@@ -294,7 +294,8 @@ def _rope_tables(dims: LLMDims, head_dim: int):
 
 
 def quantize_llm_weights(params: Params, dims: LLMDims,
-                         bits: int = 8) -> Params:
+                         bits: int = 8,
+                         lm_head_bits: int | None = None) -> Params:
     """Per-out-channel int8 (``bits=8``) or group-wise int4 (``bits=4``)
     of every weight matrix the decode loop re-reads each token (attention
     + swiglu linears and the lm_head — ≈2.5 GB/step bf16 on
@@ -318,9 +319,21 @@ def quantize_llm_weights(params: Params, dims: LLMDims,
     output column sees the same quantized weights, scales, and f32
     accumulation order over din — so this concatenates the
     individually-quantized matrices.
+
+    ``lm_head_bits`` overrides ``bits`` for the vocab projection only —
+    the MIXED profile the on-chip per-matmul table supports
+    (docs/PERFORMANCE.md "int4 decode paths"): int4's in-VMEM unpack
+    loses to int8 at every decode matmul shape EXCEPT the very wide
+    vocab projection (dout≈128k amortizes it), and the 128k-row head is
+    ~22 % of llama-3.2-1b's weight bytes. ``linear_q8`` dispatches per
+    matrix by key (``w8``/``w4``), so mixing needs no decode-path
+    changes.
     """
     if bits not in (8, 4):
         raise ValueError(f"bits must be 8 or 4, got {bits}")
+    lm_bits = lm_head_bits if lm_head_bits is not None else bits
+    if lm_bits not in (8, 4):
+        raise ValueError(f"lm_head_bits must be 8 or 4, got {lm_bits}")
     quant = quantize_linear if bits == 8 else quantize_linear_q4
     wkey = "w8" if bits == 8 else "w4"
     saxis = 0 if bits == 8 else 1  # int8: (dout,); int4: (din/G, dout)
@@ -343,27 +356,33 @@ def quantize_llm_weights(params: Params, dims: LLMDims,
             "mlp_gateup": qcat(p["mlp"]["gate"], p["mlp"]["up"]),
             "mlp_down": q(p["mlp"]["down"]),
         })
-    return {"blocks": blocks, "lm_head": q(params["lm_head"])}
+    head_quant = quantize_linear if lm_bits == 8 else quantize_linear_q4
+    return {"blocks": blocks, "lm_head": head_quant(params["lm_head"]["w"])}
 
 
-def q8_param_bytes(dims: LLMDims, bits: int = 8) -> int:
+def q8_param_bytes(dims: LLMDims, bits: int = 8,
+                   lm_head_bits: int | None = None) -> int:
     """HBM bytes of the :func:`quantize_llm_weights` copies (int8/int4
     weights + fp32 scales: per-out-channel at 8 bits, per-(din-group,
     out-channel) at 4). They coexist with the bf16 params, so generator
     backends add this to hbm_required_gb when ``decoder_int8``/``_int4``
     is on (~1.2 GB for llama-3.2-1b int8, ~0.7 GB int4)."""
+    def bytes_for(mats, b):
+        w = sum(din * dout for din, dout in mats)
+        if b == 8:
+            return w + 4 * sum(dout for _, dout in mats)
+        from audio_rag_tpu.ops.pallas_kernels import q4_group
+
+        scales = sum((din // q4_group(din)) * dout for din, dout in mats)
+        return w // 2 + 4 * scales
+
     d = dims.d_model
     kv_d = dims.n_kv_heads * (d // dims.n_heads)
-    mats = [(d, d + 2 * kv_d), (d, d), (d, 2 * dims.d_ff),
-            (dims.d_ff, d)] * dims.n_layers + [(d, dims.vocab)]
-    w = sum(din * dout for din, dout in mats)
-    if bits == 8:
-        scales = sum(dout for _, dout in mats)
-        return w + 4 * scales
-    from audio_rag_tpu.ops.pallas_kernels import q4_group
-
-    scales = sum((din // q4_group(din)) * dout for din, dout in mats)
-    return w // 2 + 4 * scales
+    block_mats = [(d, d + 2 * kv_d), (d, d), (d, 2 * dims.d_ff),
+                  (dims.d_ff, d)] * dims.n_layers
+    lm_bits = lm_head_bits if lm_head_bits is not None else bits
+    return bytes_for(block_mats, bits) + \
+        bytes_for([(d, dims.vocab)], lm_bits)
 
 
 def llm_decode_step(

@@ -37,6 +37,8 @@ def main() -> None:
 
     decoder_int8 = os.environ.get("BENCH_DECODER_INT8", "0") == "1"
     decoder_int4 = os.environ.get("BENCH_DECODER_INT4", "0") == "1"
+    # mixed profile: int8 everywhere + int4 on the 128k-vocab projection
+    lm_head_int4 = os.environ.get("BENCH_LM_HEAD_INT4", "0") == "1"
     #: speculative block decode for the wave path (0 = off). Random-init
     #: greedy decode settles into repetition loops, which the n-gram
     #: drafter accepts at a high rate — an upper-bound-ish acceptance
@@ -47,7 +49,7 @@ def main() -> None:
     gen = LLMGenerator(GenerationConfig(
         model=model, temperature=0.0, use_scheduler=False,
         decoder_int8=decoder_int8, decoder_int4=decoder_int4,
-        speculative_k=spec_k,
+        lm_head_int4=lm_head_int4, speculative_k=spec_k,
     ))
     gen.load()
     prompts = [

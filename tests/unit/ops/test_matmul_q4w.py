@@ -295,6 +295,100 @@ class TestLLMInt4Decode:
             np.concatenate([np.asarray(e["s"]) for e in parts], axis=1))
 
 
+class TestMixedLMHeadProfile:
+    """int8 blocks + int4 lm_head (``lm_head_int4`` — the one matmul
+    where the on-chip table shows int4 winning)."""
+
+    def test_mixed_tree_shapes_and_bytes(self):
+        from audio_rag_tpu.models.llm import (
+            LLM_PRESETS,
+            init_llm,
+            q8_param_bytes,
+            quantize_llm_weights,
+        )
+
+        ld = LLM_PRESETS["test"]
+        params = init_llm(jax.random.PRNGKey(0), ld)
+        qm = quantize_llm_weights(params, ld, bits=8, lm_head_bits=4)
+        assert "w8" in qm["blocks"][0]["attn_qkv"]
+        assert "w4" in qm["lm_head"]
+        tree_bytes = sum(a.size * a.dtype.itemsize
+                         for a in jax.tree.leaves(qm))
+        assert q8_param_bytes(ld, 8, 4) == tree_bytes
+        # plain profiles unchanged by the refactor
+        for bits in (8, 4):
+            q = quantize_llm_weights(params, ld, bits=bits)
+            tb = sum(a.size * a.dtype.itemsize for a in jax.tree.leaves(q))
+            assert q8_param_bytes(ld, bits) == tb
+
+    def test_mixed_decode_matches_pure_profiles_componentwise(self):
+        """The mixed tree's blocks are EXACTLY the int8 tree's blocks and
+        its head EXACTLY the int4 tree's head — so mixed decode equals
+        int8 decode with only the head swapped."""
+        from audio_rag_tpu.models.llm import (
+            LLM_PRESETS,
+            init_llm,
+            llm_decode_step,
+            quantize_llm_weights,
+        )
+
+        ld = LLM_PRESETS["test"]
+        params = init_llm(jax.random.PRNGKey(0), ld)
+        # int4-grid-project the head so its int4 quantization is exact
+        # (random tiny weights otherwise carry ~35% real int4 noise and
+        # the numeric bound below would have to be uselessly loose)
+        params["lm_head"]["w"] = _rep(params["lm_head"]["w"])
+        q8 = quantize_llm_weights(params, ld, bits=8)
+        q4 = quantize_llm_weights(params, ld, bits=4)
+        qm = quantize_llm_weights(params, ld, bits=8, lm_head_bits=4)
+        for a, b in zip(jax.tree.leaves(qm["blocks"]),
+                        jax.tree.leaves(q8["blocks"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(qm["lm_head"]),
+                        jax.tree.leaves(q4["lm_head"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        # and the decode step runs the mixed tree end-to-end: identical
+        # hidden path to int8 (same blocks); the head is int4-EXACT after
+        # the grid projection, so mixed differs from int8 only by the
+        # int8 head's own rounding (sub-percent)
+        B, hd = 2, ld.d_model // ld.n_heads
+        ck = jnp.zeros((ld.n_layers, B, ld.n_kv_heads, 16, hd), jnp.float32)
+        cv = jnp.zeros_like(ck)
+        tok = jnp.asarray([3, 5], jnp.int32)
+        pos = jnp.zeros((B,), jnp.int32)
+        ref8, _, _ = llm_decode_step(params, ld, tok, pos, ck, cv,
+                                     dtype=jnp.float32, q8=q8)
+        got, _, _ = llm_decode_step(params, ld, tok, pos, ck, cv,
+                                    dtype=jnp.float32, q8=qm)
+        denom = np.abs(np.asarray(ref8)).max()
+        assert np.abs(np.asarray(got - ref8)).max() / denom < 0.05
+
+    def test_generator_wiring(self):
+        from audio_rag_tpu.config.schema import GenerationConfig
+        from audio_rag_tpu.generation.llm_jax import LLMGenerator
+
+        g = LLMGenerator(GenerationConfig(
+            model="test", decoder_int8=True, lm_head_int4=True))
+        assert g._decoder_qbits == 8 and g._lm_head_bits == 4
+        # lm_head_int4 without any decoder quant is inert
+        g2 = LLMGenerator(GenerationConfig(model="test", lm_head_int4=True))
+        assert g2._decoder_qbits == 0 and g2._lm_head_bits is None
+        g2.load()
+        try:
+            assert g2._params_q8 is None
+        finally:
+            g2.unload()
+        g.load()
+        try:
+            assert "w4" in g._params_q8["lm_head"]
+            assert "w8" in g._params_q8["blocks"][0]["attn_qkv"]
+            out = g.generate("hello world", max_tokens=4)
+            assert isinstance(out, str)
+        finally:
+            g.unload()
+
+
 class TestConfigWiring:
     def test_backends_pick_int4_over_int8(self):
         from audio_rag_tpu.asr.whisper_jax import WhisperJaxASR
