@@ -38,6 +38,9 @@ DECODE = os.environ.get("BENCH_DECODE", "greedy")
 BEAM_SIZE = int(os.environ.get("BENCH_BEAM_SIZE", 5))
 #: speculative block size (0 = off): n-gram-drafted multi-token greedy
 SPEC_K = int(os.environ.get("BENCH_SPEC_K", 0))
+#: faster-whisper's condition_on_previous_text (sequential windows) —
+#: the parity mode's honest RTF cost (docs/PERFORMANCE.md "Conditioned")
+CONDITION = os.environ.get("BENCH_CONDITION", "0") == "1"
 
 
 def log(msg: str) -> None:
@@ -61,6 +64,7 @@ def main() -> None:
         cross_kv_int8=CROSS_KV_INT8, cross_kv_int4=CROSS_KV_INT4,
         decoder_int8=DECODER_INT8, decoder_int4=DECODER_INT4,
         decode=DECODE, beam_size=BEAM_SIZE, speculative_k=SPEC_K,
+        condition_on_previous_text=CONDITION,
         # random-init logprobs (~ -10.8) trip the avg-logprob quality gate
         # that trained weights pass, so the temperature-fallback ladder
         # reran the FULL decode 6x and inflated RTF ~6x vs what trained
@@ -107,6 +111,7 @@ def main() -> None:
                 "int8" if CROSS_KV_INT8 else "bf16"),
             "beam_size": BEAM_SIZE if DECODE == "beam" else None,
             "speculative_k": SPEC_K,
+            "condition_on_previous_text": CONDITION,
             "note": "random-init large-v3 (same FLOPs); full 224-token "
                     "decode per window (no early EOT) — worst case",
         },
