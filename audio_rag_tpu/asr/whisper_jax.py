@@ -20,6 +20,7 @@ provides one; otherwise a deterministic id-map fallback (zero-egress builds).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any
 
 import jax
@@ -83,13 +84,18 @@ class WhisperJaxASR(BaseASR):
         # decode-loop weight quantization width: int4 > int8 > off
         qbits = 4 if self.config.decoder_int4 else (
             8 if self.config.decoder_int8 else 0)
+        # lm_head_int4 narrows just the vocab projection (mixed profile)
+        self._lm_head_bits = 4 if (
+            qbits == 8 and getattr(self.config, "lm_head_int4", False)
+        ) else None
         if qbits:
             # the quantized weight copies coexist with the bf16 params —
             # count them so the ResourceManager can't over-admit
             # co-resident models past the real budget
             from audio_rag_tpu.models.whisper import q8_param_bytes
 
-            self.hbm_required_gb += q8_param_bytes(self.dims, qbits) / 1e9
+            self.hbm_required_gb += q8_param_bytes(
+                self.dims, qbits, self._lm_head_bits) / 1e9
         self.dtype = (
             jnp.bfloat16 if self.config.compute_type == "bfloat16"
             else jnp.float32
@@ -121,6 +127,10 @@ class WhisperJaxASR(BaseASR):
         self._cross_kv_bits = self._config_cross_kv_bits()
         self._decoder_qbits = 4 if self.config.decoder_int4 else (
             8 if self.config.decoder_int8 else 0)
+        self._lm_head_bits = 4 if (
+            self._decoder_qbits == 8
+            and getattr(self.config, "lm_head_int4", False)
+        ) else None
         params = self._init_or_restore()
         if self.dtype == jnp.bfloat16:
             # compute_type="bfloat16" means bf16 STORAGE too (faster-whisper's
@@ -157,8 +167,10 @@ class WhisperJaxASR(BaseASR):
             # one-time int8/int4 of the decode-loop weight matmuls
             # (per-layer buffers; see quantize_decoder_weights)
             bits = self._decoder_qbits
+            lm_bits = self._lm_head_bits
             self._params_q8 = jax.jit(
-                lambda p: quantize_decoder_weights(p, self.dims, bits)
+                lambda p: quantize_decoder_weights(p, self.dims, bits,
+                                                   lm_head_bits=lm_bits)
             )(self._params)
         rm.register_model("asr", self.hbm_required_gb, self)
         self._tokenizer = self._make_text_decoder()
@@ -289,11 +301,17 @@ class WhisperJaxASR(BaseASR):
 
             return wrapped
 
+        # the beam-reorder mode changes the traced program (env read at
+        # trace time inside beam_decode) — key it so an env flip within
+        # one process can't hit a stale cached program
+        beam_mode = (os.environ.get("BEAM_REORDER", "onehot")
+                     if strategy == "beam" else None)
         return engine.program(
             ("whisper", "transcribe", self.config.model_size, strategy,
              batch, temperature,
              max_new, self._cross_kv_bits,
-             self._decoder_qbits, speculative_k, prompt_len), build
+             self._decoder_qbits, self._lm_head_bits,
+             speculative_k, prompt_len, beam_mode), build
         )
 
     def _mel_for_batch(self, win: np.ndarray, contiguous: bool) -> jax.Array:

@@ -158,6 +158,17 @@ class ASRConfig(BaseModel):
     #: unvalidated on real checkpoints in this zero-egress image; prefer
     #: int8 where WER headroom is unknown.
     decoder_int4: bool = False
+    #: with ``decoder_int8``: int4-quantize ONLY the logits head (the
+    #: (1280, 51968) vocab projection) — the one decode matmul where the
+    #: on-chip table shows int4 beating int8 (0.100 vs 0.186 ms at B=16;
+    #: docs/PERFORMANCE.md "int4 decode paths"), because the fixed unpack
+    #: cost amortizes over the huge output dim while the bandwidth saved
+    #: scales with it. Keeps int8's attention/MLP speed; also shaves
+    #: ~0.3 GB off the quantized-copy HBM. Same mixed profile as
+    #: ``GenerationConfig.lm_head_int4``. No effect when ``decoder_int4``
+    #: already covers the head; numerics evidence at production dims:
+    #: docs/bench_runs/quant_numerics.json.
+    lm_head_int4: bool = False
     checkpoint_path: str | None = None
 
 

@@ -599,7 +599,8 @@ def _cross_with_kv(
 
 
 def quantize_decoder_weights(params: Params, dims: WhisperDims,
-                             bits: int = 8) -> Params:
+                             bits: int = 8,
+                             lm_head_bits: int | None = None) -> Params:
     """Per-out-channel int8 (``bits=8``) or group-wise int4 (``bits=4``,
     :func:`~audio_rag_tpu.models.layers.quantize_linear_q4`) of every
     weight matrix the decode loop re-reads each token (attention/cross/
@@ -617,11 +618,24 @@ def quantize_decoder_weights(params: Params, dims: WhisperDims,
     logits — which would still beat real logits when every real logit is
     negative, so callers must slice ``[:, :n_vocab]`` —
     :func:`decoder_step` does.
+
+    ``lm_head_bits`` overrides ``bits`` for the logits head only — the
+    on-chip kernel table (docs/PERFORMANCE.md "int4 decode paths") shows
+    the (1280, 51968) vocab projection is the one decode matmul where
+    int4 beats int8 (0.100 vs 0.186 ms at B=16: the unpack cost is fixed
+    per tile while the bandwidth saved scales with the huge dout), so
+    the mixed int8-blocks + int4-head profile (``ASRConfig.lm_head_int4``)
+    keeps int8's attention/MLP speed and takes int4's head win. Same
+    pattern as :func:`audio_rag_tpu.models.llm.quantize_decoder_weights`.
     """
     dec = params["decoder"]
     if bits not in (8, 4):
         raise ValueError(f"bits must be 8 or 4, got {bits}")
+    lm_bits = lm_head_bits if lm_head_bits is not None else bits
+    if lm_bits not in (8, 4):
+        raise ValueError(f"lm_head_bits must be 8 or 4, got {lm_bits}")
     quant = quantize_linear if bits == 8 else quantize_linear_q4
+    head_quant = quantize_linear if lm_bits == 8 else quantize_linear_q4
 
     def q(p):
         return quant(p["w"])
@@ -640,28 +654,35 @@ def quantize_decoder_weights(params: Params, dims: WhisperDims,
     vocab_pad = -(-vocab // 128) * 128
     wt = jnp.pad(table.astype(jnp.float32).T,
                  ((0, 0), (0, vocab_pad - vocab)))
-    return {"blocks": blocks, "logits": quant(wt)}
+    return {"blocks": blocks, "logits": head_quant(wt)}
 
 
-def q8_param_bytes(dims: WhisperDims, bits: int = 8) -> int:
+def q8_param_bytes(dims: WhisperDims, bits: int = 8,
+                   lm_head_bits: int | None = None) -> int:
     """HBM bytes of the :func:`quantize_decoder_weights` copies (int8/int4
     weights + fp32 scales: per-out-channel at 8 bits, per-(din-group,
     out-channel) at 4). The quantized copies coexist with the bf16
     params, so backends must add this to their HBM budget when
     ``decoder_int8``/``decoder_int4`` is enabled (~0.8 GB for large-v3
-    int8, ~0.45 GB int4)."""
+    int8, ~0.45 GB int4). ``lm_head_bits`` mirrors
+    :func:`quantize_decoder_weights`'s mixed profile."""
     d = dims.n_text_state
     vocab_pad = -(-dims.n_vocab // 128) * 128
     # per layer: attn q/k/v/o (4·d²) + cross q/o (2·d²) + mlp up/down (8·d²)
-    mats = ([(d, d)] * 6 + [(d, 4 * d), (4 * d, d)]) * dims.n_text_layer \
-        + [(d, vocab_pad)]
-    w = sum(din * dout for din, dout in mats)
-    if bits == 8:
-        return w + 4 * sum(dout for _, dout in mats)
-    from audio_rag_tpu.ops.pallas_kernels import q4_group
+    block_mats = ([(d, d)] * 6 + [(d, 4 * d), (4 * d, d)]) \
+        * dims.n_text_layer
+    lm_bits = lm_head_bits if lm_head_bits is not None else bits
 
-    scales = sum((din // q4_group(din)) * dout for din, dout in mats)
-    return w // 2 + 4 * scales
+    def tally(mats, b):
+        w = sum(din * dout for din, dout in mats)
+        if b == 8:
+            return w + 4 * sum(dout for _, dout in mats)
+        from audio_rag_tpu.ops.pallas_kernels import q4_group
+
+        scales = sum((din // q4_group(din)) * dout for din, dout in mats)
+        return w // 2 + 4 * scales
+
+    return tally(block_mats, bits) + tally([(d, vocab_pad)], lm_bits)
 
 
 def decoder_step(
@@ -674,6 +695,7 @@ def decoder_step(
     dtype: jnp.dtype = jnp.bfloat16,
     q8: Params | None = None,  # quantize_decoder_weights output
     beams: int = 1,  # >1: rows are beam groups sharing cross KV per group
+    beam_mask: jax.Array | None = None,  # (B/K, K, K, C) ancestry mask
 ) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
     """One incremental decode step with the layer loop UNROLLED.
 
@@ -684,6 +706,21 @@ def decoder_step(
     beam queries become the M dimension of the cross-attention dot
     (cross attention has no causal mask, so M independent queries are
     exactly M beams).
+
+    ``beam_mask`` (with ``beams=K``) switches self-attention to the
+    LAZY-ANCESTRY beam layout: the self cache is (L, B/K, H, K, C, hd),
+    rows stay in BIRTH order (no per-step physical reorder — the
+    one-hot reorder's read+write of the whole cache was ~2/3 of beam's
+    per-step HBM traffic), and ``beam_mask[g, n, k, c]`` says "beam n of
+    group g may attend to position c of PHYSICAL row k" — beam search's
+    hypothesis reordering expressed as a mask the caller permutes
+    (K×K·C per group, trivial bytes) instead of permuting the caches.
+    Scores are computed all-pairs over (k, c) — a K× FLOP amplification
+    that rides the otherwise-idle MXU while the cache is read exactly
+    once — then masked and softmaxed over the flattened (k, c) axis,
+    which selects exactly one physical row per position: numerically the
+    per-row softmax over the reordered cache. The mask also encodes
+    causal validity (unset ⇒ unwritten or future position).
 
     Inside a ``while_loop``, a ``lax.scan`` over layers was measured at
     ~2× the unrolled cost (6.1 vs 3.2 ms/step for the bare cross-attention
@@ -707,7 +744,13 @@ def decoder_step(
     B = tok.shape[0]
     H = dims.n_text_head
     hd = dims.n_text_state // H
-    C = sk.shape[3]
+    lazy = beam_mask is not None
+    if lazy:
+        # beams == 1 degenerates to plain masked attention (K=1 row)
+        C = sk.shape[4]  # (L, B/K, H, K, C, hd)
+        G = B // beams
+    else:
+        C = sk.shape[3]
 
     x = dec["tok_emb"]["table"].astype(dtype)[tok]  # (B, 1, d)
     posv = jax.lax.dynamic_slice_in_dim(dec["pos_emb"], pos, 1, axis=0)
@@ -725,25 +768,56 @@ def decoder_step(
             return linear_q8(pp, p8[key8], xx, dtype)
 
         xn = layer_norm(p["ln1"], x)
-        q = lin(p["attn"]["q"], "attn_q", xn).reshape(
-            B, 1, H, hd).transpose(0, 2, 1, 3)
-        k = lin(p["attn"]["k"], "attn_k", xn).reshape(
-            B, 1, H, hd).transpose(0, 2, 1, 3)
-        v = lin(p["attn"]["v"], "attn_v", xn).reshape(
-            B, 1, H, hd).transpose(0, 2, 1, 3)
-        # write this step's K/V at (layer, :, :, pos) — static layer index,
-        # dynamic position; XLA keeps the stacked cache in place
-        sk = jax.lax.dynamic_update_slice(
-            sk, k[None].astype(sk.dtype), (layer, 0, 0, pos, 0))
-        sv = jax.lax.dynamic_update_slice(
-            sv, v[None].astype(sv.dtype), (layer, 0, 0, pos, 0))
-        s = jnp.einsum("bhqd,bhkd->bhqk", q * scale, sk[layer],
-                       preferred_element_type=jnp.float32)
-        s = jnp.where(mask, s, -1e30)
-        probs = jax.nn.softmax(s, axis=-1).astype(dtype)
-        o = jnp.einsum("bhqk,bhkd->bhqd", probs, sv[layer],
-                       preferred_element_type=jnp.float32).astype(dtype)
-        o = o.transpose(0, 2, 1, 3).reshape(B, 1, dims.n_text_state)
+        if lazy:
+            # lazy-ancestry beam self-attention over the (G, H, K, C, hd)
+            # cache: write each beam's new K/V at ITS OWN physical row
+            # (birth order), score all (row, position) pairs, and let the
+            # caller-permuted mask select each beam's true history
+            q = lin(p["attn"]["q"], "attn_q", xn).reshape(
+                G, beams, H, hd).transpose(0, 2, 1, 3)  # (G, H, K, hd)
+            k = lin(p["attn"]["k"], "attn_k", xn).reshape(
+                G, beams, H, hd).transpose(0, 2, 1, 3)
+            v = lin(p["attn"]["v"], "attn_v", xn).reshape(
+                G, beams, H, hd).transpose(0, 2, 1, 3)
+            sk = jax.lax.dynamic_update_slice(
+                sk, k[None, :, :, :, None].astype(sk.dtype),
+                (layer, 0, 0, 0, pos, 0))
+            sv = jax.lax.dynamic_update_slice(
+                sv, v[None, :, :, :, None].astype(sv.dtype),
+                (layer, 0, 0, 0, pos, 0))
+            # (G,H,n,d)·(G,H,k,c,d) → (G,H,n,k,c): batch (G,H), no big
+            # transposes — k and c are adjacent in the cache layout
+            s = jnp.einsum("ghnd,ghkcd->ghnkc", q * scale, sk[layer],
+                           preferred_element_type=jnp.float32)
+            s = jnp.where(beam_mask[:, None], s, -1e30)
+            # softmax over flattened (k, c): exactly one unmasked row per
+            # valid position ⇒ equals the per-row softmax over c
+            sflat = s.reshape(G, H, beams, beams * C)
+            probs = jax.nn.softmax(sflat, axis=-1).astype(dtype).reshape(
+                G, H, beams, beams, C)
+            o = jnp.einsum("ghnkc,ghkcd->ghnd", probs, sv[layer],
+                           preferred_element_type=jnp.float32).astype(dtype)
+            o = o.transpose(0, 2, 1, 3).reshape(B, 1, dims.n_text_state)
+        else:
+            q = lin(p["attn"]["q"], "attn_q", xn).reshape(
+                B, 1, H, hd).transpose(0, 2, 1, 3)
+            k = lin(p["attn"]["k"], "attn_k", xn).reshape(
+                B, 1, H, hd).transpose(0, 2, 1, 3)
+            v = lin(p["attn"]["v"], "attn_v", xn).reshape(
+                B, 1, H, hd).transpose(0, 2, 1, 3)
+            # write this step's K/V at (layer, :, :, pos) — static layer
+            # index, dynamic position; XLA keeps the stacked cache in place
+            sk = jax.lax.dynamic_update_slice(
+                sk, k[None].astype(sk.dtype), (layer, 0, 0, pos, 0))
+            sv = jax.lax.dynamic_update_slice(
+                sv, v[None].astype(sv.dtype), (layer, 0, 0, pos, 0))
+            s = jnp.einsum("bhqd,bhkd->bhqk", q * scale, sk[layer],
+                           preferred_element_type=jnp.float32)
+            s = jnp.where(mask, s, -1e30)
+            probs = jax.nn.softmax(s, axis=-1).astype(dtype)
+            o = jnp.einsum("bhqk,bhkd->bhqd", probs, sv[layer],
+                           preferred_element_type=jnp.float32).astype(dtype)
+            o = o.transpose(0, 2, 1, 3).reshape(B, 1, dims.n_text_state)
         x = x + lin(p["attn"]["o"], "attn_o", o)
         if beams > 1:
             # fold the beam dim into the query T axis: (B·K, 1, d) →
@@ -1279,6 +1353,7 @@ def beam_decode(
     decoder_q8: Params | None = None,  # quantize_decoder_weights output
     cross_kv_quantize: bool = False,
     cross_kv_bits: int = 8,
+    reorder: str | None = None,  # "onehot" | "kernel" | "lazy" | None=env
 ) -> jax.Array:
     """Beam search (faster-whisper's default strategy, beam_size=5).
 
@@ -1299,7 +1374,29 @@ def beam_decode(
     The loop is a ``while_loop`` with an all-finished early exit, like
     greedy. Returns the best hypothesis per batch item, (B, P+max_new),
     EOT-padded.
+
+    ``reorder`` picks the hypothesis-reorder strategy (default from the
+    ``BEAM_REORDER`` env var, else ``"onehot"``):
+
+    * ``"onehot"`` — physically permute the (L, B·K, H, C, hd) caches
+      each step with a 0/1 one-hot matmul (exact, rides the MXU; the
+      measured winner among physical reorders — see body comment).
+    * ``"kernel"`` — Pallas DMA permute (measured slower; kept for
+      reference).
+    * ``"lazy"`` — NO physical reorder: caches live in (L, B, H, K, C,
+      hd) BIRTH order and a (B, K, K, C) ancestry mask — permuted each
+      step for pennies — routes each beam to its true history inside
+      :func:`decoder_step`'s masked all-pairs self-attention. The
+      physical reorder read+write it deletes was ~2/3 of beam's
+      per-step self-cache HBM traffic; the price is a K× FLOP
+      amplification of the (tiny) self-attention dots on the
+      memory-bound MXU.
     """
+    import os
+
+    mode = reorder or os.environ.get("BEAM_REORDER", "onehot")
+    if mode not in ("onehot", "kernel", "lazy"):
+        raise ValueError(f"unknown beam reorder mode {mode!r}")
     B, P = prompt.shape
     K = beam_size
     L, H = dims.n_text_layer, dims.n_text_head
@@ -1354,10 +1451,70 @@ def beam_decode(
     sum_lp = top_lp  # (B, K)
     finished = top_tok == eot
 
+    if mode == "lazy":
+        # caches in BIRTH order, (L, B, H, K, C, hd): primed prompt rows
+        # sit at physical beam 0 (no K× replication — the ancestry mask
+        # points every beam's prompt positions at row 0); k and c are
+        # adjacent so the all-pairs attention dots need no big transpose
+        skL = jnp.zeros((L, B, H, K, cache_len, hd), dtype)
+        svL = jnp.zeros_like(skL)
+        skL = skL.at[:, :, :, 0].set(sk)
+        svL = svL.at[:, :, :, 0].set(sv)
+        # ancestry mask (B, K_beam, K_row, C), bf16 0/1 so the per-step
+        # permute is the same exact one-hot matmul trick at 1/5000th the
+        # bytes of the cache reorder it replaces
+        mask0 = jnp.zeros((B, K, K, cache_len), jnp.bfloat16)
+        mask0 = mask0.at[:, :, 0, :P].set(1.0)
+        ar = jnp.arange(K)
+
+        def cond_l(state):
+            i, _, _, finished, _, _, _ = state
+            return (i < total - 1) & ~jnp.all(finished)
+
+        def body_l(state):
+            i, tokens, sum_lp, finished, skc, svc, mf = state
+            cur = jax.lax.dynamic_slice(
+                tokens.reshape(B * K, total), (0, i), (B * K, 1)
+            )
+            # the token decoded now lands at (row n, position i): each
+            # beam owns its own physical row for its own new position
+            mf = mf.at[:, ar, ar, i].set(1.0)
+            logits, (skc, svc) = decoder_step(
+                params, dims, cur, cross_kv, i, (skc, svc), dtype=dtype,
+                q8=decoder_q8, beams=K, beam_mask=mf > 0,
+            )
+            logp = jax.nn.log_softmax(logits, axis=-1).reshape(B, K, V)
+            eot_only = jnp.full((V,), -jnp.inf).at[eot].set(0.0)
+            logp = jnp.where(finished[:, :, None],
+                             eot_only[None, None, :], logp)
+            cand = sum_lp[:, :, None] + logp
+            new_lp, flat_idx = jax.lax.top_k(cand.reshape(B, K * V), K)
+            src_beam = flat_idx // V
+            new_tok = (flat_idx % V).astype(jnp.int32)
+            gather = (jnp.arange(B)[:, None] * K + src_beam).reshape(-1)
+            tokens = tokens.reshape(B * K, total)[gather].reshape(
+                B, K, total)
+            tokens = tokens.at[:, :, i + 1].set(new_tok)
+            # hypothesis reorder = permute the MASK's beam axis, not the
+            # caches: same one-hot-matmul exactness, ~180 KB not ~6 GB
+            onehot = jax.nn.one_hot(src_beam, K, dtype=mf.dtype)
+            mf = jnp.einsum("gns,gskc->gnkc", onehot, mf)
+            finished = finished.reshape(B * K)[gather].reshape(B, K)
+            finished = finished | (new_tok == eot)
+            return i + 1, tokens, new_lp, finished, skc, svc, mf
+
+        _, tokens, sum_lp, finished, _, _, _ = jax.lax.while_loop(
+            cond_l, body_l,
+            (jnp.int32(P), tokens, sum_lp, finished, skL, svL, mask0),
+        )
+        lengths = jnp.sum(
+            (tokens != eot).astype(jnp.float32), axis=-1) - P + 1.0
+        score = sum_lp / jnp.maximum(lengths, 1.0) ** length_penalty
+        best = jnp.argmax(score, axis=-1)
+        return tokens[jnp.arange(B), best]
+
     sk = jnp.repeat(sk, K, axis=1)  # (L, B*K, H, C, hd)
     sv = jnp.repeat(sv, K, axis=1)
-
-    import os
 
     from audio_rag_tpu.ops.pallas_kernels import beam_reorder_kv, on_tpu
     # The DMA permute kernel is measured SLOWER than the one-hot matmul
@@ -1366,7 +1523,7 @@ def beam_decode(
     # engine's fixed per-extent cost dominates). Opt-in only, kept for
     # the beam-outermost layout where rows are contiguous.
     use_permute_kernel = (
-        os.environ.get("BEAM_REORDER", "onehot") == "kernel"
+        mode == "kernel"
         and on_tpu(enc) and (H * cache_len * hd) % 128 == 0
     )
 

@@ -82,7 +82,9 @@ def main() -> int:
     hd = dims.n_text_state // H
 
     # -- single-step per-kernel divergence ---------------------------------
-    @jax.jit
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("kv_bits", "dec_bits"))
     def one_step(params, mel, prompt, kv_bits, dec_bits):
         enc = encode(params, dims, mel, dtype=jnp.bfloat16)
         ckv = precompute_cross_kv(
@@ -102,10 +104,11 @@ def main() -> int:
                 dtype=jnp.bfloat16, q8=q8)
         return logits.astype(jnp.float32)
 
-    # NOTE: dec_bits/kv_bits are PYTHON values at trace time — each combo
-    # is its own compiled program (cached across runs).
+    # NOTE: dec_bits/kv_bits are STATIC — each combo is its own compiled
+    # program (cached across runs).
     def step_for(kv_bits, dec_bits):
-        return np.asarray(one_step(params, mel, prompt, kv_bits, dec_bits))
+        return np.asarray(one_step(params, mel, prompt,
+                                   kv_bits=kv_bits, dec_bits=dec_bits))
 
     ref = step_for(0, 0)
     ref_range = float(ref.max() - ref.min())
@@ -128,7 +131,7 @@ def main() -> int:
         print(f"{name}: {single_step[name]}", file=sys.stderr)
 
     # -- full greedy decode per profile ------------------------------------
-    @jax.jit
+    @functools.partial(jax.jit, static_argnames=("kv_bits", "dec_bits"))
     def full_decode(params, mel, prompt, kv_bits, dec_bits):
         enc = encode(params, dims, mel, dtype=jnp.bfloat16)
         q8 = (quantize_decoder_weights(params, dims, dec_bits)
@@ -140,7 +143,8 @@ def main() -> int:
             decoder_q8=q8)
 
     def decode_for(kv_bits, dec_bits):
-        toks, lp, _ = full_decode(params, mel, prompt, kv_bits, dec_bits)
+        toks, lp, _ = full_decode(params, mel, prompt,
+                                  kv_bits=kv_bits, dec_bits=dec_bits)
         return np.asarray(toks), np.asarray(lp)
 
     ref_toks, ref_lp = decode_for(0, 0)

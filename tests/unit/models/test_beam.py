@@ -107,3 +107,64 @@ class TestBeamDecode:
                                      dtype=jnp.float32)
         assert seq_logprob(np.asarray(beam)) >= \
             seq_logprob(np.asarray(greedy)) - 1e-3
+
+
+class TestLazyAncestryBeam:
+    """``reorder="lazy"``: no physical cache reorder — birth-order
+    (L, B, H, K, C, hd) caches + an ancestry mask select each beam's
+    history inside the masked all-pairs self-attention. Must reproduce
+    the one-hot (physically reordered) decode exactly up to fp
+    reduction order."""
+
+    def test_lazy_matches_onehot(self, setup):
+        params, enc, prompt = setup
+        ref = beam_decode(params, DIMS, enc, prompt, 8, ST.eot,
+                          beam_size=3, dtype=jnp.float32,
+                          reorder="onehot")
+        got = beam_decode(params, DIMS, enc, prompt, 8, ST.eot,
+                          beam_size=3, dtype=jnp.float32,
+                          reorder="lazy")
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+    def test_lazy_matches_onehot_beam5_long(self, setup):
+        """Wider beam + longer horizon: more hypothesis reorders, so a
+        wrong ancestry permutation would diverge here."""
+        params, enc, prompt = setup
+        ref = beam_decode(params, DIMS, enc, prompt, 16, ST.eot,
+                          beam_size=5, dtype=jnp.float32,
+                          reorder="onehot")
+        got = beam_decode(params, DIMS, enc, prompt, 16, ST.eot,
+                          beam_size=5, dtype=jnp.float32,
+                          reorder="lazy")
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+    def test_lazy_beam1_matches_greedy(self, setup):
+        params, enc, prompt = setup
+        beam = beam_decode(params, DIMS, enc, prompt, 6, ST.eot,
+                           beam_size=1, dtype=jnp.float32,
+                           reorder="lazy")
+        greedy, _, _ = greedy_decode(params, DIMS, enc, prompt, 6, ST.eot,
+                                     dtype=jnp.float32)
+        np.testing.assert_array_equal(np.asarray(beam), np.asarray(greedy))
+
+    def test_lazy_quantized_paths(self, setup):
+        """lazy × (int8 cross KV, int8 decoder weights) compose: same
+        selections as the equivalently-quantized one-hot decode."""
+        from audio_rag_tpu.models.whisper import quantize_decoder_weights
+
+        params, enc, prompt = setup
+        q8 = quantize_decoder_weights(params, DIMS)
+        for kwargs in ({"cross_kv_quantize": True}, {"decoder_q8": q8}):
+            ref = beam_decode(params, DIMS, enc, prompt, 6, ST.eot,
+                              beam_size=3, dtype=jnp.float32,
+                              reorder="onehot", **kwargs)
+            got = beam_decode(params, DIMS, enc, prompt, 6, ST.eot,
+                              beam_size=3, dtype=jnp.float32,
+                              reorder="lazy", **kwargs)
+            np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+    def test_unknown_mode_raises(self, setup):
+        params, enc, prompt = setup
+        with pytest.raises(ValueError, match="reorder"):
+            beam_decode(params, DIMS, enc, prompt, 4, ST.eot,
+                        beam_size=2, dtype=jnp.float32, reorder="nope")

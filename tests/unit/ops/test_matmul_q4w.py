@@ -410,3 +410,113 @@ class TestConfigWiring:
         assert gen4._decoder_qbits == 4 and gen8._decoder_qbits == 8
         assert gen0.hbm_required_gb < gen4.hbm_required_gb \
             < gen8.hbm_required_gb
+
+
+class TestWhisperMixedLMHead:
+    """int8 blocks + int4 logits head for the ASR decode loop
+    (``ASRConfig.lm_head_int4`` — whisper analog of the LLM mixed
+    profile above; the (1280, 51968) vocab projection is the one decode
+    matmul where the on-chip table shows int4 beating int8)."""
+
+    def test_mixed_tree_componentwise_and_bytes(self):
+        from audio_rag_tpu.models.whisper import (
+            WHISPER_PRESETS,
+            init_whisper,
+            q8_param_bytes,
+            quantize_decoder_weights,
+        )
+
+        dims = WHISPER_PRESETS["test"]
+        params = init_whisper(jax.random.PRNGKey(0), dims)
+        q8 = quantize_decoder_weights(params, dims, bits=8)
+        q4 = quantize_decoder_weights(params, dims, bits=4)
+        qm = quantize_decoder_weights(params, dims, bits=8, lm_head_bits=4)
+        assert "w8" in qm["blocks"][0]["mlp_up"]
+        assert "w4" in qm["logits"] and "w8" not in qm["logits"]
+        # mixed = int8's blocks + int4's head, exactly
+        for a, b in zip(jax.tree.leaves(qm["blocks"]),
+                        jax.tree.leaves(q8["blocks"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(qm["logits"]),
+                        jax.tree.leaves(q4["logits"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        tree_bytes = sum(a.size * a.dtype.itemsize
+                         for a in jax.tree.leaves(qm))
+        assert q8_param_bytes(dims, 8, 4) == tree_bytes
+        # plain profiles unchanged by the refactor
+        for bits in (8, 4):
+            t = quantize_decoder_weights(params, dims, bits=bits)
+            tb = sum(a.size * a.dtype.itemsize for a in jax.tree.leaves(t))
+            assert q8_param_bytes(dims, bits) == tb
+
+    def test_mixed_greedy_decode_close_to_int8(self):
+        """Grid-project the token table so its int4 quantization is
+        exact; then mixed greedy decode matches the int8 profile's
+        within the int8 head's own rounding."""
+        from audio_rag_tpu.models.whisper import (
+            WHISPER_PRESETS,
+            SpecialTokens,
+            encode,
+            greedy_decode,
+            init_whisper,
+            quantize_decoder_weights,
+        )
+
+        dims = WHISPER_PRESETS["test"]
+        st = SpecialTokens.for_dims(dims)
+        params = init_whisper(jax.random.PRNGKey(0), dims)
+        table = params["decoder"]["tok_emb"]["table"]
+        vocab = table.shape[0]
+        vocab_pad = -(-vocab // 128) * 128
+        wt = jnp.pad(table.astype(jnp.float32).T,
+                     ((0, 0), (0, vocab_pad - vocab)))
+        params["decoder"]["tok_emb"]["table"] = (
+            _rep(wt)[:, :vocab].T.astype(table.dtype))
+        rng = np.random.default_rng(1)
+        mel = jnp.asarray(
+            rng.standard_normal((2, dims.n_mels, 2 * dims.n_audio_ctx)),
+            jnp.float32)
+        enc = encode(params, dims, mel, dtype=jnp.float32)
+        q8 = quantize_decoder_weights(params, dims, bits=8)
+        qm = quantize_decoder_weights(params, dims, bits=8, lm_head_bits=4)
+        prompt = jnp.asarray(np.tile(
+            [[st.sot, st.lang_base, st.transcribe, st.no_timestamps]],
+            (2, 1)).astype(np.int32))
+        ref = greedy_decode(params, dims, enc, prompt, 8, st.eot,
+                            dtype=jnp.float32, no_speech_id=st.no_speech,
+                            decoder_q8=q8)
+        got = greedy_decode(params, dims, enc, prompt, 8, st.eot,
+                            dtype=jnp.float32, no_speech_id=st.no_speech,
+                            decoder_q8=qm)
+        np.testing.assert_allclose(np.asarray(ref[1]), np.asarray(got[1]),
+                                   atol=0.05)
+
+    def test_asr_backend_wiring(self):
+        from audio_rag_tpu.asr.whisper_jax import WhisperJaxASR
+        from audio_rag_tpu.config.schema import ASRConfig
+
+        asr = WhisperJaxASR(ASRConfig(
+            model_size="test", compute_type="float32", vad_filter=False,
+            decoder_int8=True, lm_head_int4=True))
+        assert asr._decoder_qbits == 8 and asr._lm_head_bits == 4
+        # inert without int8 decoder quant (decoder_int4 covers the head)
+        inert = WhisperJaxASR(ASRConfig(model_size="test",
+                                        lm_head_int4=True))
+        assert inert._decoder_qbits == 0 and inert._lm_head_bits is None
+        allq4 = WhisperJaxASR(ASRConfig(
+            model_size="test", decoder_int4=True, lm_head_int4=True))
+        assert allq4._decoder_qbits == 4 and allq4._lm_head_bits is None
+        # mixed copies are smaller than all-int8's (int4 head)
+        pure8 = WhisperJaxASR(ASRConfig(model_size="test",
+                                        decoder_int8=True))
+        assert asr.hbm_required_gb < pure8.hbm_required_gb
+        asr.load()
+        try:
+            assert "w4" in asr._params_q8["logits"]
+            assert "w8" in asr._params_q8["blocks"][0]["mlp_up"]
+            audio = (0.2 * np.random.default_rng(2)
+                     .standard_normal(16000)).astype(np.float32)
+            segs = asr.transcribe(audio, 16000)
+            assert isinstance(segs, list)
+        finally:
+            asr.unload()
