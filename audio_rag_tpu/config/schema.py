@@ -117,10 +117,14 @@ class ASRConfig(BaseModel):
     #: bf16 at window batch 16, while also halving the ≈4 GB decode
     #: workspace. Validation status: exact 12-token greedy parity against a
     #: released whisper-tiny HF checkpoint (tests/unit/models/
-    #: test_hf_parity.py) plus bounded logit error (<2% of range) under
-    #: random-init large-v3 shapes; large-v3 WER itself is unvalidated in
-    #: this zero-egress image. configs/production.yaml enables it with that
-    #: caveat; disable here if a WER regression is observed on real audio.
+    #: test_hf_parity.py) plus measured logit divergence at PRODUCTION
+    #: large-v3 dims: 0.71 % of the logit range single-step, and the full
+    #: int8 profile's 64-step greedy windows match bf16 decode 99.6 %
+    #: token-for-token (docs/bench_runs/quant_numerics.json, pinned by
+    #: tests/unit/ops/test_quant_numerics_evidence.py); large-v3 WER
+    #: itself is unvalidated in this zero-egress image.
+    #: configs/production.yaml enables it with that caveat; disable here
+    #: if a WER regression is observed on real audio.
     cross_kv_int8: bool = False
     #: int4-quantize the cross K/V instead (nibble-packed along head_dim,
     #: per-CHANNEL scales — per-head is too coarse at 4 bits;
@@ -132,18 +136,23 @@ class ASRConfig(BaseModel):
     #: paths"). Enable it to halve the KV's HBM residency — e.g. it
     #: frees ~1 GB at beam-5/window-batch-16, which otherwise OOMs by
     #: ~30 MB. Takes precedence over ``cross_kv_int8``.
-    #: Quantization error is ~16× int8's — greedy parity holds on the
-    #: whisper-tiny HF checkpoint (test_hf_parity.py) but real-audio WER
-    #: is unvalidated in this zero-egress image; prefer int8 where WER
-    #: headroom is unknown.
+    #: Quantization error stays comparable to int8's for the KV (0.74 %
+    #: vs 0.71 % of logit range single-step at large-v3 dims; the
+    #: int8+kv4 capacity profile matches bf16 greedy 99.8 % —
+    #: docs/bench_runs/quant_numerics.json) and greedy parity holds on
+    #: the whisper-tiny HF checkpoint (test_hf_parity.py), but
+    #: real-audio WER is unvalidated in this zero-egress image; prefer
+    #: int8 where WER headroom is unknown.
     cross_kv_int4: bool = False
     #: int8-quantize the decode loop's WEIGHT matmuls (attention/cross/MLP
     #: linears + logits head, per-out-channel scales) — the other half of
     #: the per-step HBM bytes. Same Pallas in-VMEM dequant pattern
     #: (``ops/pallas_kernels.matmul_q8w``); measured 1.3–1.7× per matmul
     #: on a v5e. Same validation status and production stance as
-    #: ``cross_kv_int8``. Note the int8 copies cost extra HBM at load time
-    #: (~0.8 GB for large-v3; accounted in the backend's hbm_required_gb).
+    #: ``cross_kv_int8`` (1.3 % of logit range single-step at large-v3
+    #: dims — docs/bench_runs/quant_numerics.json). Note the int8 copies
+    #: cost extra HBM at load time (~0.8 GB for large-v3; accounted in
+    #: the backend's hbm_required_gb).
     decoder_int8: bool = False
     #: int4-quantize the same decode-loop weight matmuls (group-wise
     #: scales, ``ops/pallas_kernels.matmul_q4w`` — the weight regime the
@@ -154,9 +163,13 @@ class ASRConfig(BaseModel):
     #: int8's 0.0059 — docs/PERFORMANCE.md "int4 decode paths"), so this
     #: is a footprint option, not the speed profile. Takes precedence
     #: over ``decoder_int8``. Quantization error is inherently larger
-    #: than int8's (≲7 % per weight at group amax vs ≲0.4 %) —
-    #: unvalidated on real checkpoints in this zero-egress image; prefer
-    #: int8 where WER headroom is unknown.
+    #: than int8's (≲7 % per weight at group amax vs ≲0.4 %; measured
+    #: 11.9 % of logit range single-step at large-v3 dims vs int8's
+    #: 1.3 %, though the all-int4 greedy profile still matches bf16
+    #: decode 99.2 % token-for-token —
+    #: docs/bench_runs/quant_numerics.json) — unvalidated on real
+    #: checkpoints in this zero-egress image; prefer int8 where WER
+    #: headroom is unknown.
     decoder_int4: bool = False
     #: with ``decoder_int8``: int4-quantize ONLY the logits head (the
     #: (1280, 51968) vocab projection) — the one decode matmul where the
