@@ -304,7 +304,7 @@ class WhisperJaxASR(BaseASR):
         # the beam-reorder mode changes the traced program (env read at
         # trace time inside beam_decode) — key it so an env flip within
         # one process can't hit a stale cached program
-        beam_mode = (os.environ.get("BEAM_REORDER", "onehot")
+        beam_mode = (os.environ.get("BEAM_REORDER", "lazy")
                      if strategy == "beam" else None)
         return engine.program(
             ("whisper", "transcribe", self.config.model_size, strategy,

@@ -1376,25 +1376,29 @@ def beam_decode(
     EOT-padded.
 
     ``reorder`` picks the hypothesis-reorder strategy (default from the
-    ``BEAM_REORDER`` env var, else ``"onehot"``):
+    ``BEAM_REORDER`` env var, else ``"lazy"`` — the measured winner):
 
+    * ``"lazy"`` (default) — NO physical reorder: caches live in
+      (L, B, H, K, C, hd) BIRTH order and a (B, K, K, C) ancestry mask
+      — permuted each step for pennies — routes each beam to its true
+      history inside :func:`decoder_step`'s masked all-pairs
+      self-attention. The physical reorder read+write it deletes was
+      ~2/3 of beam's per-step self-cache HBM traffic; the price is a
+      K× FLOP amplification of the (tiny) self-attention dots on the
+      memory-bound MXU. Same-session A/B at beam-5 / window-batch-16 /
+      ``cross_kv_int4``: RTF 0.0177 vs one-hot's 0.0287 (1.62×) —
+      docs/bench_runs/asr_beam5_wb16_kvint4_{lazy,onehot_control}.json.
+      Token output is exactly the one-hot path's (pinned in
+      tests/unit/models/test_beam.py).
     * ``"onehot"`` — physically permute the (L, B·K, H, C, hd) caches
       each step with a 0/1 one-hot matmul (exact, rides the MXU; the
-      measured winner among physical reorders — see body comment).
+      measured winner among PHYSICAL reorders — see body comment).
     * ``"kernel"`` — Pallas DMA permute (measured slower; kept for
       reference).
-    * ``"lazy"`` — NO physical reorder: caches live in (L, B, H, K, C,
-      hd) BIRTH order and a (B, K, K, C) ancestry mask — permuted each
-      step for pennies — routes each beam to its true history inside
-      :func:`decoder_step`'s masked all-pairs self-attention. The
-      physical reorder read+write it deletes was ~2/3 of beam's
-      per-step self-cache HBM traffic; the price is a K× FLOP
-      amplification of the (tiny) self-attention dots on the
-      memory-bound MXU.
     """
     import os
 
-    mode = reorder or os.environ.get("BEAM_REORDER", "onehot")
+    mode = reorder or os.environ.get("BEAM_REORDER", "lazy")
     if mode not in ("onehot", "kernel", "lazy"):
         raise ValueError(f"unknown beam reorder mode {mode!r}")
     B, P = prompt.shape

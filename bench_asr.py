@@ -115,7 +115,7 @@ def main() -> None:
             "cross_kv_quant": "int4" if CROSS_KV_INT4 else (
                 "int8" if CROSS_KV_INT8 else "bf16"),
             "beam_size": BEAM_SIZE if DECODE == "beam" else None,
-            "beam_reorder": (os.environ.get("BEAM_REORDER", "onehot")
+            "beam_reorder": (os.environ.get("BEAM_REORDER", "lazy")
                              if DECODE == "beam" else None),
             "speculative_k": SPEC_K,
             "condition_on_previous_text": CONDITION,
