@@ -88,6 +88,8 @@ class WhisperJaxASR(BaseASR):
         self._lm_head_bits = 4 if (
             qbits == 8 and getattr(self.config, "lm_head_int4", False)
         ) else None
+        self._self_kv_int8 = bool(
+            getattr(self.config, "self_kv_int8", False))
         if qbits:
             # the quantized weight copies coexist with the bf16 params —
             # count them so the ResourceManager can't over-admit
@@ -131,6 +133,8 @@ class WhisperJaxASR(BaseASR):
             self._decoder_qbits == 8
             and getattr(self.config, "lm_head_int4", False)
         ) else None
+        self._self_kv_int8 = bool(
+            getattr(self.config, "self_kv_int8", False))
         params = self._init_or_restore()
         if self.dtype == jnp.bfloat16:
             # compute_type="bfloat16" means bf16 STORAGE too (faster-whisper's
@@ -159,6 +163,7 @@ class WhisperJaxASR(BaseASR):
                 # small conservative overcount under TP
                 self._cross_kv_bits = 0
                 self._decoder_qbits = 0
+                self._self_kv_int8 = False
         self._params = engine.put_params("whisper", params, spec)
         self._params_q8 = None
         if self._decoder_qbits:
@@ -290,6 +295,7 @@ class WhisperJaxASR(BaseASR):
                     cross_kv_quantize=bool(self._cross_kv_bits),
                     cross_kv_bits=self._cross_kv_bits or 8,
                     decoder_q8=q8,
+                    self_kv_int8=self._self_kv_int8,
                 )
                 return toks, lp, nsp, enc
 
@@ -311,6 +317,7 @@ class WhisperJaxASR(BaseASR):
              batch, temperature,
              max_new, self._cross_kv_bits,
              self._decoder_qbits, self._lm_head_bits,
+             self._self_kv_int8,
              speculative_k, prompt_len, beam_mode), build
         )
 

@@ -182,6 +182,18 @@ class ASRConfig(BaseModel):
     #: already covers the head; numerics evidence at production dims:
     #: docs/bench_runs/quant_numerics.json.
     lm_head_int4: bool = False
+    #: int8-quantize the decode loop's SELF-attention KV cache with
+    #: per-POSITION scales (amax over head_dim at write time — finer
+    #: granularity than the cross KV's per-(batch, head) scales; packed
+    #: scales+causal-mask operand, `ops/pallas_kernels.decode_self_
+    #: attention_q8`). With the cross KV and weights already quantized,
+    #: the bf16 self cache is the decode step's largest remaining HBM
+    #: read (~1.2 GB/step at window batch 32) — this halves it and also
+    #: halves the cache's HBM residency. Greedy decode only (beam's
+    #: lazy-ancestry path and speculative block decode keep bf16 self
+    #: KV); numerics evidence at production dims rides the same ladder
+    #: as the other int8 paths.
+    self_kv_int8: bool = False
     checkpoint_path: str | None = None
 
 

@@ -657,6 +657,44 @@ def quantize_decoder_weights(params: Params, dims: WhisperDims,
     return {"blocks": blocks, "logits": head_quant(wt)}
 
 
+def quantize_self_cache(
+    sk: jax.Array,  # (L, B, H, C, hd) primed bf16/f32 self-K cache
+    sv: jax.Array,
+    n_valid: jax.Array | int,  # positions < n_valid hold real K/V
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """One-shot conversion of a primed self cache to the int8 decode
+    representation: (k8 (L, B, H, hd, Cp) int8, v8 likewise, packed
+    scales (L, B, Cp, 128) f32) for
+    :func:`~audio_rag_tpu.ops.pallas_kernels.decode_self_attention_q8`.
+
+    Per-POSITION symmetric scales (amax over head_dim — 64 values per
+    scale group, finer than the cross KV's per-(B, H)); C pads up to a
+    lane multiple (Cp) for the int8 tile, with padded positions masked
+    invalid. Runs once after prompt priming; the decode loop then
+    quantizes each new position at write time (:func:`decoder_step`
+    with ``self_kv_int8``).
+    """
+    from audio_rag_tpu.ops.pallas_kernels import pack_self_scales
+
+    L, B, H, C, hd = sk.shape
+    Cp = -(-C // 128) * 128
+
+    def q(x):
+        xf = x.astype(jnp.float32)
+        a = jnp.max(jnp.abs(xf), axis=-1)  # (L, B, H, C)
+        s = jnp.where(a > 0, a / 127.0, 1.0)
+        x8 = jnp.round(xf / s[..., None]).astype(jnp.int8)
+        x8 = jnp.pad(x8.transpose(0, 1, 2, 4, 3),  # (L, B, H, hd, C)
+                     ((0, 0),) * 4 + ((0, Cp - C),))
+        return x8, jnp.pad(s, ((0, 0),) * 3 + ((0, Cp - C),))
+
+    k8, ks = q(sk)
+    v8, vs = q(sv)
+    valid = jnp.broadcast_to(
+        jnp.arange(Cp) < n_valid, (L, B, Cp))
+    return k8, v8, pack_self_scales(ks, vs, valid)
+
+
 def q8_param_bytes(dims: WhisperDims, bits: int = 8,
                    lm_head_bits: int | None = None) -> int:
     """HBM bytes of the :func:`quantize_decoder_weights` copies (int8/int4
@@ -696,6 +734,7 @@ def decoder_step(
     q8: Params | None = None,  # quantize_decoder_weights output
     beams: int = 1,  # >1: rows are beam groups sharing cross KV per group
     beam_mask: jax.Array | None = None,  # (B/K, K, K, C) ancestry mask
+    self_kv_int8: bool = False,  # self_cache is the int8 triple
 ) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
     """One incremental decode step with the layer loop UNROLLED.
 
@@ -722,6 +761,17 @@ def decoder_step(
     per-row softmax over the reordered cache. The mask also encodes
     causal validity (unset ⇒ unwritten or future position).
 
+    ``self_kv_int8`` switches the SELF cache to int8 with per-position
+    scales: ``self_cache`` is then the triple (k8 (L, B, H, hd, Cp)
+    int8, v8 likewise, scales (L, B, Cp, 128) f32 — the packed
+    scales+mask operand of
+    :func:`~audio_rag_tpu.ops.pallas_kernels.decode_self_attention_q8`,
+    built by :func:`quantize_self_cache`). Each step quantizes the new
+    K/V position at write time (amax over head_dim) and the same packed
+    row-write flips the position's mask lane valid, so the loop carries
+    no separate causal state. Halves the decode loop's self-cache HBM
+    read. Greedy only (``beams == 1``, no ``beam_mask``).
+
     Inside a ``while_loop``, a ``lax.scan`` over layers was measured at
     ~2× the unrolled cost (6.1 vs 3.2 ms/step for the bare cross-attention
     stack on a v5e — the scan's per-layer slicing of the loop-invariant
@@ -740,16 +790,22 @@ def decoder_step(
     else:
         ck, cv = cross_kv
         ks = vs = None
-    sk, sv = self_cache
     B = tok.shape[0]
     H = dims.n_text_head
     hd = dims.n_text_state // H
     lazy = beam_mask is not None
-    if lazy:
+    if self_kv_int8:
+        if lazy or beams > 1:
+            raise ValueError("self_kv_int8 is greedy-only")
+        sk, sv, scp = self_cache
+        C = sk.shape[4]  # (L, B, H, hd, Cp)
+    elif lazy:
         # beams == 1 degenerates to plain masked attention (K=1 row)
+        sk, sv = self_cache
         C = sk.shape[4]  # (L, B/K, H, K, C, hd)
         G = B // beams
     else:
+        sk, sv = self_cache
         C = sk.shape[3]
 
     x = dec["tok_emb"]["table"].astype(dtype)[tok]  # (B, 1, d)
@@ -768,7 +824,45 @@ def decoder_step(
             return linear_q8(pp, p8[key8], xx, dtype)
 
         xn = layer_norm(p["ln1"], x)
-        if lazy:
+        if self_kv_int8:
+            # int8 self-KV: quantize the new position at write time
+            # (amax over head_dim → one scale per (b, h, position)); the
+            # packed scale row's mask lane flips this position valid in
+            # the same write. Attention reads the int8 cache through the
+            # in-VMEM-dequant kernel — the self cache's HBM bytes halve.
+            from audio_rag_tpu.ops.pallas_kernels import (
+                decode_self_attention_q8,
+            )
+
+            q = lin(p["attn"]["q"], "attn_q", xn).reshape(
+                B, 1, H, hd).transpose(0, 2, 1, 3)  # (B, H, 1, hd)
+            k = lin(p["attn"]["k"], "attn_k", xn).reshape(
+                B, 1, H, hd).transpose(0, 2, 1, 3).astype(jnp.float32)
+            v = lin(p["attn"]["v"], "attn_v", xn).reshape(
+                B, 1, H, hd).transpose(0, 2, 1, 3).astype(jnp.float32)
+            ka = jnp.max(jnp.abs(k), axis=-1)  # (B, H, 1)
+            va = jnp.max(jnp.abs(v), axis=-1)
+            ksc = jnp.where(ka > 0, ka / 127.0, 1.0)
+            vsc = jnp.where(va > 0, va / 127.0, 1.0)
+            k8n = jnp.round(k / ksc[..., None]).astype(jnp.int8)
+            v8n = jnp.round(v / vsc[..., None]).astype(jnp.int8)
+            sk = jax.lax.dynamic_update_slice(
+                sk, k8n.transpose(0, 1, 3, 2)[None],  # (1, B, H, hd, 1)
+                (layer, 0, 0, 0, pos))
+            sv = jax.lax.dynamic_update_slice(
+                sv, v8n.transpose(0, 1, 3, 2)[None],
+                (layer, 0, 0, 0, pos))
+            row = jnp.zeros((B, 128), jnp.float32)
+            row = row.at[:, :H].set(ksc[:, :, 0])
+            row = row.at[:, H:2 * H].set(vsc[:, :, 0])
+            # lane 2H stays 0.0 == "valid" for this position
+            scp = jax.lax.dynamic_update_slice(
+                scp, row[None, :, None, :], (layer, 0, pos, 0))
+            o = decode_self_attention_q8(q, sk[layer], sv[layer],
+                                         scp[layer])
+            o = o.astype(dtype).transpose(0, 2, 1, 3).reshape(
+                B, 1, dims.n_text_state)
+        elif lazy:
             # lazy-ancestry beam self-attention over the (G, H, K, C, hd)
             # cache: write each beam's new K/V at ITS OWN physical row
             # (birth order), score all (row, position) pairs, and let the
@@ -854,6 +948,8 @@ def decoder_step(
     else:
         logits = linear_q8({}, q8["logits"], x[:, 0],
                            dtype=jnp.float32)[:, :dims.n_vocab]
+    if self_kv_int8:
+        return logits, (sk, sv, scp)
     return logits, (sk, sv)
 
 
@@ -1152,6 +1248,7 @@ def greedy_decode(
     cross_kv_quantize: bool = False,
     cross_kv_bits: int = 8,
     decoder_q8: Params | None = None,  # quantize_decoder_weights output
+    self_kv_int8: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Batched greedy/sampled decode with static KV cache.
 
@@ -1162,6 +1259,10 @@ def greedy_decode(
     the first decode step, as Whisper defines it. ``decoder_q8`` switches
     the decode loop's weight matmuls to int8 (the teacher-forced priming
     keeps full precision unless the cross KV is also quantized).
+    ``self_kv_int8`` stores the loop's SELF cache int8 with per-position
+    scales (:func:`quantize_self_cache` after priming, quantize-on-write
+    in the loop) — with the cross KV and weights already quantized the
+    bf16 self cache is the decode step's largest remaining HBM term.
     """
     B, P = prompt.shape
     L = dims.n_text_layer
@@ -1256,16 +1357,25 @@ def greedy_decode(
     sum_lp = first_lp
     n_decoded = jnp.ones((B,), jnp.float32)
 
+    if self_kv_int8:
+        # one-shot int8 conversion of the primed cache; the barrier pins
+        # it before the loop (same re-sinking hazard as the cross-KV
+        # split above), and the bf16 cache dies here
+        cache = jax.lax.optimization_barrier(
+            quantize_self_cache(sk, sv, P))
+    else:
+        cache = (sk, sv)
+
     def cond(state):
-        i, _, _, _, finished, _, _, _ = state
+        i, _, _, finished, _, _, _ = state
         return (i < total - 1) & ~jnp.all(finished)
 
     def body(state):
-        i, tokens, sk, sv, finished, sum_lp, n_decoded, rng = state
+        i, tokens, cache, finished, sum_lp, n_decoded, rng = state
         cur = jax.lax.dynamic_slice(tokens, (0, i), (B, 1))
-        logits, (sk, sv) = decoder_step(
-            params, dims, cur, cross_kv, i, (sk, sv), dtype=dtype,
-            q8=decoder_q8,
+        logits, cache = decoder_step(
+            params, dims, cur, cross_kv, i, cache, dtype=dtype,
+            q8=decoder_q8, self_kv_int8=self_kv_int8,
         )
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         key, rng = jax.random.split(rng)
@@ -1276,11 +1386,11 @@ def greedy_decode(
         n_decoded = n_decoded + jnp.where(finished, 0.0, 1.0)
         tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, i + 1))
         finished = finished | (nxt == eot)
-        return i + 1, tokens, sk, sv, finished, sum_lp, n_decoded, rng
+        return i + 1, tokens, cache, finished, sum_lp, n_decoded, rng
 
-    _, tokens, _, _, _, sum_lp, n_decoded, _ = jax.lax.while_loop(
+    _, tokens, _, _, sum_lp, n_decoded, _ = jax.lax.while_loop(
         cond, body,
-        (jnp.int32(P), tokens, sk, sv, finished, sum_lp, n_decoded, rng),
+        (jnp.int32(P), tokens, cache, finished, sum_lp, n_decoded, rng),
     )
     return tokens, sum_lp / jnp.maximum(n_decoded, 1.0), no_speech_prob
 

@@ -25,6 +25,8 @@ __all__ = [
     "attend_auto",
     "decode_cross_attention_q8",
     "decode_cross_attention_q4",
+    "decode_self_attention_q8",
+    "pack_self_scales",
     "matmul_q8w",
     "matmul_q4w",
     "q4_tiles",
@@ -215,6 +217,127 @@ def decode_cross_attention_q4(
     )(qf, k4, v4)
     o = out[:, :, :, :H].transpose(0, 3, 1, 2)  # (B, H, M, hd)
     return o * vs
+
+
+def _decode_self_kernel(q_ref, k_ref, v_ref, sc_ref, o_ref, *,
+                        n_heads: int):
+    """All-heads single-query SELF-attention against int8 K/V with
+    PER-POSITION scales, dequant in VMEM, one grid step per batch row.
+
+    Self-KV differs from the cross kernels in two ways that shape the
+    operand layout:
+
+    * the cache grows a position per step, so scales are per
+      (head, position) — amax over head_dim at WRITE time — and cannot
+      be folded into q (K-side) or the output (V-side) like the
+      cross kernels' loop-invariant scales. They ride a third operand.
+    * positions past the write head are garbage, so the kernel needs
+      the causal mask — but scalar operands force non-tile-aligned
+      blocks (the (20, 64)/(20, 1) FAILED_PRECONDITION lesson). Both
+      problems share one solution: a packed (Cp, 128) f32 operand with
+      K-scales in lanes [0, H), V-scales in lanes [H, 2H) and an
+      ADDITIVE mask (0 valid / -1e30 invalid) in lane 2H, maintained by
+      the caller as part of the cache state — the write of position
+      ``pos`` sets its scales and flips its mask lane to 0 in the same
+      row, so the kernel takes no scalars at all.
+
+    q_ref (M, hd, 128-lane pad) f32 with 1/sqrt(hd) folded, head h in
+    lane h (same transposed carry as the cross kernels); k_ref/v_ref
+    (H, hd, Cp) int8; sc_ref (Cp, 128) f32; o_ref like q_ref.
+    """
+    H = n_heads
+    q = q_ref[:]
+    qt = q[:, :, :H].transpose(2, 0, 1)  # (H, M, hd)
+
+    kf = k_ref[:].astype(jnp.float32)  # (H, hd, Cp)
+    s = jax.lax.dot_general(
+        qt, kf, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (H, M, Cp)
+    sc = sc_ref[:]  # (Cp, 128)
+    ks_t = sc[:, :H].T  # (H, Cp)
+    s = s * ks_t[:, None, :] + sc[:, 2 * H][None, None, :]
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    # per-position V scales fold into the probabilities (they cannot be
+    # pulled out of the sum over positions)
+    p = p * sc[:, H:2 * H].T[:, None, :]
+
+    vf = v_ref[:].astype(jnp.float32)  # (H, hd, Cp)
+    o = jax.lax.dot_general(
+        p, vf, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (H, M, hd)
+    o_ref[:] = jnp.pad(o.transpose(1, 2, 0),
+                       ((0, 0), (0, 0), (0, o_ref.shape[2] - H)))
+
+
+def self_q8_aligned(H: int, hd: int, Cp: int) -> bool:
+    """Tile-alignment + lane-budget gate for the self-KV int8 kernel."""
+    return hd % 32 == 0 and Cp % 128 == 0 and 2 * H + 1 <= 128
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def decode_self_attention_q8(
+    q: jax.Array,   # (B, H, M, hd) — the decode step's query (M=1)
+    k8: jax.Array,  # (B, H, hd, Cp) int8
+    v8: jax.Array,  # (B, H, hd, Cp) int8
+    sc: jax.Array,  # (B, Cp, 128) f32 packed scales + additive mask
+    interpret: bool = False,
+) -> jax.Array:
+    """softmax(q.K/sqrt(hd) + mask).V over int8 self-KV with per-position
+    scales; returns (B, H, M, hd) f32. See :func:`_decode_self_kernel`
+    for the packed-operand design. Falls back to a dequantized einsum
+    off-TPU or when dims aren't tile-aligned (tests, tiny presets).
+    """
+    B, H, M, hd = q.shape
+    Cp = k8.shape[-1]
+    scale = hd ** -0.5
+    qf = q.astype(jnp.float32) * scale
+    if not (interpret or (on_tpu(k8) and self_q8_aligned(H, hd, Cp))):
+        ks_t = sc[:, :, :H].transpose(0, 2, 1)  # (B, H, Cp)
+        vs_t = sc[:, :, H:2 * H].transpose(0, 2, 1)
+        amask = sc[:, :, 2 * H]  # (B, Cp)
+        s = jnp.einsum("bhmd,bhdc->bhmc", qf, k8.astype(jnp.float32))
+        s = s * ks_t[:, :, None, :] + amask[:, None, None, :]
+        p = jax.nn.softmax(s, axis=-1) * vs_t[:, :, None, :]
+        return jnp.einsum("bhmc,bhdc->bhmd", p, v8.astype(jnp.float32))
+    lanes = -(-H // 128) * 128
+    qf = jnp.pad(qf.transpose(0, 2, 3, 1),
+                 ((0, 0), (0, 0), (0, 0), (0, lanes - H)))
+    out = pl.pallas_call(
+        functools.partial(_decode_self_kernel, n_heads=H),
+        out_shape=jax.ShapeDtypeStruct((B, M, hd, lanes), jnp.float32),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((None, M, hd, lanes), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((None, H, hd, Cp), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((None, H, hd, Cp), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((None, Cp, 128), lambda b: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, M, hd, lanes), lambda b: (b, 0, 0, 0)),
+        interpret=interpret,
+    )(qf, k8, v8, sc)
+    return out[:, :, :, :H].transpose(0, 3, 1, 2)  # (B, H, M, hd)
+
+
+def pack_self_scales(ks: jax.Array, vs: jax.Array,
+                     valid: jax.Array) -> jax.Array:
+    """Build the (..., Cp, 128) packed scales+mask operand of
+    :func:`decode_self_attention_q8` from per-position scales.
+
+    ``ks``/``vs`` (..., H, Cp) f32; ``valid`` (..., Cp) bool — True where
+    the position holds real K/V. Lanes [0, H) carry K scales, [H, 2H) V
+    scales, lane 2H the additive mask (0 valid / -1e30 invalid); lanes
+    past 2H are zero.
+    """
+    *lead, H, Cp = ks.shape
+    out = jnp.zeros((*lead, Cp, 128), jnp.float32)
+    out = out.at[..., :H].set(jnp.swapaxes(ks, -1, -2))
+    out = out.at[..., H:2 * H].set(jnp.swapaxes(vs, -1, -2))
+    return out.at[..., 2 * H].set(
+        jnp.where(valid, 0.0, -1e30).astype(jnp.float32))
 
 
 def _largest_tile(n: int, cap: int) -> int | None:

@@ -35,6 +35,8 @@ DECODER_INT4 = os.environ.get("BENCH_DECODER_INT4", "0") == "1"
 #: with BENCH_DECODER_INT8: int4 the vocab projection only (the one
 #: matmul the kernel table shows int4 winning — mixed profile)
 LM_HEAD_INT4 = os.environ.get("BENCH_LM_HEAD_INT4", "0") == "1"
+#: int8 self-KV cache with per-position scales (greedy decode)
+SELF_KV_INT8 = os.environ.get("BENCH_SELF_KV_INT8", "0") == "1"
 #: "greedy" (default) or "beam" — beam is faster-whisper's default
 #: strategy; the shared-cross-KV beam path should stay ≤1.6x greedy cost
 DECODE = os.environ.get("BENCH_DECODE", "greedy")
@@ -66,7 +68,7 @@ def main() -> None:
         window_batch_size=WINDOW_BATCH,
         cross_kv_int8=CROSS_KV_INT8, cross_kv_int4=CROSS_KV_INT4,
         decoder_int8=DECODER_INT8, decoder_int4=DECODER_INT4,
-        lm_head_int4=LM_HEAD_INT4,
+        lm_head_int4=LM_HEAD_INT4, self_kv_int8=SELF_KV_INT8,
         decode=DECODE, beam_size=BEAM_SIZE, speculative_k=SPEC_K,
         condition_on_previous_text=CONDITION,
         # random-init logprobs (~ -10.8) trip the avg-logprob quality gate
@@ -114,6 +116,7 @@ def main() -> None:
                 "int8" if DECODER_INT8 else "bf16"),
             "cross_kv_quant": "int4" if CROSS_KV_INT4 else (
                 "int8" if CROSS_KV_INT8 else "bf16"),
+            "self_kv_quant": "int8" if SELF_KV_INT8 else "bf16",
             "beam_size": BEAM_SIZE if DECODE == "beam" else None,
             "beam_reorder": (os.environ.get("BEAM_REORDER", "lazy")
                              if DECODE == "beam" else None),
