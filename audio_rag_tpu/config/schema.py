@@ -188,11 +188,16 @@ class ASRConfig(BaseModel):
     #: scales+causal-mask operand, `ops/pallas_kernels.decode_self_
     #: attention_q8`). With the cross KV and weights already quantized,
     #: the bf16 self cache is the decode step's largest remaining HBM
-    #: read (~1.2 GB/step at window batch 32) — this halves it and also
-    #: halves the cache's HBM residency. Greedy decode only (beam's
-    #: lazy-ancestry path and speculative block decode keep bf16 self
-    #: KV); numerics evidence at production dims rides the same ladder
-    #: as the other int8 paths.
+    #: read (~1.2 GB/step at window batch 32) — this halves the payload
+    #: bytes and the cache's HBM residency. **Measured NEGATIVE on chip**
+    #: (same-session wb32 A/B: RTF 0.0077 vs 0.0061 with bf16 self-KV —
+    #: docs/bench_runs/asr_greedy_wb32_kvint4_lm4_{skv8,control3}.json):
+    #: the int8 tile forces a transposed (hd, Cp) layout whose per-step
+    #: writes land on the LANE axis (3 scatters × 32 layers), C pads
+    #: 224→256, and the packed scales operand adds ~0.13 GB/step — the
+    #: overheads eat more than the ~0.4 GB/step the int8 payload saves.
+    #: Kept as a correct, tested capacity option (halves self-cache
+    #: residency); OFF in every shipped profile. Greedy decode only.
     self_kv_int8: bool = False
     checkpoint_path: str | None = None
 

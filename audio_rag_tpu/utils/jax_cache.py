@@ -34,10 +34,26 @@ def apply_platform_env() -> None:
 
 
 def enable_compilation_cache(cache_dir: str | None = None) -> None:
+    """Enable the persistent cache — for TPU programs ONLY.
+
+    CPU executables are AOT-compiled against the build host's exact CPU
+    features; a cache entry written on one machine SIGILL/segfaults when
+    a later process on a different host deserializes it (observed: the
+    8-device virtual-CPU test suite died mid-``pjit`` in
+    ``compilation_cache.get_executable_and_time`` loading an entry whose
+    compile-machine features the host lacked — the ``cpu_aot_loader``
+    mismatch warnings are the smoking gun). CPU compiles are fast anyway;
+    the cache exists for the minutes-per-program TPU remote relay, so a
+    CPU-platform process (tests, ``dryrun_multichip``) skips it.
+    """
     global _enabled
     if _enabled:
         return
     import jax
+
+    plat = (jax.config.jax_platforms or "").split(",")[0].lower()
+    if plat == "cpu" or os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        return
 
     d = cache_dir or os.environ.get("AUDIO_RAG_JAX_CACHE", _DEFAULT_DIR)
     try:

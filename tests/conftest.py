@@ -20,6 +20,12 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Never read/write the persistent compilation cache from the CPU suite:
+# CPU executables are AOT-compiled for the build host's exact features, and
+# an entry cached by a different machine segfaults when deserialized here
+# (utils/jax_cache.enable_compilation_cache also refuses on CPU — this is
+# the belt to that suspender).
+jax.config.update("jax_compilation_cache_dir", None)
 
 import numpy as np
 import pytest
