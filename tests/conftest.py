@@ -10,9 +10,15 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"  # override: the shell may pin a TPU platform
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_parallel_codegen_split_count" not in flags:
+    # XLA:CPU's parallel LLVM codegen flaked under the full suite on this
+    # 1-CPU VM (~600 compiled programs, 10+ live threads): segfaults
+    # INSIDE backend_compile_and_load / persistent-cache reads at varying
+    # tests, 4/4 full runs, while any subset passed in isolation.
+    # Single-threaded codegen ran the identical suite to exit 0.
+    flags = flags + " --xla_cpu_parallel_codegen_split_count=1"
+os.environ["XLA_FLAGS"] = flags
 
 # The environment's sitecustomize imports jax at interpreter start (before
 # this file runs), so env vars alone don't steer platform selection; the
