@@ -80,9 +80,10 @@ class ASRConfig(BaseModel):
     #: magnitude (measured in docs/PERFORMANCE.md "Conditioned decode");
     #: set True for transcript parity with the reference's defaults.
     #: Previous-token context truncates DOWN to a small bucket set
-    #: (¼/½/full of the cap) so the compiled-program set stays bounded —
-    #: steady state on real speech uses the full-cap bucket, matching
-    #: faster-whisper exactly.
+    #: ({4, 8, 16, 32, 64, 128, cap} tokens, capped at n_text_ctx/2−1;
+    #: see ``WhisperJAX._prompt_buckets``) so the compiled-program set
+    #: stays bounded — steady state on real speech uses the full-cap
+    #: bucket, matching faster-whisper exactly.
     condition_on_previous_text: bool = False
     #: reset the conditioning history after any window that needed a
     #: fallback temperature above this (faster-whisper's

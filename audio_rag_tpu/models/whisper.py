@@ -115,10 +115,15 @@ class SpecialTokens:
                 no_timestamps=50364, timestamp_base=50365,
             )
         if dims.n_vocab < 51865:  # test vocab: specials at the top, like real
+            # 9 reserved slots at v-9..v-1 in the real vocab's relative
+            # order, so sot_prev sits INSIDE the control range and
+            # _strip_special's "eot <= i < timestamp_base is control"
+            # assumption covers it (a sot_prev below eot would collide
+            # with a regular text token id).
             v = dims.n_vocab
             return cls(
-                eot=v - 8, sot=v - 7, lang_base=v - 6, translate=v - 5,
-                transcribe=v - 4, sot_prev=v - 9, no_speech=v - 3,
+                eot=v - 9, sot=v - 8, lang_base=v - 7, translate=v - 6,
+                transcribe=v - 5, sot_prev=v - 4, no_speech=v - 3,
                 no_timestamps=v - 2, timestamp_base=v - 1,
             )
         return cls()

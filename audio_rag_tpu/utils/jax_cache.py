@@ -54,6 +54,15 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
     plat = (jax.config.jax_platforms or "").split(",")[0].lower()
     if plat == "cpu" or os.environ.get("JAX_PLATFORMS", "") == "cpu":
         return
+    if not plat:
+        # Platform unset: JAX may still RESOLVE to the CPU backend (e.g. a
+        # host without the TPU plugin) — caching that writes host-specific
+        # CPU AOT executables, the exact cross-host segfault above.
+        try:
+            if jax.default_backend() == "cpu":
+                return
+        except Exception:
+            return
 
     d = cache_dir or os.environ.get("AUDIO_RAG_JAX_CACHE", _DEFAULT_DIR)
     try:

@@ -8,6 +8,13 @@
 
 const $ = (id) => document.getElementById(id);
 const api = () => ({ "X-API-Key": $("apiKey").value });
+// HTML-escape for anything interpolated into innerHTML that the server or
+// the user controls (error details, filenames, transcript text) — stored/
+// reflected XSS otherwise.
+const esc = (s) =>
+  String(s).replace(/[&<>"']/g, (c) => (
+    { "&": "&amp;", "<": "&lt;", ">": "&gt;", '"': "&quot;", "'": "&#39;" }[c]
+  ));
 
 // mirror of jobqueue/job.py STAGE_ORDER — powers the progress stepper
 const STAGES = [
@@ -117,7 +124,7 @@ async function runSearch() {
   }
   if (!r.ok) {
     const msg = await apiError(r);
-    $("results").innerHTML = `<div class='card error'>${msg}</div>`;
+    $("results").innerHTML = `<div class='card error'>${esc(msg)}</div>`;
     return showError(msg);
   }
   const data = await r.json();
@@ -125,15 +132,15 @@ async function runSearch() {
     $("answerCard").classList.remove("hidden");
     $("answerCard").innerHTML =
       `<div class="meta">answer · ${(data.elapsed_s * 1000).toFixed(0)} ms</div>` +
-      `<div>${data.answer}</div>`;
+      `<div>${esc(data.answer)}</div>`;
   }
   $("results").innerHTML = data.results
     .map(
       (x) => `<div class="card">
         <div class="meta">
           <span class="score">${x.score.toFixed(3)}</span>
-          ${x.speaker ?? "speaker?"} · ${fmtTime(x.start)}–${fmtTime(x.end)}
-        </div>${x.text}</div>`
+          ${esc(x.speaker ?? "speaker?")} · ${fmtTime(x.start)}–${fmtTime(x.end)}
+        </div>${esc(x.text)}</div>`
     )
     .join("") || "<div class='card'>no results</div>";
 }
@@ -180,22 +187,24 @@ function trackJob(jobId, name) {
     try {
       const r = await fetch(`/api/v1/jobs/${jobId}`, { headers: api() });
       if (!r.ok) {
-        el.innerHTML = `<div class="meta error">${name} · ${await apiError(r)}</div>`;
+        el.innerHTML =
+          `<div class="meta error">${esc(name)} · ${esc(await apiError(r))}</div>`;
         return;
       }
       s = await r.json();
     } catch (e) {
-      el.innerHTML = `<div class="meta error">${name} · ${e.message}</div>`;
+      el.innerHTML =
+        `<div class="meta error">${esc(name)} · ${esc(e.message)}</div>`;
       return;
     }
     const cancelBtn = done ? "" :
       `<button class="mini" data-cancel="${jobId}">cancel</button>`;
     el.innerHTML =
-      `<div class="meta">${name} · <b>${s.status}</b> ${cancelBtn}</div>` +
+      `<div class="meta">${esc(name)} · <b>${esc(s.status)}</b> ${cancelBtn}</div>` +
       stepper(s.stage, s.status) +
       `<progress max="1" value="${s.progress}"></progress>` +
       (s.status === "failed"
-        ? `<div class="error">${s.error ?? "ingestion failed"}</div>` : "") +
+        ? `<div class="error">${esc(s.error ?? "ingestion failed")}</div>` : "") +
       (s.result
         ? ` <span class="meta">${s.result.num_chunks} chunks, ` +
           `${s.result.num_speakers} speakers, ` +
