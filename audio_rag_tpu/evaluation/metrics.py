@@ -62,6 +62,9 @@ class EvaluationResult:
     generation: GenerationMetrics | None
     latency_s: float
     answer: str | None = None
+    #: LLM-judged RAGAS quartet (faithfulness / answer_relevancy /
+    #: context_precision / context_recall) when requested
+    ragas: dict[str, float] | None = None
 
     def to_dict(self) -> dict[str, Any]:
         return {
@@ -71,6 +74,7 @@ class EvaluationResult:
             "generation": asdict(self.generation)
             if self.generation else None,
             "latency_s": self.latency_s,
+            "ragas": self.ragas,
         }
 
 
@@ -200,7 +204,13 @@ class RAGEvaluator:
                 log.warning("entailment scoring failed: %s", exc)
         return m
 
-    # -- LLM-judged faithfulness (RAGAS-style) -----------------------------
+    # -- LLM-judged RAGAS quartet ------------------------------------------
+    # The reference computes faithfulness / answer relevancy / context
+    # precision / context recall through the ragas library over Ollama
+    # (reference evaluation/metrics.py:100-126,253-291). Here the same
+    # four metrics are first-party LLM-judged, served by the on-mesh
+    # generator, following each ragas metric's published semantics.
+
     def judge_faithfulness(
         self, question: str, answer: str, contexts: list[str]
     ) -> float | None:
@@ -224,6 +234,146 @@ class RAGEvaluator:
             log.warning("faithfulness judge failed: %s", exc)
             return None
 
+    def judge_answer_relevancy(
+        self, question: str, answer: str, n_questions: int = 3
+    ) -> float | None:
+        """ragas AnswerRelevancy semantics: generate questions the ANSWER
+        would answer, then score mean embedding cosine against the actual
+        question (a relevant answer regenerates its own question; an
+        evasive/off-topic one doesn't)."""
+        if self.generator is None:
+            return None
+        gen_qs: list[str] = []
+        for i in range(n_questions):
+            prompt = (
+                "Write one short question that the following ANSWER "
+                "directly answers. Reply with only the question.\n\n"
+                f"ANSWER: {answer[:800]}\n\nQUESTION:"
+            )
+            try:
+                raw = self.generator.generate(
+                    prompt, max_tokens=24,
+                    temperature=0.0 if i == 0 else 0.7,
+                )
+            except Exception as exc:
+                log.warning("answer-relevancy judge failed: %s", exc)
+                return None
+            q = raw.strip().splitlines()[0].strip() if raw.strip() else ""
+            if q:
+                gen_qs.append(q)
+        if not gen_qs:
+            return 0.0
+        if self.embedder is not None:
+            try:
+                embs = self.embedder.embed([question] + gen_qs)
+                q0 = embs[0].dense
+                sims = [
+                    float(np.dot(q0, e.dense)
+                          / max(np.linalg.norm(q0)
+                                * np.linalg.norm(e.dense), 1e-9))
+                    for e in embs[1:]
+                ]
+                return round(float(np.mean(sims)), 4)
+            except Exception as exc:
+                log.warning("answer-relevancy embed failed: %s", exc)
+        # no embedder: lexical-overlap fallback
+        return round(float(np.mean(
+            [self._unigram_bleu(q, question) for q in gen_qs])), 4)
+
+    def judge_context_precision(
+        self, question: str, contexts: list[str],
+        ground_truth: str | None = None,
+    ) -> float | None:
+        """ragas ContextPrecision semantics: per-context LLM verdict
+        "useful for answering?", aggregated as rank-weighted mean
+        precision@i over the useful positions — useful contexts ranked
+        low drag the score down."""
+        if self.generator is None or not contexts:
+            return None
+        verdicts: list[bool] = []
+        for c in contexts[:5]:
+            ref = f"\nREFERENCE ANSWER: {ground_truth[:400]}" \
+                if ground_truth else ""
+            prompt = (
+                "Is the CONTEXT useful for answering the QUESTION? "
+                "Reply yes or no.\n\n"
+                f"QUESTION: {question}{ref}\n"
+                f"CONTEXT: {c[:500]}\n\nVerdict:"
+            )
+            try:
+                raw = self.generator.generate(prompt, max_tokens=3,
+                                              temperature=0.0)
+            except Exception as exc:
+                log.warning("context-precision judge failed: %s", exc)
+                return None
+            verdicts.append("yes" in raw.lower())
+        hits, acc = 0, 0.0
+        for i, v in enumerate(verdicts):
+            if v:
+                hits += 1
+                acc += hits / (i + 1)
+        return round(acc / hits, 4) if hits else 0.0
+
+    def judge_context_recall(
+        self, contexts: list[str], ground_truth: str,
+        max_statements: int = 8,
+    ) -> float | None:
+        """ragas ContextRecall semantics: split the ground-truth answer
+        into statements, ask per statement whether it can be attributed
+        to the retrieved contexts; recall = attributed fraction."""
+        if self.generator is None or not ground_truth.strip():
+            return None
+        statements = [
+            s.strip() for s in re.split(r"(?<=[.!?])\s+", ground_truth)
+            if s.strip()
+        ][:max_statements]
+        if not statements:
+            return None
+        ctx = "\n---\n".join(c[:500] for c in contexts[:5])
+        attributed = 0
+        for s in statements:
+            prompt = (
+                "Can the STATEMENT be attributed to (supported by) the "
+                "CONTEXTS? Reply yes or no.\n\n"
+                f"CONTEXTS:\n{ctx}\n\nSTATEMENT: {s}\n\nVerdict:"
+            )
+            try:
+                raw = self.generator.generate(prompt, max_tokens=3,
+                                              temperature=0.0)
+            except Exception as exc:
+                log.warning("context-recall judge failed: %s", exc)
+                return None
+            attributed += int("yes" in raw.lower())
+        return round(attributed / len(statements), 4)
+
+    def compute_ragas_metrics(
+        self,
+        question: str,
+        answer: str,
+        contexts: list[str],
+        ground_truth: str,
+    ) -> dict[str, float]:
+        """The full quartet (reference ``compute_ragas_metrics``,
+        evaluation/metrics.py:253-291): judge failures score 0.0 like the
+        reference's per-metric except handler; returns {} with no judge."""
+        if self.generator is None:
+            return {}
+        out: dict[str, float] = {}
+        for name, fn in (
+            ("faithfulness",
+             lambda: self.judge_faithfulness(question, answer, contexts)),
+            ("answer_relevancy",
+             lambda: self.judge_answer_relevancy(question, answer)),
+            ("context_precision",
+             lambda: self.judge_context_precision(
+                 question, contexts, ground_truth)),
+            ("context_recall",
+             lambda: self.judge_context_recall(contexts, ground_truth)),
+        ):
+            v = fn()
+            out[name] = float(v) if v is not None else 0.0
+        return out
+
     # -- dataset sweep -----------------------------------------------------
     def evaluate_dataset(
         self,
@@ -232,6 +382,7 @@ class RAGEvaluator:
         search_types: list[str] = ("dense", "hybrid"),
         generate_answers: bool = False,
         use_hyde: bool = False,
+        compute_ragas: bool = False,
     ) -> list[EvaluationResult]:
         results: list[EvaluationResult] = []
         for search_type in search_types:
@@ -239,7 +390,7 @@ class RAGEvaluator:
                 results.append(
                     self._evaluate_sample(
                         pipeline, sample, search_type,
-                        generate_answers, use_hyde,
+                        generate_answers, use_hyde, compute_ragas,
                     )
                 )
         return results
@@ -247,6 +398,7 @@ class RAGEvaluator:
     def _evaluate_sample(
         self, pipeline, sample: EvalSample, search_type: str,
         generate_answers: bool, use_hyde: bool,
+        compute_ragas: bool = False,
     ) -> EvaluationResult:
         t0 = time.perf_counter()
         out = pipeline.query(
@@ -265,6 +417,13 @@ class RAGEvaluator:
             generation = self.compute_generation_metrics(
                 out.answer, sample.reference_answer
             )
+        ragas = None
+        if compute_ragas and out.answer:
+            ragas = self.compute_ragas_metrics(
+                sample.question, out.answer,
+                [r.text for r in out.results],
+                sample.reference_answer,
+            ) or None
         return EvaluationResult(
             question=sample.question,
             search_type=search_type,
@@ -272,6 +431,7 @@ class RAGEvaluator:
             generation=generation,
             latency_s=round(latency, 4),
             answer=out.answer,
+            ragas=ragas,
         )
 
     # -- summary -----------------------------------------------------------
@@ -308,6 +468,12 @@ class RAGEvaluator:
                         if g.semantic_similarity is not None]
                 if sims:
                     entry["semantic_similarity"] = float(np.mean(sims))
+            rag = [r.ragas for r in rs if r.ragas]
+            for key in ("faithfulness", "answer_relevancy",
+                        "context_precision", "context_recall"):
+                vals = [d[key] for d in rag if key in d]
+                if vals:
+                    entry[key] = float(np.mean(vals))
             summary[stype] = {k: round(v, 4) for k, v in entry.items()}
         return summary
 

@@ -55,6 +55,8 @@ def main() -> int:
                         help="dataset JSON (default: built-in 8-sample set)")
     p_eval.add_argument("--search-types", default="dense,hybrid")
     p_eval.add_argument("--answers", action="store_true")
+    p_eval.add_argument("--ragas", action="store_true",
+                        help="LLM-judged RAGAS quartet (implies --answers)")
 
     args = parser.parse_args()
 
@@ -123,11 +125,15 @@ def main() -> int:
             EvalDataset.load(args.dataset) if args.dataset
             else CS229_EVAL_DATASET
         )
-        evaluator = RAGEvaluator(embedder=rag._embedder)
+        evaluator = RAGEvaluator(
+            embedder=rag._embedder,
+            generator=rag.querying.generator if args.ragas else None,
+        )
         results = evaluator.evaluate_dataset(
             rag, dataset,
             search_types=args.search_types.split(","),
-            generate_answers=args.answers,
+            generate_answers=args.answers or args.ragas,
+            compute_ragas=args.ragas,
         )
         summary = evaluator.summarize_results(results)
         evaluator.print_summary(summary)

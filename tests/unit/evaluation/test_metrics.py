@@ -137,3 +137,101 @@ class TestDatasetSweep:
         assert summary["dense"]["n"] == 8
         report = ev.print_summary(summary)
         assert "precision_at_k" in report
+
+
+class ScriptedJudge:
+    """Deterministic stand-in for the LLM judge: answers by prompt shape."""
+
+    def __init__(self):
+        self.calls = []
+
+    def generate(self, prompt, max_tokens=16, temperature=0.0, **kw):
+        self.calls.append(prompt)
+        if "Rate 0-10" in prompt:
+            return " 8 "
+        if "Write one short question" in prompt:
+            return "what is gradient descent?\n(extra line ignored)"
+        if "Is the CONTEXT useful" in prompt:
+            ctx = prompt.split("CONTEXT:")[1]
+            return "Yes." if "signal" in ctx else "No."
+        if "Can the STATEMENT" in prompt:
+            stmt = prompt.split("STATEMENT:")[1]
+            return "yes" if "gradient" in stmt else "no"
+        return "no"
+
+
+class TestRagasQuartet:
+    """First-party equivalents of the reference's ragas metrics
+    (reference evaluation/metrics.py:100-126,253-291)."""
+
+    def setup_method(self):
+        self.judge = ScriptedJudge()
+        self.ev = RAGEvaluator(generator=self.judge)
+
+    def test_faithfulness_parses_rating(self):
+        v = self.ev.judge_faithfulness("q", "a", ["ctx"])
+        assert v == 0.8
+
+    def test_answer_relevancy_lexical_fallback(self):
+        # no embedder → unigram-overlap of regenerated question vs actual
+        v = self.ev.judge_answer_relevancy(
+            "what is gradient descent?", "gradient descent minimizes loss")
+        assert v is not None and v > 0.5
+        off = self.ev.judge_answer_relevancy(
+            "how do transformers work?", "gradient descent minimizes loss")
+        assert off < v
+
+    def test_answer_relevancy_uses_embedder_cosine(self):
+        class E:
+            def embed(self, texts):
+                import numpy as _np
+                from audio_rag_tpu.core.types import EmbeddingResult
+
+                out = []
+                for t in texts:
+                    v = _np.zeros(8, _np.float32)
+                    for w in t.lower().split():
+                        v[hash(w) % 8] += 1.0
+                    out.append(EmbeddingResult(dense=v))
+                return out
+
+        ev = RAGEvaluator(generator=self.judge, embedder=E())
+        v = ev.judge_answer_relevancy("what is gradient descent?", "a")
+        assert 0.0 < v <= 1.0
+
+    def test_context_precision_rank_weighted(self):
+        # verdicts [yes, no, yes] → (1/1 + 2/3) / 2
+        v = self.ev.judge_context_precision(
+            "q", ["signal one", "noise", "signal two"])
+        assert v == pytest.approx((1.0 + 2.0 / 3.0) / 2.0, abs=1e-3)
+        # useful context ranked lower scores worse than ranked first
+        worse = self.ev.judge_context_precision("q", ["noise", "signal"])
+        assert worse < v
+
+    def test_context_precision_no_useful(self):
+        assert self.ev.judge_context_precision("q", ["noise", "junk"]) == 0.0
+
+    def test_context_recall_statement_fraction(self):
+        v = self.ev.judge_context_recall(
+            ["ctx"], "gradient descent iterates. pasta is tasty.")
+        assert v == 0.5
+
+    def test_quartet_and_summary(self):
+        out = self.ev.compute_ragas_metrics(
+            "q", "a", ["signal ctx"], "gradient descent iterates.")
+        assert set(out) == {"faithfulness", "answer_relevancy",
+                            "context_precision", "context_recall"}
+        assert all(0.0 <= v <= 1.0 for v in out.values())
+        from audio_rag_tpu.evaluation.metrics import (
+            EvaluationResult,
+            RetrievalMetrics,
+        )
+
+        rs = [EvaluationResult("q", "hybrid", RetrievalMetrics(), None,
+                               0.01, answer="a", ragas=out)]
+        summary = RAGEvaluator.summarize_results(rs)
+        assert summary["hybrid"]["faithfulness"] == out["faithfulness"]
+        assert "context_recall" in summary["hybrid"]
+
+    def test_no_generator_returns_empty(self):
+        assert RAGEvaluator().compute_ragas_metrics("q", "a", ["c"], "g") == {}
