@@ -63,6 +63,7 @@ __all__ = ["WhisperJaxASR", "HBM_ESTIMATES"]
 HBM_ESTIMATES: dict[str, float] = {
     "tiny": 0.3, "base": 0.5, "small": 1.2, "medium": 3.2,
     "large-v2": 6.5, "large-v3": 6.5, "test": 0.05, "test-ml": 0.1,
+    "tiny-synth": 0.05,
 }
 
 MAX_NEW_TOKENS = 224  # ≤ n_text_ctx/2, as Whisper decodes per window
@@ -191,6 +192,21 @@ class WhisperJaxASR(BaseASR):
                 "checkpoint %s missing whisper params; random init",
                 self.config.checkpoint_path,
             )
+        if self.config.model_size == "tiny-synth":
+            # committed trained asset (scripts/train_asr.py): transcribes
+            # the synthetic charvoice — the WER harness / audio-in
+            # quality ladder model
+            from pathlib import Path
+
+            from audio_rag_tpu.checkpoint import load_npz_asset
+
+            params = load_npz_asset(
+                Path(__file__).resolve().parents[1] / "assets"
+                / "asr_tiny_synth.npz")
+            if params is not None:
+                return jax.tree.map(
+                    lambda x: jnp.asarray(x, jnp.float32), params)
+            log.warning("asr_tiny_synth.npz asset missing; random init")
         if self.dtype == jnp.bfloat16:
             # jit + storage_dtype: stacked bf16 buffers allocated once,
             # fp32 randoms one layer at a time — eager init of large-v3
@@ -221,12 +237,24 @@ class WhisperJaxASR(BaseASR):
                 return lambda ids: tok.decode(ids, skip_special_tokens=True)
             except Exception:
                 pass
+        if self.config.model_size == "tiny-synth":
+            # char-level codec shared with the TTS symbol table
+            from audio_rag_tpu.models.whisper import char_decode
+
+            return char_decode
         # zero-egress fallback: stable readable ids
         return lambda ids: " ".join(f"tok{int(i)}" for i in ids)
 
     # -- compiled programs -------------------------------------------------
     def _max_new(self) -> int:
-        cap = MAX_NEW_TOKENS if self.dims.n_text_ctx >= 448 else 8
+        if self.dims.n_text_ctx >= 448:
+            cap = MAX_NEW_TOKENS
+        elif self.dims.n_text_ctx >= 128:
+            # tiny-synth: char-level decoding needs ~most of the text
+            # context (a 6 s window holds up to ~110 chars)
+            cap = self.dims.n_text_ctx - 16
+        else:
+            cap = 8  # test presets: keep CPU decode loops short
         if self.config.max_decode_tokens:
             cap = min(cap, self.config.max_decode_tokens)
         return cap

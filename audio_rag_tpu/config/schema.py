@@ -39,7 +39,7 @@ class ASRConfig(BaseModel):
     #: "test" is a tiny random-init preset for CI / weight-free environments
     model_size: Literal[
         "tiny", "base", "small", "medium", "large-v2", "large-v3",
-        "test", "test-ml"
+        "test", "test-ml", "tiny-synth"
     ] = "large-v3"
     device: Literal["tpu", "cpu", "auto"] = "auto"
     compute_type: Literal["bfloat16", "float32"] = "bfloat16"

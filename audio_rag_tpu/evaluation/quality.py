@@ -33,7 +33,8 @@ from audio_rag_tpu.evaluation.corpus import (
     make_corpus,
 )
 
-__all__ = ["build_eval_setup", "run_quality_sweep", "SWEEP_CONFIGS"]
+__all__ = ["build_eval_setup", "build_eval_setup_audio",
+           "transcribe_corpus", "run_quality_sweep", "SWEEP_CONFIGS"]
 
 #: (label, search_type, rerank, store, prf)
 SWEEP_CONFIGS = [
@@ -101,6 +102,98 @@ def build_eval_setup(corpus: SynthCorpus | None = None):
     return engines, corpus
 
 
+# -- audio-in variant: the corpus is SPOKEN and transcribed ----------------
+
+def transcribe_corpus(texts: list[str], asr=None, seed: int = 4242,
+                      noise_level: float = 0.01) -> list[str]:
+    """Speak each text in the synthetic charvoice and transcribe it with
+    the committed TRAINED tiny ASR through the product transcribe path
+    (6 s windowing → mel → batched greedy decode → char codec).
+
+    Returns the hypothesis texts (what the index will embed)."""
+    import numpy as np
+
+    from audio_rag_tpu.audio.charvoice import SR, synth_text
+
+    if asr is None:
+        from audio_rag_tpu.asr.whisper_jax import WhisperJaxASR
+        from audio_rag_tpu.config.schema import ASRConfig
+
+        asr = WhisperJaxASR(ASRConfig(
+            model_size="tiny-synth", compute_type="float32",
+            vad_filter=False, temperature_fallback=False,
+            window_batch_size=4,
+        ))
+    if not asr.is_loaded:
+        asr.load()
+    rng = np.random.default_rng(seed)
+    hyps = []
+    for text in texts:
+        wav = synth_text(text, rng, noise_level=noise_level)
+        segs = asr.transcribe(wav, SR)
+        hyps.append(" ".join(s.text for s in segs))
+    return hyps
+
+
+def build_eval_setup_audio(corpus: SynthCorpus | None = None, asr=None):
+    """Audio-in ladder setup: every corpus chunk goes speech → trained
+    ASR → text before embedding, so the sweep measures retrieval quality
+    ON REAL PIPELINE OUTPUT (transcription errors degrade the embeddings
+    and rankings exactly as they would in production). Chunk boundaries
+    stay 1:1 with the corpus and each hit carries
+    ``metadata.original_text`` (the ground-truth text), so relevance
+    judgment stays exact — ASR noise can only hurt the *ranking*, never
+    corrupt the judge. (The align/chunk stages on audio are exercised by
+    the ingest e2e tests; this harness isolates the speech→text→retrieve
+    quality question.)"""
+    from audio_rag_tpu.config.schema import (
+        ContextualConfig,
+        EmbeddingConfig,
+        RerankingConfig,
+        RetrievalConfig,
+    )
+    from audio_rag_tpu.contextual.processor import ContextualProcessor
+    from audio_rag_tpu.core.types import AudioChunk
+    from audio_rag_tpu.embeddings.bge import BGEM3Embedder
+    from audio_rag_tpu.engine.query_engine import QueryEngine
+    from audio_rag_tpu.reranking.bge import BGEReranker
+    from audio_rag_tpu.retrieval.tpu_store import TPUVectorStore
+
+    corpus = corpus or extend_corpus(make_corpus())
+    hyps = transcribe_corpus(corpus.chunks, asr=asr)
+
+    emb = BGEM3Embedder(EmbeddingConfig(model="eval-small"))
+    emb.load()
+    rr = BGEReranker(RerankingConfig(model="eval-small",
+                                     fused_doc_tokens=32))
+    rr.load()
+
+    # ground truth rides under "gt_text": the contextual stage overwrites
+    # "original_text" with the (transcribed) chunk text it wraps, but
+    # merges existing metadata through — so gt_text survives both stores
+    chunks = [
+        AudioChunk(h, float(i) * 30.0, float(i + 1) * 30.0,
+                   speaker=f"SPEAKER_{i % 2:02d}", chunk_id=f"c{i:03d}",
+                   metadata={"gt_text": orig})
+        for i, (h, orig) in enumerate(zip(hyps, corpus.chunks))
+    ]
+    engines: dict[str, QueryEngine] = {}
+    store = TPUVectorStore(RetrievalConfig(capacity_step=256))
+    store.add(chunks, emb.embed(hyps))
+    engines["base"] = QueryEngine(emb, store, rr)
+
+    proc = ContextualProcessor(ContextualConfig(
+        enabled=True, backend="extractive", window_size=1))
+    groups = corpus.doc_groups or [(0, len(chunks))]
+    ctx_chunks = []
+    for a, b in groups:
+        ctx_chunks.extend(proc.process_chunks(chunks[a:b]))
+    ctx_store = TPUVectorStore(RetrievalConfig(capacity_step=256))
+    ctx_store.add(ctx_chunks, emb.embed([c.text for c in ctx_chunks]))
+    engines["ctx"] = QueryEngine(emb, ctx_store, rr)
+    return engines, corpus
+
+
 def run_quality_sweep(
     engines=None,
     eval_set=None,
@@ -144,7 +237,9 @@ def run_quality_sweep(
         for sample, results in zip(eval_set, rows):
             results = [
                 dataclasses.replace(
-                    r, text=r.metadata.get("original_text", r.text))
+                    r, text=r.metadata.get(
+                        "gt_text",
+                        r.metadata.get("original_text", r.text)))
                 for r in results
             ]
             m = evaluator.compute_retrieval_metrics(

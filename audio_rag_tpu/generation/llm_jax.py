@@ -35,7 +35,8 @@ log = get_logger(__name__)
 
 __all__ = ["LLMGenerator"]
 
-HBM_BY_MODEL = {"llama-3.2-1b": 3.0, "llama-3.2-3b": 7.0, "test": 0.05}
+HBM_BY_MODEL = {"llama-3.2-1b": 3.0, "llama-3.2-3b": 7.0, "test": 0.05,
+                "eval-small": 0.05}
 
 
 @GeneratorRegistry.register("llm-jax")
@@ -66,6 +67,7 @@ class LLMGenerator(BaseGenerator):
         self._tok = None
         self.last_token_counts: list[int] = []
         self.last_token_ids: list[list[int]] = []
+        self.last_spec_stats: dict | None = None
         #: jitted wave/speculative programs keyed on static scalars
         #: (shape/bucket variation is jit's own trace cache); kept across
         #: unload/reload — re-tracing is the expensive part, params are
@@ -88,7 +90,7 @@ class LLMGenerator(BaseGenerator):
                 fn = jax.jit(functools.partial(
                     llm_speculative_generate, dims=self.dims,
                     max_new_tokens=max_new, eos_id=eos_id,
-                    spec_k=int(knob)))
+                    spec_k=int(knob), return_stats=True))
             else:
                 fn = jax.jit(functools.partial(
                     llm_generate, dims=self.dims, max_new_tokens=max_new,
@@ -106,6 +108,20 @@ class LLMGenerator(BaseGenerator):
             from audio_rag_tpu.checkpoint import restore_params
 
             params = restore_params(self.config.checkpoint_path, "llm")
+        if params is None and self.config.model == "eval-small":
+            # committed trained tiny generator (scripts/train_llm.py)
+            from pathlib import Path
+
+            from audio_rag_tpu.checkpoint import load_npz_asset
+
+            params = load_npz_asset(
+                Path(__file__).resolve().parents[1] / "assets"
+                / "llm_small.npz")
+            if params is not None:
+                params = jax.tree.map(
+                    lambda x: jnp.asarray(x, jnp.float32), params)
+            else:
+                log.warning("llm_small.npz asset missing; random init")
         if params is None:
             # jit + storage_dtype: the stacked bf16 buffers are allocated
             # once and the fp32 randoms exist one layer at a time. Eager
@@ -239,8 +255,9 @@ class LLMGenerator(BaseGenerator):
         # batch-8 wave 2790 -> 2312 tok/s (block verification's (k+1)x
         # compute + drafting glue outweigh the already-8-way-amortized
         # weight read) — so the flag applies to SINGLE-ROW waves only
+        spec_iters = None
         if temp <= 0.0 and self.config.speculative_k > 0 and B_pad == 1:
-            out = self._gen_program(
+            out, spec_iters = self._gen_program(
                 "spec", max_new, pad_id, self.config.speculative_k)(
                 self._params, prompt=batch, prompt_mask=mask,
                 decoder_q8=self._params_q8,
@@ -269,6 +286,20 @@ class LLMGenerator(BaseGenerator):
         #: test's ground truth
         self.last_token_counts = counts
         self.last_token_ids = ids
+        #: drafter acceptance telemetry (single-row speculative path):
+        #: tokens_per_verify ∈ [1, k]; accept_rate = fraction of the k-1
+        #: drafted tokens the model's own argmax confirmed
+        self.last_spec_stats = None
+        if spec_iters is not None:
+            n_iter = max(int(np.asarray(spec_iters)), 1)
+            k = self.config.speculative_k
+            tpv = max(counts[0] - 1, 0) / n_iter
+            self.last_spec_stats = {
+                "block_verifies": n_iter,
+                "tokens_emitted": counts[0],
+                "tokens_per_verify": round(tpv, 3),
+                "accept_rate": round(max(tpv - 1.0, 0.0) / max(k - 1, 1), 4),
+            }
         return results
 
     def generate_stream(

@@ -70,6 +70,15 @@ LLM_PRESETS: dict[str, LLMDims] = {
     "llama-3.2-1b": LLMDims(128256, 2048, 32, 8, 16, 8192, 8192),
     "llama-3.2-3b": LLMDims(128256, 3072, 24, 8, 28, 8192, 8192),
     "test": LLMDims(512, 64, 4, 2, 2, 128, 128, rope_theta=10000.0),
+    # the committed TRAINED tiny generator (scripts/train_llm.py):
+    # hash-word vocab, trained on RAG answers / HyDE passages / judge
+    # verdicts over the synthetic corpus — real EOS termination and
+    # grounded echo behavior for the answer path, HyDE, the faithfulness
+    # judge, and speculative-decode acceptance measurement. The
+    # reference's equivalent is a downloaded ollama llama3.2
+    # (generation/ollama.py:58-96).
+    "eval-small": LLMDims(2048, 256, 8, 4, 4, 1024, 1024,
+                          rope_theta=10000.0),
 }
 
 
@@ -862,11 +871,17 @@ def llm_speculative_generate(
     dtype: jnp.dtype = jnp.bfloat16,
     prompt_mask: jax.Array | None = None,  # (B, P) bool, False = left-pad
     decoder_q8: Params | None = None,  # quantize_llm_weights output
+    return_stats: bool = False,
 ) -> jax.Array:
     """Greedy decode with speculative multi-token steps — output is
     EXACTLY :func:`llm_generate`'s at ``temperature=0`` (greedy
     verification accepts a draft token only when it equals the model's own
     argmax, and the bonus token IS the model's argmax).
+
+    ``return_stats=True`` additionally returns the number of block-verify
+    iterations (scalar int32): tokens-per-verify — the drafter's measured
+    acceptance — is (emitted − 1) / iterations (the first token comes
+    from the prefill, not a verify step).
 
     Same mechanism as whisper's ``speculative_greedy_decode``: each
     iteration drafts ``spec_k-1`` tokens with the zero-cost n-gram drafter
@@ -924,11 +939,11 @@ def llm_speculative_generate(
     b_idx = jnp.arange(B)
 
     def cond(state):
-        _, _, _, _, finished = state
+        _, _, _, _, finished, _ = state
         return ~jnp.all(finished)
 
     def body(state):
-        tokens, n_tok, lk, lv, finished = state
+        tokens, n_tok, lk, lv, finished, iters = state
         cur = tokens[b_idx, n_tok]  # (B,)
         drafts = ngram_draft(tokens, n_tok, k - 1)  # (B, k-1)
         block = jnp.concatenate([cur[:, None], drafts], axis=1)  # (B, k)
@@ -965,11 +980,14 @@ def llm_speculative_generate(
         n_tok = n_tok + n_new
         emitted_eos = jnp.any((f == eos_id) & write, axis=1)
         finished = finished | emitted_eos | (n_tok >= total - 1)
-        return tokens, n_tok, lk, lv, finished
+        return tokens, n_tok, lk, lv, finished, iters + 1
 
-    tokens, _, _, _, _ = jax.lax.while_loop(
-        cond, body, (tokens, n_tok, lk, lv, finished),
+    tokens, _, _, _, _, iters = jax.lax.while_loop(
+        cond, body,
+        (tokens, n_tok, lk, lv, finished, jnp.int32(0)),
     )
+    if return_stats:
+        return tokens, iters
     return tokens
 
 

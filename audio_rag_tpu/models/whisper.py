@@ -89,7 +89,40 @@ WHISPER_PRESETS: dict[str, WhisperDims] = {
     # tiny shapes with the REAL multilingual v2 vocab (51865): exercises
     # language detection / per-row language tokens on the CPU mesh
     "test-ml": WhisperDims(80, 60, 64, 2, 2, 51865, 32, 64, 2, 2),
+    # the committed TRAINED tiny ASR (scripts/train_asr.py): 6 s windows
+    # (n_audio_ctx 300), char-level vocab = models/tts.py SYMBOLS (47)
+    # + spare + 9 specials at the top (SpecialTokens.for_dims test path).
+    # 128 mels (like large-v3): the charvoice's consonant bands sit
+    # ~140 Hz apart around 2-3 kHz, right at 80-mel bin width — the
+    # finer filterbank separably resolves them (measured: word WER
+    # 0.24 → ~0.05). Closes the speech→text loop on the synthetic
+    # charvoice the trained TTS asset speaks — the reference's
+    # downloaded Whisper weights (asr/whisper.py:55-62) have no
+    # zero-egress equivalent at full vocab.
+    "tiny-synth": WhisperDims(128, 300, 128, 4, 2, 64, 128, 128, 4, 2),
 }
+
+#: char-level text codec for the "tiny-synth" preset: token id == index
+#: into the TTS symbol table, so TTS and ASR agree on the charset.
+from audio_rag_tpu.models.tts import SYMBOLS as CHAR_SYMBOLS  # noqa: E402
+
+
+def char_encode(text: str) -> list[int]:
+    """Lowercased text → tiny-synth token ids (unknown chars → space)."""
+    space = CHAR_SYMBOLS.index(" ")
+    return [
+        CHAR_SYMBOLS.index(c) if c in CHAR_SYMBOLS and c != "_" else space
+        for c in text.lower()
+    ]
+
+
+def char_decode(ids) -> str:
+    """tiny-synth token ids → text (pad/unknown ids drop)."""
+    return "".join(
+        CHAR_SYMBOLS[int(i)]
+        for i in ids
+        if 0 < int(i) < len(CHAR_SYMBOLS)
+    )
 
 
 @dataclasses.dataclass(frozen=True)

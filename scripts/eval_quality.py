@@ -27,13 +27,35 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def main() -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--audio", action="store_true",
+                    help="audio-in ladder: speak the corpus in the "
+                         "charvoice and transcribe with the committed "
+                         "trained tiny ASR before embedding (writes "
+                         "docs/bench_runs/quality_audio_in.json)")
+    args = ap.parse_args()
+
     import jax
 
     jax.config.update("jax_platforms", "cpu")
 
-    from audio_rag_tpu.evaluation.quality import run_quality_sweep
+    from audio_rag_tpu.evaluation.quality import (
+        build_eval_setup_audio,
+        run_quality_sweep,
+    )
 
-    sweep = run_quality_sweep()
+    if args.audio:
+        import time
+
+        t0 = time.time()
+        engines, corpus = build_eval_setup_audio()
+        print(f"spoke + transcribed {len(corpus.chunks)} chunks in "
+              f"{time.time() - t0:.0f}s", file=sys.stderr)
+        sweep = run_quality_sweep(engines, corpus.eval_set)
+    else:
+        sweep = run_quality_sweep()
     hdr = f"{'config':>16} | {'P@5':>6} | {'MRR':>6} | {'NDCG':>6} | " \
           f"{'hit':>5} | per-type P@5 (para / tag / pair / ctx / mism)"
     print(hdr)
@@ -48,6 +70,12 @@ def main() -> int:
               f"{m['ndcg']:6.3f} | {m['hit_rate']:5.3f} | {per}")
     print()
     print(json.dumps(sweep))
+    if args.audio:
+        out = Path(__file__).resolve().parents[1] / "docs" / "bench_runs" \
+            / "quality_audio_in.json"
+        out.write_text(json.dumps(
+            {"metric": "quality_ladder_audio_in", "sweep": sweep}) + "\n")
+        print(f"wrote {out}", file=sys.stderr)
     return 0
 
 

@@ -1,0 +1,139 @@
+"""WER of the committed trained tiny ASR on held-out synthetic speech —
+the artifact of record for the speech→text fidelity story.
+
+The reference *claims* 4.2% EN WER for Whisper large-v3 by citing the
+published papers (``docs/COMPARISON.md:59-67``); it never computes WER.
+This script computes it first-party, end to end through the product
+transcribe path (windowing → mel → batched greedy decode → char codec),
+on two held-out sets:
+
+* **charvoice**: the deterministic synthetic voice with noise/gain/onset
+  augmentation (matched to training's augmentation ranges, unseen texts);
+* **tts**: the trained neural TTS asset speaking the same texts — a
+  cross-model path with no shared audio between the two committed models.
+
+Writes ``docs/bench_runs/wer_tiny_synth.json``.
+
+Run: python scripts/eval_wer.py [--cpu] [--n 64]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+from audio_rag_tpu.audio.charvoice import SR, synth_text  # noqa: E402
+
+OUT = REPO / "docs" / "bench_runs" / "wer_tiny_synth.json"
+#: reference's cited (not measured) large-v3 WER on EN lectures
+BASELINE_WER = 0.042
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--n", type=int, default=64)
+    ap.add_argument("--out", default=str(OUT))
+    args = ap.parse_args()
+
+    import os
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    from audio_rag_tpu.utils.jax_cache import (
+        apply_platform_env,
+        enable_compilation_cache,
+    )
+
+    apply_platform_env()
+    if not args.cpu:
+        enable_compilation_cache()
+
+    from audio_rag_tpu.audio.charvoice import corpus_lexicon, make_utterance_texts
+
+    from audio_rag_tpu.asr.whisper_jax import WhisperJaxASR
+    from audio_rag_tpu.config.schema import ASRConfig, TTSConfig
+    from audio_rag_tpu.evaluation.wer import aggregate_wer
+
+    rng = np.random.default_rng(777)  # held out from training (seed 0)
+    texts = make_utterance_texts(rng, args.n, corpus_lexicon())
+
+    asr = WhisperJaxASR(ASRConfig(
+        model_size="tiny-synth", compute_type="float32",
+        vad_filter=False, temperature_fallback=False,
+    ))
+    asr.load()
+
+    t0 = time.time()
+    pairs = []
+    for text in texts:
+        wav = synth_text(text, rng,
+                         noise_level=float(rng.uniform(0, 0.02)),
+                         gain=float(rng.uniform(0.5, 1.2)))
+        segs = asr.transcribe(wav, SR)
+        pairs.append((text, " ".join(s.text for s in segs)))
+    charvoice = aggregate_wer(pairs)
+    char_s = time.time() - t0
+    print(f"charvoice WER {charvoice.wer:.4f} "
+          f"(S={charvoice.substitutions} D={charvoice.deletions} "
+          f"I={charvoice.insertions} / {charvoice.n_ref} words, "
+          f"{char_s:.0f}s)", file=sys.stderr)
+
+    tts_stats = None
+    try:
+        from audio_rag_tpu.tts.jax_tts import JaxTTS
+
+        tts = JaxTTS(TTSConfig(backend="jax"))
+        tts.load()
+        tts_pairs = []
+        for text in texts[: max(args.n // 4, 8)]:
+            pcm = tts._synthesize_pcm(text)
+            segs = asr.transcribe(np.asarray(pcm, np.float32), SR)
+            tts_pairs.append((text, " ".join(s.text for s in segs)))
+        t = aggregate_wer(tts_pairs)
+        tts_stats = {"wer": round(t.wer, 4), "n_ref_words": t.n_ref,
+                     "substitutions": t.substitutions,
+                     "deletions": t.deletions, "insertions": t.insertions}
+        print(f"tts-rendered WER {t.wer:.4f} ({t.n_ref} words)",
+              file=sys.stderr)
+    except Exception as exc:
+        print(f"tts set skipped: {exc}", file=sys.stderr)
+
+    result = {
+        "metric": "wer_tiny_synth",
+        "value": round(charvoice.wer, 4),
+        "unit": "wer",
+        "vs_baseline": round(
+            BASELINE_WER / max(charvoice.wer, 1e-4), 2),
+        "extra": {
+            "n_utterances": args.n,
+            "n_ref_words": charvoice.n_ref,
+            "substitutions": charvoice.substitutions,
+            "deletions": charvoice.deletions,
+            "insertions": charvoice.insertions,
+            "tts_rendered": tts_stats,
+            "baseline_wer_cited": BASELINE_WER,
+            "note": "committed trained tiny ASR (asr_tiny_synth.npz) on "
+                    "held-out synthetic speech through the product "
+                    "transcribe path; baseline is the reference's CITED "
+                    "(never measured) large-v3 figure — comparable in "
+                    "spirit (each model on its own domain's speech), not "
+                    "in task difficulty",
+        },
+    }
+    Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+    Path(args.out).write_text(json.dumps(result) + "\n")
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

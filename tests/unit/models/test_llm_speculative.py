@@ -124,3 +124,30 @@ def test_backend_speculative_generate_batch():
         return out, counts
 
     assert run(4) == run(0)
+
+
+class TestSpecStats:
+    def test_return_stats_iteration_count(self, params):
+        """return_stats exposes the block-verify count: tokens equal the
+        plain path's, iterations bound emitted tokens (1..k per verify),
+        and acceptance math (emitted-1)/iters stays within [1, k]."""
+        eos = 0
+        prompt, mask = _prompts(eos)
+        ref = np.asarray(llm_speculative_generate(
+            params, DIMS, prompt, 12, eos_id=eos, spec_k=4,
+            dtype=jnp.float32, prompt_mask=mask,
+        ))
+        got, iters = llm_speculative_generate(
+            params, DIMS, prompt, 12, eos_id=eos, spec_k=4,
+            dtype=jnp.float32, prompt_mask=mask, return_stats=True,
+        )
+        np.testing.assert_array_equal(ref, np.asarray(got))
+        n_iter = int(np.asarray(iters))
+        assert n_iter >= 1
+        P = prompt.shape[1]
+        # the longest row emits the most post-prefill tokens; each verify
+        # iteration emits between 1 and k of them
+        emitted = max(
+            int((row[P:] != eos).sum()) for row in np.asarray(got))
+        assert n_iter <= 12  # never more iterations than tokens
+        assert emitted - 1 <= n_iter * 4
