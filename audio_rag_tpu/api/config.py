@@ -67,6 +67,13 @@ class APIConfig(BaseModel):
     #: the server's concurrent-QPS ceiling from one-dispatch-per-request
     #: toward the fused batch path's throughput
     coalesce_queries: bool = True
+    #: post-arrival drain window (ms) for the query coalescer: concurrent
+    #: clients woken from the previous batch resubmit one at a time on
+    #: this 1-CPU host; a few ms of linger fills the next batch instead
+    #: of shipping the first resubmission alone (measured on the
+    #: streaming mux: 3.87→7.5 of 8 slots). Noise vs the ~100 ms+ fused
+    #: batch it joins.
+    coalesce_linger_ms: float = 4.0
     #: require an API key on GET /metrics. Default open: in-cluster
     #: Prometheus scrape (the Helm annotations) can't carry per-tenant
     #: keys, and the endpoint is operational gauges only — but it DOES

@@ -30,9 +30,11 @@ def _coalescer(app: App, rag):
         from audio_rag_tpu.engine.query_coalescer import QueryCoalescer
 
         executor = app.state["executor"]
+        config = app.state["config"]
         c = QueryCoalescer(
             rag.querying,
             run_in=lambda fn: executor.submit(fn).result(),
+            linger_s=getattr(config, "coalesce_linger_ms", 0.0) / 1000.0,
         )
         app.state["query_coalescer"] = c
     return c

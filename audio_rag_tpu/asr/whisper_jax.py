@@ -1067,8 +1067,9 @@ class WhisperJaxASR(BaseASR):
 
         Control ids occupy [eot, timestamp_base); timestamp tokens are
         >= timestamp_base (kept — they delimit segments); everything else
-        is text. Holds for both the real vocab (controls 50257+) and the
-        test preset (controls 0..6). ``prompt_len`` covers conditioned
+        is text. Holds for the real vocab (controls 50257+) and the
+        test/tiny-synth presets (controls at v-9..v-2, sot_prev included
+        — SpecialTokens.for_dims). ``prompt_len`` covers conditioned
         prompts (``<|startofprev|>`` + previous tokens + SOT sequence).
         """
         st = self.tokens

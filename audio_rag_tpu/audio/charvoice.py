@@ -151,10 +151,15 @@ def corpus_lexicon() -> list[str]:
 def make_utterance_texts(
     rng: np.random.Generator, n: int, lexicon: list[str],
     max_frames: int = 540, max_chars: int = 100,
+    double_p: float = 0.0,
 ) -> list[str]:
     """Utterance texts fitting one 6 s tiny-synth window (≤ ``max_frames``
     charvoice duration frames and ≤ ``max_chars`` chars): a mix of
-    corpus-lexicon words, random letter strings, and digit strings."""
+    corpus-lexicon words, random letter strings, and digit strings.
+
+    ``double_p``: per-word probability of doubling one letter — a
+    TRAINING-side boost (repeated chars render as one long tone with only
+    an amplitude dip, the hardest case; eval keeps the natural rate)."""
     texts = []
     for _ in range(n):
         words: list[str] = []
@@ -171,6 +176,9 @@ def make_utterance_texts(
                 w = "".join(
                     rng.choice(list(_WORD_CHARS),
                                int(rng.integers(2, 9))))
+            if double_p and rng.random() < double_p and w.isalpha():
+                j = int(rng.integers(len(w)))
+                w = w[:j] + w[j] + w[j:]
             need = sum(char_duration(c) for c in w) + char_duration(" ")
             if (frames + need > budget
                     or len(" ".join(words + [w])) > max_chars):

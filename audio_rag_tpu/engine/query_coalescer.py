@@ -36,13 +36,18 @@ class QueryCoalescer(KeyedCoalescer):
     worker_name = "query-coalescer"
     join_timeout_s = 10.0
 
-    def __init__(self, pipeline, max_batch: int = 64, run_in=None):
+    def __init__(self, pipeline, max_batch: int = 64, run_in=None,
+                 linger_s: float = 0.0):
         """``pipeline`` is a QueryPipeline (``query_batch`` provider);
         ``run_in(fn) -> result`` executes device work on the process's
-        device-work thread (defaults to inline execution)."""
+        device-work thread (defaults to inline execution). ``linger_s``:
+        keep draining the queue this long after each item — batch-
+        completion wakes are serialized by the single host CPU, so
+        without it the first resubmission ships nearly alone at the full
+        padded-batch price (same lesson as the streaming mux)."""
         self.pipeline = pipeline
         self._run_in = run_in or (lambda fn: fn())
-        super().__init__(max_batch=max_batch)
+        super().__init__(max_batch=max_batch, linger_s=linger_s)
 
     #: served-request counter under its domain name (base: items_served)
     @property

@@ -160,6 +160,23 @@ class LLMGenerator(BaseGenerator):
             )(self._params)
         self._tok = get_tokenizer(self.config.checkpoint_path,
                                   vocab_size=self.dims.vocab)
+        if self.config.model == "eval-small":
+            # the trained asset's emittable vocabulary: the hash
+            # tokenizer decodes only ids this process has encoded, so a
+            # fresh serving process would render trained emissions as
+            # <unk> without the shipped reverse map
+            try:
+                import json
+                from pathlib import Path
+
+                vocab_path = (Path(__file__).resolve().parents[1]
+                              / "assets" / "llm_small_vocab.json")
+                if vocab_path.exists() and hasattr(self._tok, "_reverse"):
+                    side = json.loads(vocab_path.read_text())
+                    for k, v in side.items():
+                        self._tok._reverse.setdefault(int(k), v)
+            except Exception as exc:
+                log.warning("llm vocab sidecar load failed: %s", exc)
         rm.register_model("generation", self.hbm_required_gb, self)
 
     def _unload(self) -> None:

@@ -99,7 +99,7 @@ WHISPER_PRESETS: dict[str, WhisperDims] = {
     # charvoice the trained TTS asset speaks — the reference's
     # downloaded Whisper weights (asr/whisper.py:55-62) have no
     # zero-egress equivalent at full vocab.
-    "tiny-synth": WhisperDims(128, 300, 128, 4, 2, 64, 128, 128, 4, 2),
+    "tiny-synth": WhisperDims(128, 300, 128, 4, 3, 64, 128, 128, 4, 3),
 }
 
 #: char-level text codec for the "tiny-synth" preset: token id == index

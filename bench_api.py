@@ -31,13 +31,70 @@ import numpy as np
 PORT = 8787
 BASE = f"http://127.0.0.1:{PORT}"
 KEY = {"X-API-Key": "bench-key"}
-CONCURRENCY = 32
-N_REQUESTS = 256
+CONCURRENCY = int(os.environ.get("BENCH_CONCURRENCY", 32))
+N_REQUESTS = int(os.environ.get("BENCH_N_REQUESTS",
+                                max(256, CONCURRENCY * 8)))
 BASELINE_QPS = 7.1  # reference search+rerank throughput, one stream
 
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
+
+
+async def _raw_load(make_body, n_conns: int, n_requests: int,
+                    path: str = "/api/v1/query", method: str = "POST"):
+    """Minimal keep-alive HTTP/1.1 load generator on raw asyncio sockets.
+
+    The previous generator (one httpx.Client + thread per worker) burned
+    the single host CPU the SERVER also needs: at 32-way, client-side
+    parsing was a double-digit share of the machine. This one costs a
+    few µs per request and scales to 128-way without starving the
+    server. Returns (wall_s, latencies)."""
+    lock = asyncio.Lock()
+    counter = [0]
+    lats: list[float] = []
+
+    async def conn_worker():
+        reader, writer = await asyncio.open_connection("127.0.0.1", PORT)
+        try:
+            while True:
+                async with lock:
+                    i = counter[0]
+                    if i >= n_requests:
+                        return
+                    counter[0] += 1
+                if method == "POST":
+                    body = make_body(i)
+                    head = (
+                        f"POST {path} HTTP/1.1\r\nHost: bench\r\n"
+                        "X-API-Key: bench-key\r\n"
+                        "Content-Type: application/json\r\n"
+                        f"Content-Length: {len(body)}\r\n\r\n"
+                    ).encode()
+                    req = head + body
+                else:
+                    req = (f"GET {path} HTTP/1.1\r\nHost: bench\r\n"
+                           "X-API-Key: bench-key\r\n\r\n").encode()
+                t1 = time.perf_counter()
+                writer.write(req)
+                await writer.drain()
+                # response: headers to \r\n\r\n, then Content-Length body
+                hdr = await reader.readuntil(b"\r\n\r\n")
+                status = int(hdr.split(b" ", 2)[1])
+                clen = 0
+                for line in hdr.split(b"\r\n"):
+                    if line.lower().startswith(b"content-length:"):
+                        clen = int(line.split(b":")[1])
+                if clen:
+                    await reader.readexactly(clen)
+                lats.append(time.perf_counter() - t1)
+                assert status < 400, f"HTTP {status}"
+        finally:
+            writer.close()
+
+    t0 = time.perf_counter()
+    await asyncio.gather(*[conn_worker() for _ in range(n_conns)])
+    return time.perf_counter() - t0, lats
 
 
 def main() -> None:
@@ -144,37 +201,39 @@ def main() -> None:
     single_p50 = float(np.percentile(lat, 50) * 1000)
     log(f"single-stream p50 {single_p50:.0f}ms")
 
-    # concurrent load: N requests, C workers, each with its own client
-    def worker(idxs, out):
-        with httpx.Client() as client:
-            for i in idxs:
-                t1 = time.perf_counter()
-                ask(client, i)
-                out.append(time.perf_counter() - t1)
+    # HTTP floor: the same generator against /health/live — no device
+    # work, so this is the serving stack's pure request ceiling on this
+    # 1-CPU host (server accept/parse/serialize + client). Locates the
+    # ceiling: if floor_qps >> query qps, the device path is the limit;
+    # if they converge, the HTTP stack is.
+    floor_wall, floor_lats = asyncio.run(_raw_load(
+        None, CONCURRENCY, max(N_REQUESTS, 512),
+        path="/health/live", method="GET"))
+    floor_qps = max(N_REQUESTS, 512) / floor_wall
+    log(f"http floor: {floor_qps:.0f} QPS at {CONCURRENCY}-way "
+        f"(p50 {np.percentile(floor_lats, 50) * 1000:.1f}ms)")
 
-    lats: list[float] = []
-    chunks = [list(range(k, N_REQUESTS, CONCURRENCY))
-              for k in range(CONCURRENCY)]
-    outs = [[] for _ in chunks]
-    t0 = time.perf_counter()
-    threads = [threading.Thread(target=worker, args=(c, o))
-               for c, o in zip(chunks, outs)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    wall = time.perf_counter() - t0
-    for o in outs:
-        lats.extend(o)
+    # concurrent query load through real sockets (raw asyncio client:
+    # the thread-per-worker httpx generator competed with the server for
+    # the single CPU and capped the measurement, VERDICT r4 weak #3)
+    def make_body(i):
+        return json.dumps({"query": q(i), "top_k": 5,
+                           "search_type": "hybrid"}).encode()
+
+    c = app.state.get("query_coalescer")
+    b0 = getattr(c, "batches_run", 0) or 0
+    s0 = getattr(c, "requests_served", 0) or 0
+    wall, lats = asyncio.run(_raw_load(make_body, CONCURRENCY, N_REQUESTS))
     qps = N_REQUESTS / wall
     p50 = float(np.percentile(lats, 50) * 1000)
     p95 = float(np.percentile(lats, 95) * 1000)
 
-    c = app.state.get("query_coalescer")
-    batches = getattr(c, "batches_run", None)
-    served = getattr(c, "requests_served", None)
+    batches = (getattr(c, "batches_run", None) or 0) - b0 or None
+    served = (getattr(c, "requests_served", None) or 0) - s0 or None
+    fill = round(served / batches, 1) if batches and served else None
     log(f"concurrent: {qps:.1f} QPS p50 {p50:.0f}ms p95 {p95:.0f}ms "
-        f"(coalesce={coalesce}, batches={batches}, served={served})")
+        f"(coalesce={coalesce}, batches={batches}, served={served}, "
+        f"fill={fill})")
     stop.set()
 
     print(json.dumps({
@@ -191,9 +250,13 @@ def main() -> None:
             "concurrent_p95_ms": round(p95, 1),
             "coalescer_batches": batches,
             "coalescer_requests": served,
+            "mean_batch_fill": fill,
+            "http_floor_qps": round(floor_qps, 0),
             "note": "full HTTP stack (auth, rate limit, JSON) + hybrid "
                     "search + rerank on 10k chunks; real models, random "
-                    "init; one v5e via relay",
+                    "init; one v5e via relay; http_floor_qps = same "
+                    "load against /health/live (no device work) — the "
+                    "1-CPU serving-stack ceiling",
         },
     }))
 

@@ -61,7 +61,7 @@ def main() -> int:
 
     from audio_rag_tpu.asr.whisper_jax import WhisperJaxASR
     from audio_rag_tpu.config.schema import ASRConfig, TTSConfig
-    from audio_rag_tpu.evaluation.wer import aggregate_wer
+    from audio_rag_tpu.evaluation.wer import aggregate_wer, cer
 
     rng = np.random.default_rng(777)  # held out from training (seed 0)
     texts = make_utterance_texts(rng, args.n, corpus_lexicon())
@@ -81,6 +81,7 @@ def main() -> int:
         segs = asr.transcribe(wav, SR)
         pairs.append((text, " ".join(s.text for s in segs)))
     charvoice = aggregate_wer(pairs)
+    charvoice_cer = float(np.mean([cer(r, h) for r, h in pairs]))
     char_s = time.time() - t0
     print(f"charvoice WER {charvoice.wer:.4f} "
           f"(S={charvoice.substitutions} D={charvoice.deletions} "
@@ -99,7 +100,10 @@ def main() -> int:
             segs = asr.transcribe(np.asarray(pcm, np.float32), SR)
             tts_pairs.append((text, " ".join(s.text for s in segs)))
         t = aggregate_wer(tts_pairs)
-        tts_stats = {"wer": round(t.wer, 4), "n_ref_words": t.n_ref,
+        tts_stats = {"wer": round(t.wer, 4),
+                     "cer": round(float(np.mean(
+                         [cer(r, h) for r, h in tts_pairs])), 4),
+                     "n_ref_words": t.n_ref,
                      "substitutions": t.substitutions,
                      "deletions": t.deletions, "insertions": t.insertions}
         print(f"tts-rendered WER {t.wer:.4f} ({t.n_ref} words)",
@@ -114,6 +118,7 @@ def main() -> int:
         "vs_baseline": round(
             BASELINE_WER / max(charvoice.wer, 1e-4), 2),
         "extra": {
+            "cer": round(charvoice_cer, 4),
             "n_utterances": args.n,
             "n_ref_words": charvoice.n_ref,
             "substitutions": charvoice.substitutions,

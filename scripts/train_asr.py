@@ -48,9 +48,9 @@ from audio_rag_tpu.audio.charvoice import (  # noqa: E402
     synth_text,
 )
 
-N_DATA = 3072
+N_DATA = 4096
 BATCH = 64
-STEPS = 6000
+STEPS = 9000
 CHUNK = 250  # scan steps per dispatch
 S = 128  # token context (== tiny-synth n_text_ctx)
 LR = 3e-4
@@ -139,7 +139,7 @@ def main() -> int:
 
     lexicon = corpus_lexicon()
     log(f"lexicon: {len(lexicon)} corpus words")
-    texts = make_utterance_texts(rng, N_DATA, lexicon)
+    texts = make_utterance_texts(rng, N_DATA, lexicon, double_p=0.10)
     tts = None
     n_tts = 0
     try:

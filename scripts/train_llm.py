@@ -39,12 +39,13 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 OUT = REPO / "audio_rag_tpu" / "assets" / "llm_small.npz"
 
-N_DATA = 4096
+N_DATA = 6144
 BATCH = 64
-STEPS = 6000
+STEPS = 8000
 CHUNK = 250
 S = 320  # token context per sample (prompt tail + answer + eos)
 LR = 3e-4
+VOCAB_OUT = REPO / "audio_rag_tpu" / "assets" / "llm_small_vocab.json"
 
 
 def log(msg: str) -> None:
@@ -194,11 +195,11 @@ def make_samples(c, rng, n):
     out = []
     for _ in range(n):
         r = rng.random()
-        if r < 0.55:
+        if r < 0.50:
             out.append(make_rag_sample(c, rng))
-        elif r < 0.70:
+        elif r < 0.62:
             out.append(make_hyde_sample(c, rng))
-        elif r < 0.85:
+        elif r < 0.76:
             out.append(make_rating_sample(c, rng))
         else:
             out.append(make_verdict_sample(c, rng))
@@ -317,8 +318,17 @@ def main() -> int:
     OUT.parent.mkdir(parents=True, exist_ok=True)
     save_npz_asset(OUT, jax.tree.map(
         lambda x: np.asarray(x, np.float16), params))
-    log(f"saved asset -> {OUT} ({OUT.stat().st_size / 1e6:.1f} MB); "
-        "gating...")
+    # vocab sidecar: HashWordTokenizer decodes only ids its process has
+    # encoded (text/tokenizer.py reverse map); a fresh serving process
+    # would render the trained model's emissions as <unk>. The training
+    # tokenizer's reverse map IS the model's emittable vocabulary —
+    # ship it with the weights.
+    import json as _json
+
+    VOCAB_OUT.write_text(_json.dumps(
+        {str(k): v for k, v in tok._reverse.items()}))
+    log(f"saved asset -> {OUT} ({OUT.stat().st_size / 1e6:.1f} MB) "
+        f"+ vocab sidecar ({len(tok._reverse)} words); gating...")
 
     from audio_rag_tpu.config.schema import GenerationConfig
     from audio_rag_tpu.generation.llm_jax import LLMGenerator
@@ -375,6 +385,7 @@ def main() -> int:
     if (eos_rate < 0.9 or grounded_rate < 0.7
             or mean_f <= mean_u + 2.0 or verdict_acc < 0.8):
         OUT.unlink(missing_ok=True)
+        VOCAB_OUT.unlink(missing_ok=True)
         log("GATE FAILED; asset removed")
         return 1
     log("gates passed; asset committed-ready")
