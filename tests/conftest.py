@@ -37,6 +37,24 @@ import numpy as np
 import pytest
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _bound_live_programs():
+    """Clear JAX's compiled-program caches after each test module.
+
+    Single-threaded codegen (the XLA_FLAGS pin above) fixed the r4-era
+    full-suite segfaults, but the r5 suite compiles more and larger
+    CPU programs (tiny-synth ASR decode loops, the trained eval-small
+    LLM) and `backend_compile_and_load` began segfaulting again near the
+    end of single-process runs (~650 live executables). Dropping caches
+    at module boundaries bounds live programs at subset scale — the
+    scale that has always been stable — at the cost of cross-module
+    recompiles."""
+    yield
+    import jax
+
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
