@@ -185,7 +185,9 @@ def main() -> None:
     with httpx.Client() as client:
         for i in range(3):
             ask(client, 9000 + i)
-    for burst in (2, 4, 8, 16, 32):
+    for burst in (2, 4, 8, 16, 32, 64):
+        if burst > max(CONCURRENCY, 32):
+            break  # buckets beyond the in-flight ceiling can't occur
         with cf.ThreadPoolExecutor(max_workers=burst) as pool, \
                 httpx.Client() as client:
             list(pool.map(lambda i: ask(client, 8000 + i), range(burst)))
