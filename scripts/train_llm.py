@@ -201,18 +201,70 @@ def make_verdict_sample(c, rng):
     return prompt, "yes" if useful else "no"
 
 
+def make_revq_sample(c, rng):
+    """Answer-relevancy support: regenerate the question an answer
+    addresses (mirrors RAGEvaluator.judge_answer_relevancy's prompt —
+    the doc→query inverse of the synonym map)."""
+    from audio_rag_tpu.evaluation.corpus import _QUERY_TEMPLATES_A
+
+    t = int(rng.integers(len(c.doc_forms)))
+    concept = int(rng.integers(4))
+    i = int(rng.choice(c.relevant_chunks(t, (concept,))))
+    ans = (f"the lecture discusses {c.doc_forms[t][concept]} in section "
+           f"{c.tags[i]}")
+    q = _QUERY_TEMPLATES_A[int(rng.integers(len(_QUERY_TEMPLATES_A)))]
+    q = q.format(q0=c.query_forms[t][concept])
+    prompt = (
+        "Write one short question that the following ANSWER directly "
+        "answers. Reply with only the question.\n\n"
+        f"ANSWER: {ans}\n\nQUESTION:"
+    )
+    return prompt, q
+
+
+def make_attr_sample(c, rng):
+    """Context-recall support: statement attribution (mirrors
+    RAGEvaluator.judge_context_recall's prompt)."""
+    i = int(rng.integers(len(c.chunks)))
+    t = c.topic_of[i]
+    ctxs = [c.chunks[i]] + [
+        c.chunks[int(j)] for j in rng.integers(0, len(c.chunks), size=2)]
+    rng.shuffle(ctxs)
+    supported = rng.random() < 0.5
+    if supported:
+        concept = int(rng.choice(list(c.pair_of[i])))
+        s = (f"the lecture discusses {c.doc_forms[t][concept]} in "
+             f"section {c.tags[i]}.")
+    else:
+        t2 = (t + 1 + int(rng.integers(len(c.doc_forms) - 1))) \
+            % len(c.doc_forms)
+        s = (f"the lecture discusses {c.doc_forms[t2][0]} in section "
+             "unknown.")
+    ctx = "\n---\n".join(x[:500] for x in ctxs)
+    prompt = (
+        "Can the STATEMENT be attributed to (supported by) the "
+        "CONTEXTS? Reply yes or no.\n\n"
+        f"CONTEXTS:\n{ctx}\n\nSTATEMENT: {s}\n\nVerdict:"
+    )
+    return prompt, "yes" if supported else "no"
+
+
 def make_samples(c, rng, n):
     out = []
     for _ in range(n):
         r = rng.random()
-        if r < 0.50:
+        if r < 0.46:
             out.append(make_rag_sample(c, rng))
-        elif r < 0.62:
+        elif r < 0.56:
             out.append(make_hyde_sample(c, rng))
-        elif r < 0.76:
+        elif r < 0.68:
             out.append(make_rating_sample(c, rng))
-        else:
+        elif r < 0.84:
             out.append(make_verdict_sample(c, rng))
+        elif r < 0.92:
+            out.append(make_revq_sample(c, rng))
+        else:
+            out.append(make_attr_sample(c, rng))
     return out
 
 
@@ -392,6 +444,24 @@ def main() -> int:
     log(f"judge: faithful mean {mean_f:.1f} vs unfaithful {mean_u:.1f}; "
         f"verdict acc {verdict_acc:.2f}")
 
+    # the two round-5b judge templates (context recall / answer relevancy)
+    attr_ok = 0
+    for _ in range(16):
+        p, r = make_attr_sample(c, held)
+        out = gen.generate(p, max_tokens=3).lower()
+        attr_ok += int(("yes" in out) == (r == "yes"))
+    attr_acc = attr_ok / 16
+    qf_vocab = {w for f in c.query_forms for w in f}
+    revq_hit = 0
+    for _ in range(12):
+        p, q_gold = make_revq_sample(c, held)
+        out = gen.generate(p, max_tokens=24)
+        qf = [w for w in q_gold.split() if w in qf_vocab]
+        revq_hit += int(bool(qf) and all(w in out for w in qf))
+    revq_rate = revq_hit / 12
+    log(f"attribution acc {attr_acc:.2f}; reverse-question query-form "
+        f"hit {revq_rate:.2f}")
+
     # extractive mode: quote-instruction prompts must realize n-gram
     # drafter acceptance (the speculative-decode regime). The corpus's
     # 10-word filler vocabulary makes 2-gram prompt-lookup ambiguous in
@@ -418,7 +488,7 @@ def main() -> int:
 
     if (eos_rate < 0.9 or grounded_rate < 0.7
             or mean_f <= mean_u + 2.0 or verdict_acc < 0.72
-            or tpv < 1.8):
+            or tpv < 1.8 or attr_acc < 0.6 or revq_rate < 0.4):
         OUT.unlink(missing_ok=True)
         VOCAB_OUT.unlink(missing_ok=True)
         log("GATE FAILED; asset removed")
