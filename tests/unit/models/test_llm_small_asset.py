@@ -73,29 +73,39 @@ class TestTrainedLLMSmall:
         assert grounded >= n - 2
 
     def test_judge_rating_direction(self, gen, corpus):
-        i = 17
-        t = corpus.topic_of[i]
-        a, b = corpus.pair_of[i]
-        ctx = corpus.chunks[i]
-        faithful = (f"the lecture covers {corpus.doc_forms[t][a]} "
-                    f"alongside {corpus.doc_forms[t][b]} in section "
-                    f"{corpus.tags[i]}")
-        t2 = (t + 5) % len(corpus.doc_forms)
-        unfaithful = (f"the lecture covers {corpus.doc_forms[t2][0]} "
-                      f"alongside {corpus.doc_forms[t2][1]} in section "
-                      "unknown")
+        """Mean rating over several faithful answers must clearly exceed
+        unfaithful ones, in the PRODUCTION judge format (multiple
+        ---joined contexts, as RAGEvaluator.judge_faithfulness builds —
+        the format the judge trained on)."""
+        rng = np.random.default_rng(4)
 
-        def rate(ans):
+        def rate(i, faithful):
+            t = corpus.topic_of[i]
+            a, b = corpus.pair_of[i]
+            if faithful:
+                ans = (f"the lecture covers {corpus.doc_forms[t][a]} "
+                       f"alongside {corpus.doc_forms[t][b]} in section "
+                       f"{corpus.tags[i]}")
+            else:
+                t2 = (t + 5) % len(corpus.doc_forms)
+                ans = (f"the lecture covers {corpus.doc_forms[t2][0]} "
+                       f"alongside {corpus.doc_forms[t2][1]} in section "
+                       "unknown")
+            ctxs = [corpus.chunks[i]] + [
+                corpus.chunks[int(j)]
+                for j in rng.integers(0, len(corpus.chunks), size=2)]
+            ctx = "\n---\n".join(x[:500] for x in ctxs)
             p = ("Rate 0-10 how well the ANSWER is supported by the "
                  "CONTEXTS. Reply with a single number.\n\n"
                  f"QUESTION: what is covered in section {corpus.tags[i]}\n"
                  f"ANSWER: {ans}\nCONTEXTS:\n{ctx}\n\nRating:")
             out = gen.generate(p, max_tokens=4)
             m = re.search(r"\d+", out)
-            return float(m.group()) if m else None
+            return float(m.group()) if m else 5.0
 
-        hi, lo = rate(faithful), rate(unfaithful)
-        assert hi is not None and lo is not None
+        idxs = [17, 42, 101, 163]
+        hi = np.mean([rate(i, True) for i in idxs])
+        lo = np.mean([rate(i, False) for i in idxs])
         assert hi >= lo + 3, (hi, lo)
 
     def test_speculative_acceptance_in_extractive_mode(self, gen, corpus):
