@@ -299,3 +299,78 @@ class TestWebSocketHardening:
             return json.loads(payload)
 
         assert run(scenario()) == {"kind": "text", "n": 2}
+
+
+class TestKeepAlive:
+    """HTTP/1.1 keep-alive (round 5): multiple requests per connection —
+    connection-per-request was a measured double-digit CPU share on the
+    1-CPU serving host."""
+
+    def test_two_requests_one_connection(self, server):
+        import socket
+
+        s = socket.create_connection((HOST, PORT), timeout=5)
+        try:
+            for i in range(2):
+                s.sendall(b"GET /ping HTTP/1.1\r\nHost: t\r\n\r\n")
+                buf = b""
+                while b"\r\n\r\n" not in buf:
+                    buf += s.recv(4096)
+                head, rest = buf.split(b"\r\n\r\n", 1)
+                assert b"200" in head.split(b"\r\n")[0]
+                assert b"connection: keep-alive" in head.lower()
+                clen = int(
+                    [ln for ln in head.lower().split(b"\r\n")
+                     if ln.startswith(b"content-length")][0].split(b":")[1])
+                while len(rest) < clen:
+                    rest += s.recv(4096)
+        finally:
+            s.close()
+
+    def test_connection_close_honored(self, server):
+        import socket
+
+        s = socket.create_connection((HOST, PORT), timeout=5)
+        try:
+            s.sendall(b"GET /ping HTTP/1.1\r\nHost: t\r\n"
+                      b"Connection: close\r\n\r\n")
+            buf = b""
+            while b"\r\n\r\n" not in buf:
+                buf += s.recv(4096)
+            assert b"connection: close" in buf.lower()
+            # server closes after the response body
+            while True:
+                chunk = s.recv(4096)
+                if not chunk:
+                    break
+        finally:
+            s.close()
+
+    def test_idle_keepalive_closes_silently(self, server):
+        """After a served request, an idle connection must close without
+        a 408 body (408 is only for a first request that stalls)."""
+        import socket
+
+        s = socket.create_connection((HOST, PORT), timeout=5)
+        try:
+            s.sendall(b"GET /ping HTTP/1.1\r\nHost: t\r\n\r\n")
+            buf = b""
+            while b"\r\n\r\n" not in buf:
+                buf += s.recv(4096)
+            clen = int(
+                [ln for ln in buf.lower().split(b"\r\n")
+                 if ln.startswith(b"content-length")][0].split(b":")[1])
+            body = buf.split(b"\r\n\r\n", 1)[1]
+            while len(body) < clen:
+                body += s.recv(4096)
+            # idle past header_timeout (0.5 s here): silent close
+            s.settimeout(3)
+            tail = b""
+            while True:
+                chunk = s.recv(4096)
+                if not chunk:
+                    break
+                tail += chunk
+            assert b"408" not in tail
+        finally:
+            s.close()
