@@ -88,6 +88,28 @@ def main() -> int:
           f"I={charvoice.insertions} / {charvoice.n_ref} words, "
           f"{char_s:.0f}s)", file=sys.stderr)
 
+    # multi-window stream FILES: several utterances with silence gaps,
+    # cut into 6 s windows by the product transcribe path — boundary-cut
+    # word losses are part of this number (the ingest reality)
+    stream_pairs = []
+    for _ in range(16):
+        texts2 = make_utterance_texts(rng, 3, corpus_lexicon(),
+                                      max_frames=330, max_chars=55)
+        pieces = [np.zeros(int(rng.uniform(0.1, 0.4) * SR), np.float32)]
+        for tx in texts2:
+            from audio_rag_tpu.audio.charvoice import synth_text as _st
+
+            pieces.append(_st(tx, rng, noise_level=0.005))
+            pieces.append(np.zeros(int(rng.uniform(0.3, 0.8) * SR),
+                                   np.float32))
+        wav = np.concatenate(pieces)
+        segs = asr.transcribe(wav, SR)
+        stream_pairs.append((" ".join(texts2),
+                             " ".join(s.text for s in segs)))
+    stream = aggregate_wer(stream_pairs)
+    print(f"multi-window stream WER {stream.wer:.4f} "
+          f"({stream.n_ref} words)", file=sys.stderr)
+
     tts_stats = None
     try:
         from audio_rag_tpu.tts.jax_tts import JaxTTS
@@ -125,6 +147,12 @@ def main() -> int:
             "deletions": charvoice.deletions,
             "insertions": charvoice.insertions,
             "tts_rendered": tts_stats,
+            "multi_window_stream": {
+                "wer": round(stream.wer, 4),
+                "n_ref_words": stream.n_ref,
+                "note": "3-utterance files through the 6 s windowed "
+                        "transcribe; includes window-boundary word cuts",
+            },
             "baseline_wer_cited": BASELINE_WER,
             "note": "committed trained tiny ASR (asr_tiny_synth.npz) on "
                     "held-out synthetic speech through the product "
